@@ -1,0 +1,296 @@
+"""C4.5 split statistics as declarative DataFrame pipelines.
+
+This is the Spark-first restatement of the reference's entire distributed
+computation — the per-level MapReduce job that, for every (frontier-node,
+attribute) pair, computes gain ratio and (for numerics) the best binary
+boundary (`/root/reference/src/program/MyMapper.java:28-51`,
+`MyReducer.java:36-205`).
+
+Shape of the plan (SURVEY.md §2.D), per tree level:
+
+1. rows are annotated with the id of the frontier rule they satisfy
+   (``rid``) — a broadcast-free CASE WHEN chain, since frontier rules
+   partition the data by construction;
+2. features are melted to ``(rid, aid, value, class)`` with ``stack`` —
+   the reference's mapper emission (`MyMapper.java:41-47`) — and
+   immediately count-aggregated: Catalyst's partial aggregation means the
+   shuffle carries (group, count) pairs, not rows — the combiner the
+   reference never had (no combiner class set, `Main.java:188-196`);
+3. categorical gain ratios are closed-form aggregates over the contingency
+   counts (`MyReducer.java:243-298`);
+4. numeric best-split replaces the reference's in-reducer
+   buffer-sort-rescan (O(rows) memory + O(distinct×rows) time,
+   `MyReducer.java:112-205,300-322`) with a cumulative window over the
+   per-value class matrix: O(distinct) shuffled rows per (node, attr) and
+   a single ordered pass — this spills via Tungsten sort instead of
+   OOMing, which is what makes it viable at 100 TB.
+
+Every quantity matches the reference's formulas (Info / Entr / SplitI /
+GainRatio, including the ``SplitI == 0`` special case at
+`MyReducer.java:282-298`); deliberate divergences are in SURVEY.md's quirk
+ledger (Q1-Q5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.functions.entropy import (
+    entropy_from_counts,
+    xlog2x,
+)
+
+# Column-name constants for the statistics relations.
+RID, AID, VALUE, CLASS, CNT = "rid", "aid", "value", "class", "cnt"
+
+
+def melt(
+    df: DataFrame,
+    attrs: list[str],
+    label: str,
+    rid_col: str = RID,
+    numeric: bool = False,
+) -> DataFrame:
+    """Unpivot feature columns to ``(rid, aid, value, class)`` rows — the
+    reference mapper's node×attribute multicast (`MyMapper.java:33-50`),
+    expressed with ``stack`` so it stays in whole-stage codegen."""
+    if not attrs:
+        return (
+            df.select(
+                F.col(rid_col).alias(RID),
+                F.lit("").alias(AID),
+                (F.lit(None).cast("double") if numeric else F.lit(None).cast("string")).alias(VALUE),
+                F.col(label).alias(CLASS),
+            )
+            .where(F.lit(False))
+        )
+    cast = "double" if numeric else "string"
+    pairs = ", ".join(f"'{a}', cast(`{a}` as {cast})" for a in attrs)
+    stacked = df.selectExpr(
+        f"`{rid_col}` as {RID}",
+        f"stack({len(attrs)}, {pairs}) as ({AID}, {VALUE})",
+        f"`{label}` as {CLASS}",
+    )
+    return stacked.where(F.col(VALUE).isNotNull())
+
+
+def contingency(melted: DataFrame) -> DataFrame:
+    """(rid, aid, value, class) → counts. The reference builds these with
+    linear-scan lookups per reduce group (`MyReducer.java:51-92`); here it
+    is one hash aggregate with map-side partials."""
+    return melted.groupBy(RID, AID, VALUE, CLASS).agg(F.count("*").alias(CNT))
+
+
+def node_class_counts(
+    df: DataFrame, label: str, rid_col: str = RID
+) -> DataFrame:
+    """Per-node class histogram: basis for Info and for majority labels."""
+    return (
+        df.groupBy(F.col(rid_col).alias(RID), F.col(label).alias(CLASS))
+        .agg(F.count("*").alias(CNT))
+    )
+
+
+def node_info(class_counts: DataFrame) -> DataFrame:
+    """Per-node class entropy ``Info`` (`MyReducer.java:243-252`) and row
+    count ``n``."""
+    return class_counts.groupBy(RID).agg(
+        F.sum(CNT).alias("n"),
+        entropy_from_counts(F.sum(CNT), F.sum(xlog2x(F.col(CNT)))).alias(
+            "info"
+        ),
+    )
+
+
+def _gain_ratio_col(info: Column, entr: Column, split_info: Column) -> Column:
+    """``GR = (Info - Entr)/SplitI`` with the reference's special case
+    (`MyReducer.java:282-298`): SplitI == 0 → 0 if the node is pure
+    (Info == 0) else a tiny positive 1e-5 so the attribute remains
+    selectable but near-worst."""
+    gain = F.greatest(F.lit(0.0), info - entr)  # clamp float noise
+    return F.when(
+        split_info == 0.0,
+        F.when(info == 0.0, F.lit(0.0)).otherwise(F.lit(0.00001)),
+    ).otherwise(gain / split_info)
+
+
+def categorical_stats(cont: DataFrame, info_df: DataFrame) -> DataFrame:
+    """Per (rid, aid) for categorical attributes: conditional entropy,
+    split information, gain ratio (`MyReducer.java:254-298`).
+
+    Two cascaded hash aggregates (value level → attribute level) + a
+    broadcast join of the tiny per-node Info relation.
+    """
+    per_value = cont.groupBy(RID, AID, VALUE).agg(
+        F.sum(CNT).alias("nv"),
+        entropy_from_counts(F.sum(CNT), F.sum(xlog2x(F.col(CNT)))).alias(
+            "ent_v"
+        ),
+    )
+    per_attr = per_value.groupBy(RID, AID).agg(
+        F.sum("nv").alias("n_attr"),
+        (F.sum(F.col("nv") * F.col("ent_v")) / F.sum("nv")).alias("entr"),
+        entropy_from_counts(
+            F.sum("nv"), F.sum(xlog2x(F.col("nv")))
+        ).alias("split_info"),
+    )
+    joined = per_attr.join(F.broadcast(info_df), RID)
+    return joined.select(
+        RID,
+        AID,
+        "info",
+        "entr",
+        "split_info",
+        _gain_ratio_col(
+            F.col("info"), F.col("entr"), F.col("split_info")
+        ).alias("gain_ratio"),
+    )
+
+
+def numeric_best_split(
+    cont: DataFrame,
+    info_df: DataFrame,
+    label_domain: list[str],
+    min_ratio: float = 0.1,
+) -> DataFrame:
+    """Per (rid, aid) for numeric attributes: the boundary minimizing
+    conditional entropy, subject to the reference's 10%-per-side guard
+    (`MyReducer.java:34,188-190`), reporting gain ratio at the optimum
+    (`MyReducer.java:193-198`).
+
+    Candidate boundaries are the sorted distinct values except the max
+    (`MyReducer.java:140-144`). Instead of buffering the column per group,
+    the per-value class matrix (|distinct| rows) gets cumulative sums under
+    ``Window.partitionBy(rid, aid).orderBy(value)`` — every candidate's
+    two-side entropy falls out of one ordered pass.
+
+    Attributes with no guard-passing candidate produce no row (the
+    reference emits gr=-1 and the driver never selects them,
+    `MyReducer.java:130,200`).
+    """
+    classes = [f"c{i}" for i in range(len(label_domain))]
+    matrix = (
+        cont.groupBy(RID, AID, VALUE)
+        .pivot(CLASS, list(label_domain))
+        .agg(F.sum(CNT))
+        .na.fill(0)
+    )
+    for c, lab in zip(classes, label_domain):
+        matrix = matrix.withColumnRenamed(lab, c)
+
+    w_cum = (
+        Window.partitionBy(RID, AID)
+        .orderBy(VALUE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(RID, AID)
+    cum = matrix.select(
+        RID,
+        AID,
+        VALUE,
+        *[F.sum(c).over(w_cum).alias(f"le_{c}") for c in classes],
+        *[F.sum(c).over(w_all).alias(f"tot_{c}") for c in classes],
+    )
+
+    n = sum((F.col(f"tot_{c}") for c in classes), F.lit(0))
+    n_le = sum((F.col(f"le_{c}") for c in classes), F.lit(0))
+    n_gt = n - n_le
+    sum_x_le = sum((xlog2x(F.col(f"le_{c}")) for c in classes), F.lit(0.0))
+    sum_x_gt = sum(
+        (xlog2x(F.col(f"tot_{c}") - F.col(f"le_{c}")) for c in classes),
+        F.lit(0.0),
+    )
+    ent_le = entropy_from_counts(n_le, sum_x_le)
+    ent_gt = entropy_from_counts(n_gt, sum_x_gt)
+
+    cand = (
+        cum.withColumn("n", n)
+        .withColumn("n_le", n_le)
+        .withColumn("n_gt", n_gt)
+        # all distinct values except the max are candidate boundaries
+        .where(F.col("n_le") < F.col("n"))
+        # minimum-side guard (minDataRatio, `MyReducer.java:34`)
+        .where(
+            (F.col("n_le") >= F.lit(min_ratio) * F.col("n"))
+            & (F.col("n_gt") >= F.lit(min_ratio) * F.col("n"))
+        )
+        .withColumn(
+            "entr",
+            (F.col("n_le") * ent_le + F.col("n_gt") * ent_gt) / F.col("n"),
+        )
+        .withColumn(
+            "split_info",
+            entropy_from_counts(
+                F.col("n"),
+                xlog2x(F.col("n_le")) + xlog2x(F.col("n_gt")),
+            ),
+        )
+    )
+
+    # argmin entr, ties broken by smallest boundary: lexicographic struct min
+    best = cand.groupBy(RID, AID).agg(
+        F.min(
+            F.struct(F.col("entr"), F.col(VALUE), F.col("split_info"))
+        ).alias("best")
+    )
+    return (
+        best.join(F.broadcast(info_df), RID)
+        .select(
+            RID,
+            AID,
+            F.col("info"),
+            F.col("best.entr").alias("entr"),
+            F.col("best.split_info").alias("split_info"),
+            F.col(f"best.{VALUE}").alias("boundary"),
+            _gain_ratio_col(
+                F.col("info"), F.col("best.entr"), F.col("best.split_info")
+            ).alias("gain_ratio"),
+        )
+    )
+
+
+def leaf_detect(class_counts: DataFrame, info_df: DataFrame) -> DataFrame:
+    """Per node: row count, class entropy, purity flag, majority label —
+    the reference tags leaves with a `gr == 0` marker plus a (buggy)
+    last-seen class (`MyReducer.java:103-104,201-202`, consumed
+    `Main.java:250-257`); we report an honest majority with a
+    deterministic (cnt desc, class asc) tie-break."""
+    w = Window.partitionBy(RID).orderBy(F.desc(CNT), F.asc(CLASS))
+    maj = (
+        class_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(RID, F.col(CLASS).alias("majority_label"))
+    )
+    return (
+        info_df.join(maj, RID)
+        .select(
+            RID,
+            "n",
+            "info",
+            (F.col("info") == 0.0).alias("is_leaf"),
+            "majority_label",
+        )
+    )
+
+
+def best_attribute(
+    stats: DataFrame, attr_order: list[str]
+) -> DataFrame:
+    """Per node, the attribute with maximal gain ratio — the driver-side
+    file-rescanning argmax of the reference (`Main.java:218-269`) as a
+    window. ``gain_ratio <= 0`` never wins (reference inits maxGR = 0,
+    `Main.java:258-261`); ties break on attribute declaration order."""
+    idx = F.lit(None).cast("int")
+    for i, a in reversed(list(enumerate(attr_order))):
+        idx = F.when(F.col(AID) == a, F.lit(i)).otherwise(idx)
+    w = Window.partitionBy(RID).orderBy(
+        F.desc("gain_ratio"), F.asc("aid_idx")
+    )
+    return (
+        stats.where(F.col("gain_ratio") > 0)
+        .withColumn("aid_idx", idx)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "aid_idx")
+    )

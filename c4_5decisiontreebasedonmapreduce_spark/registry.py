@@ -1,0 +1,512 @@
+"""Query + DuckDB-oracle registry: the driver-facing operator inventory.
+
+Every operator from SURVEY.md §2 is exposed here as a named query — a
+callable ``(spark, sf_dir) -> DataFrame`` — paired (where SQL-expressible)
+with an ANSI-SQL oracle string DuckDB runs on the same parquet tables.
+Floating-point outputs are rounded to 6 decimals on BOTH sides; counts are
+BIGINT; every computed column is aliased identically on both sides (the
+driver's compare sorts columns by name before hashing).
+
+The C4.5 statistics queries run against the flagship training projection
+of `lineitem` (FIXTURES.md §2). Level-scoped queries use a FIXED two-rule
+frontier (scale-factor independent) so the oracle SQL can be static text:
+
+    rid 0:  l_linestatus = 'O' AND l_quantity <= 25.0
+    rid 1:  l_linestatus = 'F'
+
+These two rules are disjoint by construction (like a real C4.5 frontier,
+which partitions the data — `/root/reference/src/program/Main.java:110-116`).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import c45_stats as S
+from c4_5decisiontreebasedonmapreduce_spark.operators import tree as Tr
+from c4_5decisiontreebasedonmapreduce_spark.operators.training import (
+    LINEITEM_TRAINING_SCHEMA,
+    lineitem_training,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+NUM_FEATS = [a.name for a in LINEITEM_TRAINING_SCHEMA.numeric]
+CAT_FEATS = [a.name for a in LINEITEM_TRAINING_SCHEMA.categorical]
+LABEL = LINEITEM_TRAINING_SCHEMA.label
+CLASSES = list(LINEITEM_TRAINING_SCHEMA.label_domain)
+ATTR_ORDER = [a.name for a in LINEITEM_TRAINING_SCHEMA.features]
+
+# ---------------------------------------------------------------------------
+# fixed frontier (Spark + SQL twins)
+
+FRONTIER = [
+    Tr.Rule(
+        (
+            Tr.Condition("l_linestatus", Tr.OP_EQ, "O"),
+            Tr.Condition("l_quantity", Tr.OP_LE, 25.0),
+        )
+    ),
+    Tr.Rule((Tr.Condition("l_linestatus", Tr.OP_EQ, "F"),)),
+]
+RULE_SQL = [
+    "(l_linestatus = 'O' AND l_quantity <= 25.0)",
+    "(l_linestatus = 'F')",
+]
+RID_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN {p} THEN {i}" for i, p in enumerate(RULE_SQL))
+    + " ELSE NULL END"
+)
+ROOT_CASE_SQL = "0"  # root level: every row belongs to rid 0
+
+# ---------------------------------------------------------------------------
+# SQL generation helpers (entropy closed forms mirroring functions/entropy.py)
+
+
+def _x(e: str) -> str:
+    """SQL for ``x*log2(x)`` with 0·log2(0)=0."""
+    return f"CASE WHEN {e} > 0 THEN ({e}) * LOG2({e}) ELSE 0.0 END"
+
+
+def _melt_sql(attrs: list[str], rid_case: str) -> str:
+    """UNION ALL unpivot of feature columns (the mapper emission,
+    `MyMapper.java:41-47`) with frontier rid assignment."""
+    parts = [
+        f"SELECT {rid_case} AS rid, '{a}' AS aid, {a} AS value,"
+        f" {LABEL} AS class FROM lineitem"
+        for a in attrs
+    ]
+    return (
+        "SELECT rid, aid, value, class FROM ("
+        + " UNION ALL ".join(parts)
+        + ") WHERE rid IS NOT NULL"
+    )
+
+
+def _info_cte(rid_case: str) -> str:
+    """Per-rid class entropy Info (`MyReducer.java:243-252`)."""
+    return f"""
+node_cc AS (
+  SELECT rid, {LABEL} AS class, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM (SELECT {rid_case} AS rid, {LABEL} FROM lineitem)
+  WHERE rid IS NOT NULL GROUP BY rid, {LABEL}
+),
+node_info AS (
+  SELECT rid, CAST(SUM(cnt) AS BIGINT) AS n,
+         LOG2(SUM(cnt)) - SUM({_x('cnt')}) / SUM(cnt) AS info
+  FROM node_cc GROUP BY rid
+)"""
+
+
+def _cat_stats_sql(attrs: list[str], rid_case: str) -> str:
+    """Categorical Entr / SplitI / GainRatio (`MyReducer.java:254-298`)."""
+    return f"""
+WITH melt AS ({_melt_sql(attrs, rid_case)}),
+cont AS (
+  SELECT rid, aid, value, class, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM melt GROUP BY rid, aid, value, class
+),
+per_value AS (
+  SELECT rid, aid, value, SUM(cnt) AS nv,
+         LOG2(SUM(cnt)) - SUM({_x('cnt')}) / SUM(cnt) AS ent_v
+  FROM cont GROUP BY rid, aid, value
+),
+per_attr AS (
+  SELECT rid, aid,
+         SUM(nv) AS n_attr,
+         SUM(nv * ent_v) / SUM(nv) AS entr,
+         LOG2(SUM(nv)) - SUM({_x('nv')}) / SUM(nv) AS split_info
+  FROM per_value GROUP BY rid, aid
+),
+{_info_cte(rid_case)}
+SELECT a.rid, a.aid,
+       ROUND(i.info, 6) AS info,
+       ROUND(a.entr, 6) AS entr,
+       ROUND(a.split_info, 6) AS split_info,
+       ROUND(CASE WHEN a.split_info = 0
+                  THEN CASE WHEN i.info = 0 THEN 0.0 ELSE 0.00001 END
+                  ELSE GREATEST(0.0, i.info - a.entr) / a.split_info END,
+             6) AS gain_ratio
+FROM per_attr a JOIN node_info i USING (rid)"""
+
+
+def _num_best_split_sql(
+    attrs: list[str], rid_case: str, min_ratio: float = 0.1
+) -> str:
+    """Numeric best-boundary search as window SQL — the oracle twin of
+    operators/c45_stats.numeric_best_split (`MyReducer.java:112-205`)."""
+    cs = [f"c{i}" for i in range(len(CLASSES))]
+    mat_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN class = '{lab}' THEN cnt ELSE 0 END) AS DOUBLE) AS {c}"
+        for c, lab in zip(cs, CLASSES)
+    )
+    cum_cols = ",\n         ".join(
+        f"SUM({c}) OVER w AS le_{c}, SUM({c}) OVER wa AS tot_{c}" for c in cs
+    )
+    n_le = " + ".join(f"le_{c}" for c in cs)
+    n_tot = " + ".join(f"tot_{c}" for c in cs)
+    sum_x_le = " + ".join(_x(f"le_{c}") for c in cs)
+    sum_x_gt = " + ".join(_x(f"(tot_{c} - le_{c})") for c in cs)
+    return f"""
+WITH melt AS ({_melt_sql(attrs, rid_case)}),
+cont AS (
+  SELECT rid, aid, value, class, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM melt GROUP BY rid, aid, value, class
+),
+mat AS (
+  SELECT rid, aid, value,
+         {mat_cols}
+  FROM cont GROUP BY rid, aid, value
+),
+cum AS (
+  SELECT rid, aid, value,
+         {cum_cols}
+  FROM mat
+  WINDOW w AS (PARTITION BY rid, aid ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY rid, aid)
+),
+cand AS (
+  SELECT rid, aid, value, ({n_le}) AS n_le, ({n_tot}) AS n,
+         ({n_tot}) - ({n_le}) AS n_gt,
+         CASE WHEN ({n_le}) > 0
+              THEN LOG2({n_le}) - ({sum_x_le}) / ({n_le}) ELSE 0.0 END AS ent_le,
+         CASE WHEN ({n_tot}) - ({n_le}) > 0
+              THEN LOG2(({n_tot}) - ({n_le})) - ({sum_x_gt}) / (({n_tot}) - ({n_le}))
+              ELSE 0.0 END AS ent_gt
+  FROM cum
+),
+scored AS (
+  SELECT rid, aid, value,
+         (n_le * ent_le + n_gt * ent_gt) / n AS entr,
+         LOG2(n) - ({_x('n_le')} + {_x('n_gt')}) / n AS split_info
+  FROM cand
+  WHERE n_le < n AND n_le >= {min_ratio} * n AND n_gt >= {min_ratio} * n
+),
+picked AS (
+  SELECT rid, aid, value AS boundary, entr, split_info,
+         ROW_NUMBER() OVER (PARTITION BY rid, aid ORDER BY entr, value) AS rn
+  FROM scored
+),
+{_info_cte(rid_case)}
+SELECT p.rid, p.aid,
+       ROUND(i.info, 6) AS info,
+       ROUND(p.entr, 6) AS entr,
+       ROUND(p.split_info, 6) AS split_info,
+       p.boundary,
+       ROUND(GREATEST(0.0, i.info - p.entr) / p.split_info, 6) AS gain_ratio
+FROM picked p JOIN node_info i USING (rid) WHERE p.rn = 1"""
+
+
+def _level_stats_sql(rid_case: str, exclude: list[tuple[int, str]]) -> str:
+    """All (rid, aid) gain ratios for one level: categorical ∪ numeric,
+    minus attributes already exhausted by each rule."""
+    ex = (
+        " WHERE "
+        + " AND ".join(f"NOT (rid = {r} AND aid = '{a}')" for r, a in exclude)
+        if exclude
+        else ""
+    )
+    return f"""
+WITH cat AS ({_cat_stats_sql(CAT_FEATS, rid_case)}),
+num AS ({_num_best_split_sql(NUM_FEATS, rid_case)})
+SELECT * FROM (
+  SELECT rid, aid, gain_ratio, CAST(NULL AS DOUBLE) AS boundary FROM cat
+  UNION ALL
+  SELECT rid, aid, gain_ratio, boundary FROM num
+){ex}"""
+
+
+def _argmax_sql(rid_case: str, exclude: list[tuple[int, str]]) -> str:
+    order = ", ".join(f"'{a}'" for a in ATTR_ORDER)
+    return f"""
+WITH lvl AS ({_level_stats_sql(rid_case, exclude)}),
+ranked AS (
+  SELECT rid, aid, gain_ratio, boundary,
+         ROW_NUMBER() OVER (
+           PARTITION BY rid
+           ORDER BY gain_ratio DESC,
+                    list_position([{order}], aid) ASC) AS rn
+  FROM lvl WHERE gain_ratio > 0
+)
+SELECT rid, aid, gain_ratio, boundary FROM ranked WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side builders
+
+
+def _frontier_level(spark: SparkSession, sf_dir: str, root: bool):
+    df = lineitem_training(spark, sf_dir)
+    if root:
+        level = df.withColumn(S.RID, F.lit(0))
+    else:
+        level = df.withColumn(S.RID, Tr._rid_column(FRONTIER)).where(
+            F.col(S.RID).isNotNull()
+        )
+    return level
+
+
+def _spark_cat_stats(level) -> DataFrame:
+    info = S.node_info(S.node_class_counts(level, LABEL))
+    cont = S.contingency(S.melt(level, CAT_FEATS, LABEL))
+    out = S.categorical_stats(cont, info)
+    return out.select(
+        S.RID,
+        S.AID,
+        F.round("info", 6).alias("info"),
+        F.round("entr", 6).alias("entr"),
+        F.round("split_info", 6).alias("split_info"),
+        F.round("gain_ratio", 6).alias("gain_ratio"),
+    )
+
+
+def _spark_num_best(level) -> DataFrame:
+    info = S.node_info(S.node_class_counts(level, LABEL))
+    cont = S.contingency(S.melt(level, NUM_FEATS, LABEL, numeric=True))
+    out = S.numeric_best_split(cont, info, CLASSES, 0.1)
+    return out.select(
+        S.RID,
+        S.AID,
+        F.round("info", 6).alias("info"),
+        F.round("entr", 6).alias("entr"),
+        F.round("split_info", 6).alias("split_info"),
+        F.col("boundary"),
+        F.round("gain_ratio", 6).alias("gain_ratio"),
+    )
+
+
+def _spark_level_stats(level, exclude: list[tuple[int, str]]) -> DataFrame:
+    cat = _spark_cat_stats(level).select(
+        S.RID,
+        S.AID,
+        "gain_ratio",
+        F.lit(None).cast("double").alias("boundary"),
+    )
+    num = _spark_num_best(level).select(S.RID, S.AID, "gain_ratio", "boundary")
+    out = cat.unionByName(num)
+    for r, a in exclude:
+        out = out.where(~((F.col(S.RID) == r) & (F.col(S.AID) == a)))
+    return out
+
+
+_EXHAUSTED = [(0, "l_linestatus"), (1, "l_linestatus")]
+
+
+# ---------------------------------------------------------------------------
+# the registry
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: QueryFn, sql: str | None = None) -> None:
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLES[name] = sql
+
+
+# -- scans / projection ------------------------------------------------------
+
+_register(
+    "scan_training",
+    lambda spark, sf: lineitem_training(spark, sf),
+    f"SELECT {', '.join(ATTR_ORDER)}, {LABEL} FROM lineitem",
+)
+
+# -- rule matching / candidate expansion ------------------------------------
+
+_register(
+    "filter_rule_match",
+    lambda spark, sf: (
+        lineitem_training(spark, sf)
+        .where(FRONTIER[0].predicate())
+        .groupBy(F.col(LABEL).alias("class"))
+        .agg(F.count("*").alias("cnt"))
+    ),
+    f"""SELECT {LABEL} AS class, COUNT(*) AS cnt FROM lineitem
+WHERE {RULE_SQL[0]} GROUP BY {LABEL}""",
+)
+
+_register(
+    "expand_candidates",
+    lambda spark, sf: S.melt(
+        _frontier_level(spark, sf, root=False).where(F.col(S.RID) == 0),
+        NUM_FEATS,
+        LABEL,
+        numeric=True,
+    ),
+    f"""SELECT rid, aid, value, class
+FROM ({_melt_sql(NUM_FEATS, RID_CASE_SQL)}) WHERE rid = 0""",
+)
+
+# -- contingency + entropy aggregates (root node) ---------------------------
+
+_register(
+    "groupby_contingency",
+    lambda spark, sf: S.contingency(
+        S.melt(_frontier_level(spark, sf, root=True), CAT_FEATS, LABEL)
+    ),
+    f"""SELECT rid, aid, value, class, COUNT(*) AS cnt
+FROM ({_melt_sql(CAT_FEATS, ROOT_CASE_SQL)})
+GROUP BY rid, aid, value, class""",
+)
+
+_register(
+    "groupby_contingency_numeric",
+    lambda spark, sf: S.contingency(
+        S.melt(
+            _frontier_level(spark, sf, root=True),
+            ["l_quantity", "l_discount", "l_tax"],
+            LABEL,
+            numeric=True,
+        )
+    ),
+    f"""SELECT rid, aid, value, class, COUNT(*) AS cnt
+FROM ({_melt_sql(['l_quantity', 'l_discount', 'l_tax'], ROOT_CASE_SQL)})
+GROUP BY rid, aid, value, class""",
+)
+
+_register(
+    "agg_entropy_info",
+    lambda spark, sf: S.node_info(
+        S.node_class_counts(_frontier_level(spark, sf, root=True), LABEL)
+    ).select(S.RID, "n", F.round("info", 6).alias("info")),
+    f"WITH {_info_cte(ROOT_CASE_SQL).lstrip()}\n"
+    "SELECT rid, n, ROUND(info, 6) AS info FROM node_info",
+)
+
+_register(
+    "agg_cond_entropy",
+    lambda spark, sf: _spark_cat_stats(
+        _frontier_level(spark, sf, root=True)
+    ).select(S.RID, S.AID, "entr"),
+    f"SELECT rid, aid, entr FROM ({_cat_stats_sql(CAT_FEATS, ROOT_CASE_SQL)})",
+)
+
+_register(
+    "agg_split_info",
+    lambda spark, sf: _spark_cat_stats(
+        _frontier_level(spark, sf, root=True)
+    ).select(S.RID, S.AID, "split_info"),
+    f"SELECT rid, aid, split_info FROM ({_cat_stats_sql(CAT_FEATS, ROOT_CASE_SQL)})",
+)
+
+_register(
+    "gain_ratio",
+    lambda spark, sf: _spark_cat_stats(_frontier_level(spark, sf, root=True)),
+    _cat_stats_sql(CAT_FEATS, ROOT_CASE_SQL),
+)
+
+_register(
+    "numeric_best_split",
+    lambda spark, sf: _spark_num_best(_frontier_level(spark, sf, root=True)),
+    _num_best_split_sql(NUM_FEATS, ROOT_CASE_SQL),
+)
+
+# -- level-scoped statistics over the fixed frontier ------------------------
+
+_register(
+    "level_stats",
+    lambda spark, sf: _spark_level_stats(
+        _frontier_level(spark, sf, root=False), _EXHAUSTED
+    ),
+    _level_stats_sql(RID_CASE_SQL, _EXHAUSTED),
+)
+
+_register(
+    "argmax_per_group",
+    lambda spark, sf: S.best_attribute(
+        _spark_level_stats(_frontier_level(spark, sf, root=False), _EXHAUSTED),
+        ATTR_ORDER,
+    ).select(S.RID, S.AID, "gain_ratio", "boundary"),
+    _argmax_sql(RID_CASE_SQL, _EXHAUSTED),
+)
+
+_register(
+    "leaf_detect",
+    lambda spark, sf: (
+        lambda level: S.leaf_detect(
+            S.node_class_counts(level, LABEL),
+            S.node_info(S.node_class_counts(level, LABEL)),
+        ).select(
+            S.RID, "n", F.round("info", 6).alias("info"), "is_leaf",
+            "majority_label",
+        )
+    )(_frontier_level(spark, sf, root=False)),
+    f"""
+WITH {_info_cte(RID_CASE_SQL).lstrip()},
+maj AS (
+  SELECT rid, class AS majority_label,
+         ROW_NUMBER() OVER (PARTITION BY rid ORDER BY cnt DESC, class ASC) AS rn
+  FROM node_cc
+)
+SELECT i.rid, i.n, ROUND(i.info, 6) AS info, i.info = 0 AS is_leaf,
+       m.majority_label
+FROM node_info i JOIN maj m ON i.rid = m.rid AND m.rn = 1""",
+)
+
+# -- sorted distinct numeric values (sort_numeric_values + dedup_boundaries)
+
+_register(
+    "sort_numeric_values",
+    lambda spark, sf: (
+        lineitem_training(spark, sf)
+        .select(F.col("l_quantity").alias("value"))
+        .distinct()
+        .select(
+            "value",
+            F.row_number().over(Window.orderBy("value")).alias("rank"),
+        )
+    ),
+    """SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY value) AS INT) AS rank
+FROM (SELECT DISTINCT l_quantity AS value FROM lineitem)""",
+)
+
+# -- tree training / prediction (iterative → rows-only check) ---------------
+
+
+def _train_model(spark: SparkSession, sf_dir: str) -> Tr.DecisionListModel:
+    df = lineitem_training(spark, sf_dir)
+    return Tr.train(df, LINEITEM_TRAINING_SCHEMA, max_depth=4, min_rows=50)
+
+
+def _c45_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = _train_model(spark, sf_dir)
+    rows = [
+        (
+            json.dumps(
+                [[c.attr, c.op, str(c.value)] for c in r.conditions]
+            ),
+            r.label,
+            r.n,
+            r.depth,
+        )
+        for r in model.rules
+    ]
+    return spark.createDataFrame(
+        rows, "conditions string, label string, n long, depth int"
+    )
+
+
+def _c45_predict_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = _train_model(spark, sf_dir)
+    pred = model.transform(lineitem_training(spark, sf_dir))
+    return pred.groupBy("prediction").agg(F.count("*").alias("cnt"))
+
+
+_register("c45_train", _c45_train_query)  # iterative: rows-only check
+_register("c45_predict", _c45_predict_query)  # iterative: rows-only check
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

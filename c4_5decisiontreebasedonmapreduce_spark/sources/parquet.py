@@ -1,0 +1,41 @@
+"""Parquet table sources for the driver's synthetic star schema.
+
+Replaces the reference's line-oriented HDFS text scan
+(`/root/reference/src/program/Main.java:200`, `MyMapper.java:28-31`) with
+columnar parquet scans: Catalyst pushes predicates and prunes columns at
+the reader, which the reference's whole-line `split("\\t+")` parse never
+could.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Lazy — no IO until an action runs."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` queries mirror
+    the DuckDB oracle's pre-registered views 1:1."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,145 @@
+"""Golden end-to-end tree test (SURVEY.md §5.2): the canonical 14-row
+weather/play-golf dataset in the reference's native format. The C4.5
+answer is hand-computable: root = outlook (max gain ratio), sunny branch
+splits on humidity, rainy branch on windy, overcast is a pure 'yes' leaf.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import c45_stats as S
+from c4_5decisiontreebasedonmapreduce_spark.operators import tree as Tr
+from c4_5decisiontreebasedonmapreduce_spark.sources.tsv import (
+    parse_attributes_lines,
+    read_training_tsv,
+)
+
+ATTR_LINES = [
+    "outlook:string:sunny,overcast,rainy",
+    "temperature:numeric",
+    "humidity:numeric",
+    "windy:string:true,false",
+    "play:yes,no",
+]
+
+ROWS = [
+    ("sunny", 85.0, 85.0, "false", "no"),
+    ("sunny", 80.0, 90.0, "true", "no"),
+    ("overcast", 83.0, 86.0, "false", "yes"),
+    ("rainy", 70.0, 96.0, "false", "yes"),
+    ("rainy", 68.0, 80.0, "false", "yes"),
+    ("rainy", 65.0, 70.0, "true", "no"),
+    ("overcast", 64.0, 65.0, "true", "yes"),
+    ("sunny", 72.0, 95.0, "false", "no"),
+    ("sunny", 69.0, 70.0, "false", "yes"),
+    ("rainy", 75.0, 80.0, "false", "yes"),
+    ("sunny", 75.0, 70.0, "true", "yes"),
+    ("overcast", 72.0, 90.0, "true", "yes"),
+    ("overcast", 81.0, 75.0, "false", "yes"),
+    ("rainy", 71.0, 91.0, "true", "no"),
+]
+
+
+@pytest.fixture(scope="module")
+def schema():
+    return parse_attributes_lines(ATTR_LINES)
+
+
+@pytest.fixture(scope="module")
+def weather(spark, schema):
+    return spark.createDataFrame(ROWS, schema.spark_schema())
+
+
+def test_attributes_file_roundtrip(tmp_path, spark, schema):
+    att = tmp_path / "weather.att"
+    att.write_text("\n".join(ATTR_LINES))
+    tsv = tmp_path / "weather.tsv"
+    tsv.write_text(
+        "\n".join("\t".join(str(v) for v in row) for row in ROWS)
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.sources.tsv import (
+        parse_attributes_file,
+    )
+
+    s2 = parse_attributes_file(att)
+    assert s2 == schema
+    df = read_training_tsv(spark, str(tsv), s2)
+    assert df.count() == 14
+    assert dict(df.dtypes)["temperature"] == "double"
+
+
+def test_root_statistics(spark, weather, schema):
+    """Hand-computed values from the classic C4.5 worked example."""
+    lv = weather.withColumn(S.RID, F.lit(0))
+    info = S.node_info(S.node_class_counts(lv, "play"))
+    n, i = info.collect()[0]["n"], info.collect()[0]["info"]
+    assert n == 14
+    assert abs(i - 0.940286) < 1e-5
+
+    cat = S.categorical_stats(
+        S.contingency(S.melt(lv, ["outlook", "windy"], "play")), info
+    ).collect()
+    by_aid = {r["aid"]: r for r in cat}
+    assert abs(by_aid["outlook"]["entr"] - 0.693536) < 1e-5
+    assert abs(by_aid["outlook"]["split_info"] - 1.577406) < 1e-5
+    assert abs(by_aid["outlook"]["gain_ratio"] - 0.156428) < 1e-5
+    assert abs(by_aid["windy"]["gain_ratio"] - 0.048849) < 1e-5
+
+    num = S.numeric_best_split(
+        S.contingency(
+            S.melt(lv, ["temperature", "humidity"], "play", numeric=True)
+        ),
+        info,
+        ["yes", "no"],
+        0.1,
+    ).collect()
+    by_aid = {r["aid"]: r for r in num}
+    assert by_aid["humidity"]["boundary"] == 80.0
+    # outlook must win the root argmax
+    stats = spark.createDataFrame(
+        [(r["rid"], r["aid"], r["gain_ratio"]) for r in cat + num],
+        "rid int, aid string, gain_ratio double",
+    )
+    best = S.best_attribute(
+        stats, ["outlook", "temperature", "humidity", "windy"]
+    ).collect()
+    assert best[0]["aid"] == "outlook"
+
+
+def test_golden_tree(spark, weather, schema):
+    model = Tr.train(weather, schema, max_depth=5)
+    paths = {
+        tuple((c.attr, c.op, str(c.value)) for c in r.conditions): r.label
+        for r in model.rules
+    }
+    assert paths[(("outlook", "==", "overcast"),)] == "yes"
+    assert (
+        paths[(("outlook", "==", "sunny"), ("humidity", "<=", "70.0"))]
+        == "yes"
+    )
+    assert (
+        paths[(("outlook", "==", "sunny"), ("humidity", ">", "70.0"))] == "no"
+    )
+    assert (
+        paths[(("outlook", "==", "rainy"), ("windy", "==", "true"))] == "no"
+    )
+    assert (
+        paths[(("outlook", "==", "rainy"), ("windy", "==", "false"))] == "yes"
+    )
+    assert Tr.accuracy(model, weather, "play") == 1.0
+
+
+def test_predict_partition_invariant(spark, weather, schema):
+    """Leaves partition the space: every row gets exactly one prediction."""
+    model = Tr.train(weather, schema, max_depth=5)
+    pred = model.transform(weather)
+    assert pred.where(F.col("prediction").isNull()).count() == 0
+    # matching-rule count per row is exactly 1
+    match_count = sum(
+        (F.when(r.predicate(), 1).otherwise(0) for r in model.rules),
+        F.lit(0),
+    )
+    counts = (
+        weather.withColumn("m", match_count).groupBy("m").count().collect()
+    )
+    assert [(r["m"], r["count"]) for r in counts] == [(1, 14)]
