@@ -1,0 +1,578 @@
+"""Relational operator surface over the driver's star schema.
+
+The reference has no true joins, windows, or set ops (SURVEY.md §2.B) —
+its only join-like construct is the broadcast rule×data matching
+(`/root/reference/src/program/MyMapper.java:33-50`). This module supplies
+the full relational capability a user of a query engine expects, each op
+expressed so Catalyst picks the scalable physical plan:
+
+- equi joins shuffle on keys (sort-merge) or broadcast when a side is
+  small (`F.broadcast` hints on dims);
+- the range join keeps an equality component so it stays a sort-merge
+  join with a residual filter, never a cartesian;
+- the as-of join is a union + ordered-window pass (one shuffle+sort, no
+  per-row UDF) — the standard scalable formulation Spark lacks natively;
+- aggregates over doubles go through DECIMAL so results are
+  order-of-summation independent (bit-exact vs any other engine), then
+  surface as DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
+
+
+def _dsum(col: Column, scale: str = "decimal(18,2)") -> Column:
+    """Order-independent sum of a double column: cast to decimal, sum
+    exactly, surface as double (rounded: decimal→double conversion may
+    differ by 1 ulp across engines)."""
+    return F.round(F.sum(col.cast(scale)).cast("double"), 2)
+
+
+# ---------------------------------------------------------------------------
+# aggregation / scan benchmarks
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan→filter→groupBy→8-agg pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1.0).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)"))
+    )
+    charge = disc_price * (
+        F.lit(1.0).cast("decimal(8,6)") + F.col("l_tax").cast("decimal(8,6)")
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*"), 6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count("*"), 6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count("*"), 6,
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1.0 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 2)
+      AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1.0 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                AS DECIMAL(25,8))
+           * (CAST(1.0 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))) AS DOUBLE), 2)
+      AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way equi join + agg + deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .where(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+      AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# join family
+
+
+def join_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⨝ small dim: explicit broadcast of `part` avoids shuffling the
+    lineitem side entirely — the 100 TB-critical join strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = """
+SELECT p_brand,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand"""
+
+
+def join_semi_nations_with_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return n.join(
+        c, F.col("n_nationkey") == F.col("c_nationkey"), "left_semi"
+    ).select("n_nationkey", "n_name")
+
+
+JOIN_SEMI_SQL = """
+SELECT n_nationkey, n_name FROM nation
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)"""
+
+
+def join_anti_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return p.join(
+        li, F.col("p_partkey") == F.col("l_partkey"), "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+JOIN_ANTI_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"""
+
+
+def join_range_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join with an equality component: stays a sort-merge
+    join on the key with a residual range filter (never a cartesian)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped_90d"))
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT o_orderkey, COUNT(*) AS n_shipped_90d
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderkey"""
+
+
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each 'purchase' event,
+    the latest 'view' event of the same user at-or-before its timestamp.
+
+    Scalable formulation: tag both sides, union, one window sorted by
+    (ts, side) per user, carry the last right-side payload forward with
+    ``last(..., ignorenulls)``. One shuffle + one sort, no UDF, no
+    broadcast requirement — works at any cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("r_event_id"),
+        F.lit(None).cast("double").alias("r_value"),
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("is_left"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", "r_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("view_event_id", F.last("r_event_id", ignorenulls=True).over(w))
+        .withColumn("view_value", F.last("r_value", ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+        .select("purchase_id", "user_id", "ts", "view_event_id", "view_value")
+    )
+
+
+ASOF_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+       v.event_id AS view_event_id, v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts"""
+
+
+# ---------------------------------------------------------------------------
+# windows / sorts / grouping sets / set ops
+
+
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price (deterministic ties)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders)
+WHERE rank <= 3"""
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative customer spend over time — ordered running aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double"),
+            2,
+        ).alias("running_spend"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend
+FROM orders"""
+
+
+def sort_limit_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(20)
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20"""
+
+
+def rollup_region_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    joined = r.join(
+        n, F.col("r_regionkey") == F.col("n_regionkey")
+    ).join(c, F.col("n_nationkey") == F.col("c_nationkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        _dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name,
+  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_acctbal,
+  COUNT(*) AS n_customers
+FROM region
+JOIN nation   ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+GROUP BY ROLLUP(r_name, n_name)"""
+
+
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
+
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY o_orderpriority"""
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nationkey")  # noqa: E731
+    return (
+        tag(c.intersect(s), "intersect")
+        .unionByName(tag(c.subtract(s), "except"))
+        .unionByName(tag(c.union(s).distinct(), "union"))
+    )
+
+
+SET_OPS_SQL = """
+SELECT 'intersect' AS op, nationkey FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT SELECT s_nationkey FROM supplier) t1
+UNION ALL
+SELECT 'except', nationkey FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   EXCEPT SELECT s_nationkey FROM supplier) t2
+UNION ALL
+SELECT 'union', nationkey FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   UNION SELECT s_nationkey FROM supplier) t3"""
+
+
+# ---------------------------------------------------------------------------
+# scalar function coverage
+
+
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.size(F.split(F.col("p_name"), " ")).alias("n_words"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").startswith("red").alias("is_red"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("no_vowels"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+  UPPER(p_name) AS name_upper,
+  CAST(LENGTH(p_name) AS INT) AS name_len,
+  CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INT) AS n_words,
+  SUBSTRING(p_type, 1, 5) AS type_prefix,
+  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+  STARTS_WITH(p_name, 'red') AS is_red,
+  REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels
+FROM part"""
+
+
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(
+            F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")
+        ).alias("days_to_y2k"),
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  o_orderdate + INTERVAL 30 DAY AS due_ts,
+  CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT)
+      AS days_to_y2k
+FROM orders"""
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch; streaming twins in streaming/)
+
+
+def event_windows_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENT_TUMBLING_SQL = """
+SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def event_windows_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes: each event lands in 4."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+EVENT_SLIDING_SQL = """
+SELECT window_start, COUNT(*) AS n_events FROM (
+  SELECT TIME_BUCKET(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+           AS window_start
+  FROM events, UNNEST([0, 1, 2, 3]) AS t(k))
+GROUP BY window_start"""
+
+
+def sessionize_events(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Sessionization via lag + cumulative flag — the batch formulation of
+    a session window (streaming twin uses session_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+            > gap_us,
+            1,
+        )
+        .otherwise(
+            F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        )
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("is_new").over(w2))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+         WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 30 * 60 * 1000000 THEN 1
+         ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id"""

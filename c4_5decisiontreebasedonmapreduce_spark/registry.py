@@ -504,6 +504,33 @@ _register("c45_train", _c45_train_query)  # iterative: rows-only check
 _register("c45_predict", _c45_predict_query)  # iterative: rows-only check
 
 
+# -- relational surface (SURVEY.md §2.B engine plan) ------------------------
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import relational as R  # noqa: E402
+
+_register("q1_pricing_summary", R.q1_pricing_summary, R.Q1_SQL)
+_register("q3_shipping_priority", R.q3_shipping_priority, R.Q3_SQL)
+_register(
+    "join_broadcast", R.join_broadcast_brand_revenue, R.JOIN_BROADCAST_SQL
+)
+_register("join_semi", R.join_semi_nations_with_customers, R.JOIN_SEMI_SQL)
+_register("join_anti", R.join_anti_parts_never_ordered, R.JOIN_ANTI_SQL)
+_register("join_range", R.join_range_shipments, R.JOIN_RANGE_SQL)
+_register("asof_join", R.asof_join_purchase_view, R.ASOF_SQL)
+_register("window_topk", R.window_topk_orders, R.WINDOW_TOPK_SQL)
+_register("window_running", R.window_running_revenue, R.WINDOW_RUNNING_SQL)
+_register("sort_limit", R.sort_limit_lineitems, R.SORT_LIMIT_SQL)
+_register("agg_rollup", R.rollup_region_nation_acctbal, R.ROLLUP_SQL)
+_register("agg_cube", R.cube_order_counts, R.CUBE_SQL)
+_register("pivot", R.pivot_orders_status, R.PIVOT_SQL)
+_register("set_ops", R.set_ops_nations, R.SET_OPS_SQL)
+_register("string_funcs", R.string_funcs_part, R.STRING_FUNCS_SQL)
+_register("date_funcs", R.date_funcs_orders, R.DATE_FUNCS_SQL)
+_register("event_windows_tumbling", R.event_windows_tumbling, R.EVENT_TUMBLING_SQL)
+_register("event_windows_sliding", R.event_windows_sliding, R.EVENT_SLIDING_SQL)
+_register("sessionize", R.sessionize_events, R.SESSIONIZE_SQL)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

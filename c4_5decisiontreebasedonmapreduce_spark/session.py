@@ -24,6 +24,9 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # driver testdata stores event timestamps as parquet TIMESTAMP(NANOS),
+    # which Spark's reader rejects; read as long and convert (sources/parquet.py)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # 128 MB parquet split targets: the right granularity both locally and
     # on a 1000-executor cluster (Spark's own default; restated for clarity).
     "spark.sql.files.maxPartitionBytes": "134217728",

@@ -10,6 +10,7 @@ could.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -26,8 +27,20 @@ TABLES: tuple[str, ...] = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one driver table. Lazy — no IO until an action runs."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan one driver table. Lazy — no IO until an action runs.
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as nanosecond
+    longs, converted here to a microsecond timestamp (the data is
+    micro-aligned, so the integer division is exact and matches DuckDB's
+    reading bit-for-bit).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
