@@ -1,0 +1,448 @@
+"""Deduplication operators over `documents` and `embeddings`.
+
+The extension surface a 100 TB training-data pipeline needs (SURVEY.md
+§2.C): exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and
+embedding-cosine near-dup. Scale design:
+
+- every candidate-pair generator goes through an equi-join on a shared
+  key (shingle, LSH band signature, simhash bucket) — never an O(n²)
+  cross join on the corpus;
+- hashing is the MD5-based portable family (functions/hashing.py) so
+  DuckDB oracles replicate signatures bit-for-bit;
+- Jaccard arithmetic is integer-count based (exact in both engines);
+  cosine goes through DECIMAL dot products of 6-decimal-rounded
+  components, making the result order-of-summation independent.
+
+All pure Column expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+    TOKEN_SPLIT_RE,
+    tokens_col,
+)
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
+
+SHINGLE_K = 3  # word n-gram width
+JACCARD_THRESHOLD = 0.5  # the sf data has a clean gap: dups ≥0.9, noise ≤0.07
+MINHASH_SEEDS = 32
+MINHASH_BAND_ROWS = 4  # 8 bands × 4 rows
+SIMHASH_BITS = 60  # full width of the portable 60-bit MD5 hash
+SIMHASH_BANDS = 4  # 4 bands x 15 bits: the Manku-style block-permute join
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 8
+COSINE_THRESHOLD = 0.45
+
+
+def shingles_col(text: Column) -> Column:
+    """Distinct word-trigram shingles of a document."""
+    toks = tokens_col(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, SHINGLE_K), " "),
+        )
+    )
+
+
+def _shingles_sql() -> str:
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '{TOKEN_SPLIT_RE}'),"
+        " t -> t <> '')"
+    )
+    return f"""
+sh AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN({toks}) - {SHINGLE_K - 1}, 0)),
+           i -> ARRAY_TO_STRING(LIST_SLICE({toks}, i, i + {SHINGLE_K - 1}), ' '))))
+         AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)"""
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    )
+
+
+def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Shingle-sharing candidate pairs → exact Jaccard ≥ threshold.
+    The join key is the shingle, so only documents that share content
+    ever meet — the corpus is never cross-joined."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one survivor (min doc_id) per
+    distinct content hash — `dropDuplicates` semantics made explicit so
+    the survivor choice is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count("*") - 1).alias("n_dupes"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) - 1 AS n_dupes
+FROM documents GROUP BY 1"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-trigram Jaccard (shingle-join)."""
+    return _jaccard_pairs(_shingles_df(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+_JACCARD_TAIL_SQL = f"""
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}"""
+
+DEDUP_NGRAM_SQL = f"WITH {_shingles_sql().lstrip()},\n{_JACCARD_TAIL_SQL}"
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: 32 portable hash functions, 8 bands × 4
+    rows; documents colliding on any band signature become candidates,
+    then exact Jaccard verifies. The band join replaces the all-pairs
+    comparison — the piece that makes near-dedup feasible at 100 TB
+    (candidates scale with collisions, not corpus²)."""
+    sh = _shingles_df(spark, sf_dir)
+    seeds = sh.sparkSession.range(MINHASH_SEEDS).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            md5_long(
+                F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", F.expr(f"seed div {MINHASH_BAND_ROWS}").cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = _jaccard_pairs(sh, JACCARD_THRESHOLD).join(
+        cand, ["doc_a", "doc_b"], "inner"
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+_MH_HASH = md5_long_sql(f"CONCAT(CAST(seed AS VARCHAR), '|', shingle)")
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_shingles_sql().lstrip()},
+seeds AS (SELECT UNNEST(GENERATE_SERIES(0, {MINHASH_SEEDS - 1})) AS seed),
+mh AS (
+  SELECT doc_id, seed, MIN({_MH_HASH}) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {MINHASH_BAND_ROWS} AS band,
+         STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, seed // {MINHASH_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN cand USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}"""
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash over distinct tokens: per bit, +1/-1 votes from
+    each token hash; the signature packs the positive-vote bits."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("token")
+    ).withColumn("h", md5_long(F.col("token")))
+    bits = tok.sparkSession.range(SIMHASH_BITS).select(
+        F.col("id").cast("int").alias("bit")
+    )
+    votes = (
+        tok.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "vote",
+            F.when(
+                F.expr("(h >> bit) & 1") == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(LIST_FILTER(
+           REGEXP_SPLIT_TO_ARRAY(LOWER(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')))
+         AS token
+  FROM documents
+),
+hashed AS (SELECT doc_id, {md5_long_sql('token')} AS h FROM tok),
+bits AS (SELECT UNNEST(GENERATE_SERIES(0, {SIMHASH_BITS - 1})) AS bit),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed CROSS JOIN bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 8 over 60 bits.
+
+    Candidate pairs come from an equi-join on 15-bit signature bands
+    (Manku et al., WWW'07 block-permute scheme): a pair at distance d
+    collides on some band whenever one band is flip-free — guaranteed
+    for d < SIMHASH_BANDS, probabilistic above. Never an all-pairs
+    cross join; the bucket join is what survives 100 TB (band key →
+    shuffle-partitioned equi-join, candidates ∝ collisions)."""
+    sig = simhash_signatures(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.expr(f"(simhash >> {i * SIMHASH_BAND_BITS}) & {mask}").alias(
+                f"b{i}"
+            )
+            for i in range(SIMHASH_BANDS)
+        ],
+    )
+    cand = None
+    for i in range(SIMHASH_BANDS):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("sig_a"),
+            F.col(f"b{i}").alias("bucket"),
+        )
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("sig_b"),
+            F.col(f"b{i}").alias("bucket"),
+        )
+        p = a.join(b, "bucket").where(F.col("doc_a") < F.col("doc_b")).drop(
+            "bucket"
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    return (
+        cand.distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.expr("sig_a ^ sig_b")).cast("int")
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+_BAND_JOINS_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT a.doc_id doc_a, b.doc_id doc_b, a.simhash sig_a, b.simhash sig_b
+    FROM sig a JOIN sig b
+      ON (a.simhash >> {i * SIMHASH_BAND_BITS}) & {_BAND_MASK}
+         = (b.simhash >> {i * SIMHASH_BAND_BITS}) & {_BAND_MASK}
+     AND a.doc_id < b.doc_id"""
+    for i in range(SIMHASH_BANDS)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH sig AS ({SIMHASH_SQL.strip()}),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM (
+{_BAND_JOINS_SQL}
+  )
+)
+SELECT doc_a, doc_b, CAST(BIT_COUNT(XOR(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE BIT_COUNT(XOR(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (decimal-exact dot products)
+
+
+def _emb_decimal(col: Column) -> Column:
+    """Embedding components rounded to 6 decimals as DECIMAL(10,6):
+    makes every downstream dot product exact and order-independent."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double"), 6).cast("decimal(10,6)")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    # components are in [-1, 1] so the 64-term dot fits decimal(16,12);
+    # the cast-back keeps the accumulator type exact (Spark's decimal
+    # addition would otherwise widen past the cap and drop a digit)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("decimal(16,12)"),
+        lambda acc, v: (acc + v).cast("decimal(16,12)"),
+    )
+
+
+def embeddings_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dec = _emb_decimal(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        dec.alias("emb"),
+        F.sqrt(_dot(dec, dec).cast("double")).alias("norm"),
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45). Exact all-pairs at
+    test scale; the scale path is the IVF variant in similarity.py which
+    prunes via centroid buckets first."""
+    e = embeddings_with_norm(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")).cast("double")
+        / (F.col("norm_a") * F.col("norm_b")),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+_EMB_ELEMS_SQL = """
+elems AS (
+  SELECT vec_id,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE), 6) AS DECIMAL(10,6)) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS norm
+  FROM elems GROUP BY vec_id
+)"""
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH {_EMB_ELEMS_SQL.strip()},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE ROUND(dot / (na.norm * nb.norm), 6) >= {COSINE_THRESHOLD}"""

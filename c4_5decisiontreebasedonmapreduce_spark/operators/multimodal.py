@@ -1,0 +1,116 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with a
+metadata struct; decode/feature-extraction run as Arrow-batched
+`mapInPandas` stages so bytes never round-trip through Python row by row.
+The decode step itself is STUBBED (no imaging/audio libs in this
+container): `decode_stub=True` derives deterministic fake
+width/height/duration from a content hash, keeping the Spark-side
+plumbing — schema, batch iteration, partitioning — real and tested;
+swapping in PIL/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap document text as an opaque binary payload with typed
+    metadata — the schema every multimodal asset carries through the
+    engine (payload stays a black box to all relational ops)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.lit("text/plain").alias("mime"),
+        F.length(payload).cast("int").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+       MD5(text) AS payload_md5
+FROM documents"""
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image/video decoder. A real decoder
+    (PIL.Image.open / av.open) drops in here; everything around it —
+    Arrow batching, schema, partition mapping — is production-shaped."""
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    n_frames = 1 + h[2] % 8
+    return width, height, n_frames
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: input needs (doc_id, mime, payload
+    binary); emits per-asset decoded metadata. Arrow moves whole batches;
+    Python touches each payload once."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                }
+            )
+
+    return assets.mapInPandas(run, DECODED_SCHEMA)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: build binary assets from documents, run the
+    (stubbed) decode stage."""
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        F.lit("image/fake").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return decode_assets(assets)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: explode decoded assets into frame rows,
+    keep every n-th frame. Pure Column ops over the decode output."""
+    return (
+        decoded.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_idx"),
+        )
+        .where(F.col("frame_idx") % every_n == 0)
+    )

@@ -1,0 +1,242 @@
+"""Text-analysis operators over the `documents` table.
+
+The LLM-data-pipeline extension surface (SURVEY.md §2.C): tokenization,
+document statistics + quality scoring, heuristic language ID, TF-IDF, and
+content fingerprinting. Everything is built from JVM-side Column
+expressions (no Python UDFs in any hot path) so the plans stay inside
+whole-stage codegen and scale linearly with a groupBy/explode shuffle at
+most.
+
+Shared tokenization convention (Spark and the DuckDB oracles use the
+exact same definition): lowercase, split on runs of non-alphanumerics,
+drop empty tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# tiny embedded English stopword list for the language/quality heuristics
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "as", "by", "at", "it",
+]
+
+
+def tokens_col(text: Column) -> Column:
+    """Array of tokens under the shared convention."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def _tokens_sql(expr: str) -> str:
+    return (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER({expr}), '{TOKEN_SPLIT_RE}'),"
+        " t -> t <> '')"
+    )
+
+
+def tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode documents to (doc_id, token) rows — the basis for
+    inverted-index / shingle / TF-IDF pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+
+
+TOKENIZE_SQL = f"""
+SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token FROM documents"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics + quality score: token counts (whitespace
+    and regex tokenizations), character ratios, stopword ratio, and a
+    deterministic composite quality score in [0, 1]."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    n_ws = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    )
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[.,;:!?'\"()-]", "")
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    avg_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * F.greatest(F.lit(1.0) - punct_ratio * 10, F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        n_chars.cast("int").alias("n_chars"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_tokens_sql('text')} AS toks,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> t <> '') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         LEN(toks) AS n_tokens,
+         LEN(ws) AS n_ws_tokens,
+         CAST(LENGTH(text) AS INT) AS n_chars,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?''"()-]', '', 'g'))
+             AS n_punct,
+         LEN(LIST_FILTER(toks, t -> LIST_CONTAINS({_STOP_LIST_SQL}, t)))
+             AS n_stop,
+         CASE WHEN LEN(toks) > 0
+              THEN CAST(LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) AS DOUBLE)
+                   / LEN(toks)
+              ELSE 0.0 END AS avg_tok
+  FROM base
+)
+SELECT doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  CAST(n_ws_tokens AS INT) AS n_ws_tokens,
+  n_chars,
+  ROUND(avg_tok, 6) AS avg_token_len,
+  ROUND(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6)
+      AS punct_ratio,
+  ROUND(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 6)
+      AS stopword_ratio,
+  ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
+      + 0.3 * LEAST(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE)
+                         ELSE 0.0 END * 5, 1.0)
+      + 0.2 * GREATEST(1.0 - CASE WHEN n_chars > 0
+                                  THEN n_punct / CAST(n_chars AS DOUBLE)
+                                  ELSE 0.0 END * 10, 0.0), 6)
+      AS quality_score
+FROM m"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: ASCII-pure text with enough English
+    stopwords → 'en', else 'und'. (Byte length == char length detects
+    ASCII purity without locale-sensitive regexes.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    is_ascii = F.octet_length("text") == F.length("text")
+    pred = F.when(
+        is_ascii & (n_tokens > 0) & (n_stop / n_tokens >= 0.05), "en"
+    ).otherwise("und")
+    return d.select(
+        "doc_id", pred.alias("lang_pred"), F.col("lang").alias("lang_actual")
+    )
+
+
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {_tokens_sql('text')} AS toks,
+         OCTET_LENGTH(ENCODE(text)) = LENGTH(text) AS is_ascii
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN is_ascii AND LEN(toks) > 0
+            AND LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOP_LIST_SQL}, x)))
+                / CAST(LEN(toks) AS DOUBLE) >= 0.05
+       THEN 'en' ELSE 'und' END AS lang_pred,
+  lang AS lang_actual
+FROM t"""
+
+
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (doc, token) TF-IDF relation: tf raw count, smoothed idf
+    ``ln((1+N)/(1+df)) + 1``. One explode + two hash aggregates + a
+    broadcast of the single-row corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+  ROUND(tf.tf * (LN((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)) + 1), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: MD5 of whitespace-normalized lowercased text
+    (exact-dup key) plus a 60-bit integer rolling-hash-style variant."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long,
+    )
+
+    return d.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        md5_long(normalized).alias("fingerprint_int"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id, MD5(norm) AS fingerprint,
+       CAST(CONCAT('0x', SUBSTR(MD5(norm), 1, 15)) AS BIGINT) AS fingerprint_int
+FROM n"""

@@ -531,6 +531,40 @@ _register("event_windows_sliding", R.event_windows_sliding, R.EVENT_SLIDING_SQL)
 _register("sessionize", R.sessionize_events, R.SESSIONIZE_SQL)
 
 
+# -- LLM-pipeline extensions (SURVEY.md §2.C) --------------------------------
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import multimodal as M  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import similarity as SIM  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX  # noqa: E402
+
+_register("tokenize", TX.tokenize, TX.TOKENIZE_SQL)
+_register("text_stats", TX.text_stats, TX.TEXT_STATS_SQL)
+_register("lang_id", TX.lang_id, TX.LANG_ID_SQL)
+_register("tfidf", TX.tfidf, TX.TFIDF_SQL)
+_register("doc_fingerprint", TX.doc_fingerprint, TX.DOC_FINGERPRINT_SQL)
+
+_register("dedup_exact", D.dedup_exact, D.DEDUP_EXACT_SQL)
+_register("dedup_ngram_jaccard", D.dedup_ngram_jaccard, D.DEDUP_NGRAM_SQL)
+_register("dedup_minhash", D.dedup_minhash, D.DEDUP_MINHASH_SQL)
+_register("dedup_simhash", D.dedup_simhash, D.DEDUP_SIMHASH_SQL)
+_register("dedup_embedding", D.dedup_embedding, D.DEDUP_EMBEDDING_SQL)
+
+_register("similarity_topk", SIM.similarity_topk, SIM.SIMILARITY_TOPK_SQL)
+_register("similarity_ann_ivf", SIM.similarity_ann_ivf)  # approx: rows-only
+
+_register("multimodal_meta", M.multimodal_meta, M.MULTIMODAL_META_SQL)
+_register("multimodal_decode", M.multimodal_decode)  # pandas-UDF stage: rows-only
+
+
+# -- streaming twins --------------------------------------------------------
+
+from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW  # noqa: E402
+
+_register("streaming_tumbling", SW.streaming_tumbling, R.EVENT_TUMBLING_SQL)
+_register("session_window_agg", SW.session_window_agg, SW.SESSION_WINDOW_SQL)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -1,0 +1,127 @@
+"""Structured Streaming twins of the batch event-window operators.
+
+The reference is strictly batch (its level loop is driver-side iteration,
+`/root/reference/src/program/Main.java:59-123`); streaming is part of the
+engine-extension surface. The same windowed aggregations run as
+`readStream → groupBy(window) → writeStream`, here driven synchronously
+over the parquet test tables with a memory sink so results are comparable
+to the batch/DuckDB oracle. In production the source line changes to
+Kafka and the sink to a real table — the aggregation plan is identical.
+
+Watermarks: the synchronous smoke path uses complete output mode (no
+watermark needed, all windows retained). `tumbling_counts_stream` with
+``watermark=`` shows the bounded-state variant used on unbounded sources:
+state for windows older than the watermark is dropped, late events beyond
+it are discarded.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source requires a *directory*; expose the single
+    # parquet file through a scratch dir symlink (zero-copy)
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def streaming_tumbling(
+    spark: SparkSession, sf_dir: str, watermark: str | None = None
+) -> DataFrame:
+    """1-hour tumbling count/sum per event_type as a streaming query,
+    drained synchronously; returns the final result table (matches the
+    batch `event_windows_tumbling` oracle exactly)."""
+    ev = _events_stream(spark, sf_dir)
+    if watermark:
+        ev = ev.withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def session_window_agg(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (gap-merged) — the built-in equivalent of
+    the lag-based `sessionize` operator; works identically in batch and
+    streaming groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+         WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 30 * 60 * 1000000 THEN 1
+         ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id"""

@@ -1,0 +1,98 @@
+"""Property tests for the LLM-pipeline extension operators (SURVEY.md §5.4):
+LSH recall vs exact results, dedup idempotence-style invariants, multimodal
+plumbing, and the approximate-ANN quality bound."""
+
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+from c4_5decisiontreebasedonmapreduce_spark.operators import multimodal as M
+from c4_5decisiontreebasedonmapreduce_spark.operators import similarity as S
+
+
+def test_minhash_finds_seeded_near_dups(spark, sf_small):
+    """The sf data seeds near-dup pairs at jaccard >= 0.9; MinHash-LSH at
+    8 bands x 4 rows must recover (essentially) all of them, and every
+    pair it reports must also be an exact-jaccard pair."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_ngram_jaccard(spark, sf_small).collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_minhash(spark, sf_small).collect()
+    }
+    assert mh <= exact  # LSH verifies with the same exact jaccard
+    high = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_ngram_jaccard(spark, sf_small)
+        .where(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    # recall on the seeded >=0.9 pairs should be essentially total
+    assert len(mh & high) >= 0.9 * len(high) > 0
+
+
+def test_simhash_flags_near_dups(spark, sf_small):
+    """Seeded near-dups have nearly identical token sets → tiny Hamming
+    distance; random pairs sit near 16/32 and must not appear."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_ngram_jaccard(spark, sf_small).collect()
+    }
+    sh = D.dedup_simhash(spark, sf_small).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in sh}
+    assert len(pairs & exact) >= 0.8 * len(exact) > 0
+    for r in sh:
+        assert r["hamming"] <= D.SIMHASH_MAX_HAMMING
+
+
+def test_dedup_exact_survivors_unique(spark, sf_small):
+    out = D.dedup_exact(spark, sf_small)
+    n_docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    assert out.select("keep_doc_id").distinct().count() == out.count()
+    assert out.agg(F.sum(F.col("n_dupes") + 1)).collect()[0][0] == n_docs
+
+
+def test_ivf_recall_against_brute_force(spark, sf_small):
+    """IVF with 2 probes must recover most of the exact top-5 neighbors
+    (recall@5 >= 0.6 on this data) — the accuracy/cost tradeoff of the
+    scale path, quantified."""
+    exact = S.similarity_topk(spark, sf_small).collect()
+    approx = S.similarity_ann_ivf(spark, sf_small).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.6, f"recall@5 {hits}/{total}"
+
+
+def test_similarity_topk_shape(spark, sf_small):
+    out = S.similarity_topk(spark, sf_small)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == S.N_QUERIES
+    for q, rs in per_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, S.TOP_K + 1))
+        scores = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_multimodal_decode_plumbing(spark, sf_small):
+    """The stubbed decoder must be deterministic, batch-driven, and
+    produce the declared schema; frame sampling explodes off it."""
+    out = M.multimodal_decode(spark, sf_small)
+    assert out.schema == M.DECODED_SCHEMA
+    a = {r["doc_id"]: (r["width"], r["height"], r["n_frames"]) for r in out.collect()}
+    b = {r["doc_id"]: (r["width"], r["height"], r["n_frames"]) for r in out.collect()}
+    assert a == b and len(a) > 0
+    frames = M.frame_sample(out, every_n=2)
+    fr = frames.groupBy("doc_id").count().collect()
+    for r in fr:
+        n_frames = a[r["doc_id"]][2]
+        assert r["count"] == (n_frames + 1) // 2
