@@ -75,6 +75,53 @@ def melt(
     return stacked.where(F.col(VALUE).isNotNull())
 
 
+CC_AID = "__cc__"  # synthetic melt attribute carrying the class histogram
+
+
+def melt_mixed(
+    df: DataFrame,
+    cat_names: list[str],
+    num_names: list[str],
+    label: str,
+    rid_col: str = RID,
+) -> DataFrame:
+    """Single-pass unpivot of categorical AND numeric features to
+    ``(rid, aid, value_s, value_d, class)``, plus one synthetic
+    ``__cc__`` row per input row so the per-node class histogram rides
+    the same shuffle.
+
+    This is the one-job-per-level shape of the reference
+    (`Main.java:59-123`) with the combiner it never had: the training
+    pass per tree level becomes ONE map-side-combined exchange whose
+    grouped output feeds class histograms, categorical gain ratios and
+    numeric best-splits (via ReuseExchange — the three consumers share
+    the identical child plan)."""
+    entries = [f"'{CC_AID}', cast(null as string), cast(null as double)"]
+    for a in cat_names:
+        entries.append(f"'{a}', cast(`{a}` as string), cast(null as double)")
+    for a in num_names:
+        entries.append(f"'{a}', cast(null as string), cast(`{a}` as double)")
+    stacked = df.selectExpr(
+        f"`{rid_col}` as {RID}",
+        f"stack({len(entries)}, {', '.join(entries)})"
+        " as (aid, value_s, value_d)",
+        f"`{label}` as {CLASS}",
+    )
+    return stacked.where(
+        (F.col(AID) == CC_AID)
+        | F.col("value_s").isNotNull()
+        | F.col("value_d").isNotNull()
+    )
+
+
+def mixed_contingency(melted: DataFrame) -> DataFrame:
+    """(rid, aid, value_s, value_d, class) → counts; the level's single
+    data-sized aggregation."""
+    return melted.groupBy(RID, AID, "value_s", "value_d", CLASS).agg(
+        F.count("*").alias(CNT)
+    )
+
+
 def contingency(melted: DataFrame) -> DataFrame:
     """(rid, aid, value, class) → counts. The reference builds these with
     linear-scan lookups per reduce group (`MyReducer.java:51-92`); here it

@@ -169,6 +169,54 @@ def _rid_column(frontier: list[Rule]) -> Column:
     return expr
 
 
+def _quantile_edges(
+    df: DataFrame, num_names: list[str], max_bins: int
+) -> dict[str, list[float]]:
+    """Per-attribute candidate boundaries: ≤ max_bins+1 approximate
+    quantiles. Like MLlib's findSplits the pass runs on a bounded sample
+    of big inputs — candidates only need to be representative, the stats
+    computed AT the surviving candidates stay exact."""
+    if not num_names:
+        return {}
+    probs = [i / max_bins for i in range(max_bins + 1)]
+    sample = df.select(*num_names)
+    n = sample.count()
+    target = 100 * max_bins
+    if n > 4 * target:
+        sample = sample.sample(fraction=target / n, seed=42)
+    all_edges = sample.approxQuantile(num_names, probs, 1.0 / (4 * max_bins))
+    return {
+        a: sorted({float(e) for e in edges})
+        for a, edges in zip(num_names, all_edges)
+    }
+
+
+def _snap_numeric(
+    df: DataFrame, edges_by_attr: dict[str, list[float]]
+) -> DataFrame:
+    """Quantile-bin numeric attributes to the given split candidates —
+    the MLlib-style move that keeps per-level statistics bounded when a
+    column is near-all-distinct (the reference instead buffers and scans
+    every distinct value in reducer RAM, `MyReducer.java:112-205`).
+
+    Every value is snapped UP to the smallest quantile edge ≥ it. Because
+    edges are actual data values and ``v <= e  ⟺  snap(v) <= e`` for any
+    edge ``e``, cumulative class counts at every surviving candidate
+    boundary stay *exact* — binning only restricts the candidate set, it
+    never distorts a candidate's entropy. At 100 TB this is what bounds
+    the shuffle: ≤ max_bins rows per (node, attribute) regardless of data
+    volume."""
+    for a, uniq in edges_by_attr.items():
+        arr = F.lit(uniq)  # one array literal, not max_bins scalar literals
+        snapped = F.array_min(F.filter(arr, lambda e: e >= F.col(a)))
+        # values above the top edge (possible only through quantile error)
+        # keep their own value so ordering semantics never break
+        df = df.withColumn(
+            a, F.coalesce(snapped, F.col(a)).cast(dict(df.dtypes)[a])
+        )
+    return df
+
+
 def train(
     df: DataFrame,
     schema: TrainingSchema,
@@ -176,12 +224,14 @@ def train(
     min_ratio: float = 0.1,
     min_rows: int = 2,
     cache: bool = True,
+    max_bins: int = 256,
 ) -> DecisionListModel:
     """Grow a C4.5 tree level-synchronously; return the decision list.
 
-    One pass over the (cached) data per level, statistics in ≤3 exchanges:
-    melt→contingency groupBy, the numeric window, and the per-node class
-    histogram. All collected results are ≤ |frontier|×|attrs| rows.
+    One Spark action and ONE data-sized exchange per level: the mixed
+    melt + grouped count; class histograms, categorical gain ratios and
+    numeric best-splits are all derived from that contingency. Collected
+    results are ≤ |frontier|×|attrs| rows per level.
     """
     attr_order = [a.name for a in schema.features]
     cat_names = [a.name for a in schema.categorical]
@@ -189,129 +239,235 @@ def train(
     cat_domains = {a.name: list(a.domain) for a in schema.categorical}
     label_domain = list(schema.label_domain)
 
+    spark = df.sparkSession
     base = df.select(*attr_order, schema.label)
+    # candidate edges from the raw scan (pre-repartition: the quantile
+    # pass and row count must not drag a shuffle through re-execution)
+    edges = _quantile_edges(base, num_names, max_bins)
     if cache:
-        base = base.cache()
+        # a small parquet scan may yield very few partitions; every
+        # per-level pass would then run on that many cores — spread the
+        # (to-be-checkpointed) table across the cluster once
+        par = spark.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par)
+    base = _snap_numeric(base, edges)
+
+    # per-level shuffles carry combined counts (≤ nodes×attrs×bins rows);
+    # a handful of reduce partitions beats the session default — AQE
+    # coalesces eventually, but the static setting skips the extra
+    # scheduling rounds on these tiny exchanges. Restored on exit.
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key)
 
     model = DecisionListModel(rules=[], label_col=schema.label)
     frontier: list[Rule] = [Rule()]  # root: empty conjunction
 
+    # node-id as a MATERIALIZED column updated incrementally per level
+    # (MLlib's NodeIdCache pattern): each level's plan carries only that
+    # level's split conditions instead of every root-to-frontier
+    # conjunction — a flat frontier CASE WHEN grows with the full rule
+    # set and at depth ≥8 overflows JVM method-size limits (codegen
+    # fallback → interpreted row scans). The checkpoint also truncates
+    # the max_bins-literal snap lineage (MLlib's iterative trainers
+    # checkpoint for the same reason). Leaf rows drop out as they
+    # resolve, so later levels scan strictly less data.
+    level = base.withColumn(S.RID, F.lit(0).cast("int"))
+    if cache:
+        level = level.localCheckpoint(eager=True)
+
     try:
-        while frontier:
-            level = base.withColumn(S.RID, _rid_column(frontier)).where(
-                F.col(S.RID).isNotNull()
-            )
-
-            # per-node class histograms → info, majority label, purity
-            cc = S.node_class_counts(level, schema.label).collect()
-            hist: dict[int, dict[str, int]] = {}
-            for row in cc:
-                hist.setdefault(row[S.RID], {})[row[S.CLASS]] = row[S.CNT]
-
-            # decide which nodes even need statistics
-            need_stats: list[int] = []
-            decided: dict[int, str] = {}
-            for i, rule in enumerate(frontier):
-                h = hist.get(i)
-                if not h:  # no rows reached this node (empty domain value)
-                    decided[i] = _majority(
-                        _parent_hist(hist, frontier, i) or {}, label_domain
-                    )
-                    continue
-                total = sum(h.values())
-                if (
-                    len(h) == 1
-                    or total < min_rows
-                    or rule.depth >= max_depth
-                ):
-                    decided[i] = _majority(h, label_domain)
-                else:
-                    need_stats.append(i)
-
-            best_rows = []
-            if need_stats:
-                active = level.where(
-                    F.col(S.RID).isin([int(i) for i in need_stats])
-                )
-                info_df = S.node_info(
-                    S.node_class_counts(active, schema.label)
-                )
-                stats = []
-                if cat_names:
-                    cont_c = S.contingency(
-                        S.melt(active, cat_names, schema.label)
-                    )
-                    stats.append(
-                        S.categorical_stats(cont_c, info_df).select(
-                            S.RID,
-                            S.AID,
-                            "gain_ratio",
-                            F.lit(None).cast("double").alias("boundary"),
-                        )
-                    )
-                if num_names:
-                    cont_n = S.contingency(
-                        S.melt(active, num_names, schema.label, numeric=True)
-                    )
-                    stats.append(
-                        S.numeric_best_split(
-                            cont_n, info_df, label_domain, min_ratio
-                        ).select(S.RID, S.AID, "gain_ratio", "boundary")
-                    )
-                allstats = stats[0]
-                for s in stats[1:]:
-                    allstats = allstats.unionByName(s)
-                # exclude attributes already exhausted by each rule
-                exhausted = [
-                    (int(i), a)
-                    for i in need_stats
-                    for a in frontier[i].used_attrs()
-                ]
-                if exhausted:
-                    ex_df = allstats.sparkSession.createDataFrame(
-                        exhausted, f"{S.RID} int, {S.AID} string"
-                    )
-                    allstats = allstats.join(
-                        F.broadcast(ex_df), [S.RID, S.AID], "left_anti"
-                    )
-                best_rows = S.best_attribute(allstats, attr_order).collect()
-
-            best = {r[S.RID]: r for r in best_rows}
-            next_frontier: list[Rule] = []
-            for i, rule in enumerate(frontier):
-                h = hist.get(i, {})
-                total = sum(h.values())
-                if i in decided:
-                    model.rules.append(
-                        Rule(rule.conditions, decided[i], total, rule.depth)
-                    )
-                    continue
-                b = best.get(i)
-                if b is None:
-                    # no attribute with positive gain (or all numeric
-                    # splits failed the guard): honest majority leaf (Q5)
-                    model.rules.append(
-                        Rule(
-                            rule.conditions,
-                            _majority(h, label_domain),
-                            total,
-                            rule.depth,
-                        )
-                    )
-                    continue
-                aid = b[S.AID]
-                if b["boundary"] is not None:
-                    bd = float(b["boundary"])
-                    next_frontier.append(rule.child(Condition(aid, OP_LE, bd)))
-                    next_frontier.append(rule.child(Condition(aid, OP_GT, bd)))
-                else:
-                    for v in cat_domains[aid]:
-                        next_frontier.append(rule.child(Condition(aid, OP_EQ, v)))
-            frontier = next_frontier
+        spark.conf.set(shuffle_key, "8")
+        _grow_levels(
+            model=model,
+            level=level,
+            frontier=frontier,
+            schema=schema,
+            cat_names=cat_names,
+            num_names=num_names,
+            cat_domains=cat_domains,
+            label_domain=label_domain,
+            attr_order=attr_order,
+            max_depth=max_depth,
+            min_ratio=min_ratio,
+            min_rows=min_rows,
+            cache=cache,
+        )
     finally:
-        if cache:
-            base.unpersist()
+        spark.conf.set(shuffle_key, prev_shuffle)
     return model
+
+
+def _grow_levels(
+    *,
+    model: DecisionListModel,
+    level: DataFrame,
+    frontier: list[Rule],
+    schema: TrainingSchema,
+    cat_names: list[str],
+    num_names: list[str],
+    cat_domains: dict[str, list[str]],
+    label_domain: list[str],
+    attr_order: list[str],
+    max_depth: int,
+    min_ratio: float,
+    min_rows: int,
+    cache: bool,
+    checkpoint_interval: int = 1,
+) -> None:
+    """The level-synchronous growth loop (see :func:`train`)."""
+    depth_since_ckpt = 0
+    while frontier:
+
+        # ONE action per level (the reference's one-MR-job-per-level shape,
+        # `Main.java:59-123`, plus the combiner it never had): a single
+        # mixed melt + grouped count is the only data-sized exchange; the
+        # class-histogram ∪ categorical ∪ numeric stats branches all read
+        # that contingency (ReuseExchange dedups the shared child), and
+        # the collected result is ≤ |frontier|×|attrs| rows. Purity/guard
+        # decisions and the per-node argmax happen driver-side.
+        cont = S.mixed_contingency(
+            S.melt_mixed(level, cat_names, num_names, schema.label)
+        )
+        cc_counts = cont.where(F.col(S.AID) == S.CC_AID).select(
+            S.RID, S.CLASS, S.CNT
+        )
+        info_df = S.node_info(cc_counts)  # broadcast — reused by both stats
+        rels = [
+            cc_counts.select(
+                F.lit("cc").alias("kind"),
+                S.RID,
+                F.col(S.CLASS).alias(S.AID),
+                F.col(S.CNT).cast("double").alias("gain_ratio"),
+                F.lit(None).cast("double").alias("boundary"),
+            )
+        ]
+        if cat_names:
+            cont_c = cont.where(
+                F.col(S.AID).isin(cat_names)
+            ).select(S.RID, S.AID, F.col("value_s").alias(S.VALUE), S.CLASS, S.CNT)
+            rels.append(
+                S.categorical_stats(cont_c, info_df).select(
+                    F.lit("cat").alias("kind"),
+                    S.RID,
+                    S.AID,
+                    "gain_ratio",
+                    F.lit(None).cast("double").alias("boundary"),
+                )
+            )
+        if num_names:
+            cont_n = cont.where(
+                F.col(S.AID).isin(num_names)
+            ).select(S.RID, S.AID, F.col("value_d").alias(S.VALUE), S.CLASS, S.CNT)
+            rels.append(
+                S.numeric_best_split(
+                    cont_n, info_df, label_domain, min_ratio
+                ).select(
+                    F.lit("num").alias("kind"),
+                    S.RID,
+                    S.AID,
+                    "gain_ratio",
+                    "boundary",
+                )
+            )
+        out = rels[0]
+        for r in rels[1:]:
+            out = out.unionByName(r)
+        collected = out.collect()
+
+        hist: dict[int, dict[str, int]] = {}
+        stats: dict[int, list] = {}
+        for row in collected:
+            if row["kind"] == "cc":
+                hist.setdefault(row[S.RID], {})[row[S.AID]] = int(
+                    row["gain_ratio"]
+                )
+            else:
+                stats.setdefault(row[S.RID], []).append(row)
+
+        next_frontier: list[Rule] = []
+        # per split node: (parent rid, [(child condition, child rid), ...])
+        splits: list[tuple[int, list[tuple[Condition, int]]]] = []
+        attr_rank = {a: i for i, a in enumerate(attr_order)}
+        for i, rule in enumerate(frontier):
+            h = hist.get(i)
+            if not h:  # no rows reached this node (empty domain value)
+                label = _majority(
+                    _parent_hist(hist, frontier, i) or {}, label_domain
+                )
+                model.rules.append(Rule(rule.conditions, label, 0, rule.depth))
+                continue
+            total = sum(h.values())
+            if len(h) == 1 or total < min_rows or rule.depth >= max_depth:
+                model.rules.append(
+                    Rule(
+                        rule.conditions,
+                        _majority(h, label_domain),
+                        total,
+                        rule.depth,
+                    )
+                )
+                continue
+            # argmax over this node's stats: gain_ratio > 0 only (the
+            # reference inits maxGR = 0, `Main.java:258-261`), skipping
+            # attributes exhausted by the rule; ties by declaration order
+            used = rule.used_attrs()
+            cands = [
+                r
+                for r in stats.get(i, [])
+                if r["gain_ratio"] > 0 and r[S.AID] not in used
+            ]
+            if not cands:
+                # no attribute with positive gain (or all numeric splits
+                # failed the guard): honest majority leaf (Q5)
+                model.rules.append(
+                    Rule(
+                        rule.conditions,
+                        _majority(h, label_domain),
+                        total,
+                        rule.depth,
+                    )
+                )
+                continue
+            b = max(
+                cands,
+                key=lambda r: (r["gain_ratio"], -attr_rank[r[S.AID]]),
+            )
+            aid = b[S.AID]
+            if b["boundary"] is not None:
+                bd = float(b["boundary"])
+                conds = [Condition(aid, OP_LE, bd), Condition(aid, OP_GT, bd)]
+            else:
+                conds = [Condition(aid, OP_EQ, v) for v in cat_domains[aid]]
+            children = []
+            for c in conds:
+                children.append((c, len(next_frontier)))
+                next_frontier.append(rule.child(c))
+            splits.append((i, children))
+
+        frontier = next_frontier
+        if frontier:
+            # rid update: only THIS level's split conditions enter the plan
+            parts = []
+            for parent, children in splits:
+                inner = None
+                for cond, cid in children:
+                    inner = (F.when if inner is None else inner.when)(
+                        cond.column(), F.lit(cid)
+                    )
+                parts.append(F.when(F.col(S.RID) == parent, inner))
+            level = level.withColumn(
+                S.RID, F.coalesce(*parts).cast("int")
+            ).where(F.col(S.RID).isNotNull())
+            # per-level by default: the materialization (~0.3s locally)
+            # shrinks the data as leaves resolve and keeps every level's
+            # first stage identical for the codegen cache; measured faster
+            # than interval checkpointing (re-deriving levels recompiles
+            # the growing CASE stack and rescans unshrunk data)
+            depth_since_ckpt += 1
+            if cache and depth_since_ckpt >= checkpoint_interval:
+                level = level.localCheckpoint(eager=True)
+                depth_since_ckpt = 0
 
 
 def _majority(h: dict[str, int], label_domain: list[str]) -> str:

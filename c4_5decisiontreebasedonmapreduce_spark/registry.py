@@ -471,9 +471,18 @@ FROM (SELECT DISTINCT l_quantity AS value FROM lineitem)""",
 # -- tree training / prediction (iterative → rows-only check) ---------------
 
 
+_MODEL_CACHE: dict[str, Tr.DecisionListModel] = {}
+
+
 def _train_model(spark: SparkSession, sf_dir: str) -> Tr.DecisionListModel:
-    df = lineitem_training(spark, sf_dir)
-    return Tr.train(df, LINEITEM_TRAINING_SCHEMA, max_depth=4, min_rows=50)
+    """Train (once per sf_dir — training is deterministic, so c45_predict
+    reuses c45_train's model instead of re-growing the tree)."""
+    if sf_dir not in _MODEL_CACHE:
+        df = lineitem_training(spark, sf_dir)
+        _MODEL_CACHE[sf_dir] = Tr.train(
+            df, LINEITEM_TRAINING_SCHEMA, max_depth=4, min_rows=50
+        )
+    return _MODEL_CACHE[sf_dir]
 
 
 def _c45_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
