@@ -195,11 +195,15 @@ def categorical_stats(cont: DataFrame, info_df: DataFrame) -> DataFrame:
     )
 
 
+N_CUM_BUCKETS = 64
+
+
 def numeric_best_split(
     cont: DataFrame,
     info_df: DataFrame,
     label_domain: list[str],
     min_ratio: float = 0.1,
+    pre_aggregated: bool = True,
 ) -> DataFrame:
     """Per (rid, aid) for numeric attributes: the boundary minimizing
     conditional entropy, subject to the reference's 10%-per-side guard
@@ -208,36 +212,97 @@ def numeric_best_split(
 
     Candidate boundaries are the sorted distinct values except the max
     (`MyReducer.java:140-144`). Instead of buffering the column per group,
-    the per-value class matrix (|distinct| rows) gets cumulative sums under
-    ``Window.partitionBy(rid, aid).orderBy(value)`` — every candidate's
-    two-side entropy falls out of one ordered pass.
+    the per-value class matrix (|distinct| rows) gets cumulative class
+    counts — every candidate's two-side entropy falls out of one ordered
+    pass.
+
+    The cumulative sum is a TWO-PHASE distributed prefix sum, not a
+    naive ``Window.partitionBy(rid, aid)``: with few (node, attribute)
+    groups, a per-group window serializes the whole sort onto one task
+    per group — the skew that kills this at scale. Values are bucketed
+    uniformly between the group's min/max (``width_bucket``; min/max
+    ride the same totals aggregate), cumsums run within buckets in
+    parallel, and tiny per-bucket offsets are broadcast back. Results
+    are identical — this is physical parallelism only.
 
     Attributes with no guard-passing candidate produce no row (the
     reference emits gr=-1 and the driver never selects them,
     `MyReducer.java:130,200`).
     """
     classes = [f"c{i}" for i in range(len(label_domain))]
+    # ``pre_aggregated=False`` takes raw melted (rid, aid, value, class)
+    # rows and pivots in a single exchange — two back-to-back aggregations
+    # on near-identical keys would shuffle the |distinct|-sized relation
+    # twice. True (the training path) reuses an existing shared contingency.
+    agg = F.sum(CNT) if pre_aggregated else F.count(F.lit(1))
     matrix = (
         cont.groupBy(RID, AID, VALUE)
         .pivot(CLASS, list(label_domain))
-        .agg(F.sum(CNT))
+        .agg(agg)
         .na.fill(0)
     )
     for c, lab in zip(classes, label_domain):
         matrix = matrix.withColumnRenamed(lab, c)
 
-    w_cum = (
-        Window.partitionBy(RID, AID)
+    # per-(rid, aid) totals + value range: one parallel hash aggregate
+    totals = matrix.groupBy(RID, AID).agg(
+        *[F.sum(c).alias(f"tot_{c}") for c in classes],
+        F.min(VALUE).alias("vmin"),
+        F.max(VALUE).alias("vmax"),
+    )
+    m = matrix.join(F.broadcast(totals), [RID, AID]).withColumn(
+        "bucket",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.width_bucket(
+                F.col(VALUE), F.col("vmin"), F.col("vmax"), N_CUM_BUCKETS
+            ),
+        ).otherwise(F.lit(1)),
+    )
+    # phase 1: cumsum within (rid, aid, bucket) — parallel across buckets
+    w_in = (
+        Window.partitionBy(RID, AID, "bucket")
         .orderBy(VALUE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy(RID, AID)
-    cum = matrix.select(
+    within = m.select(
         RID,
         AID,
         VALUE,
-        *[F.sum(c).over(w_cum).alias(f"le_{c}") for c in classes],
-        *[F.sum(c).over(w_all).alias(f"tot_{c}") for c in classes],
+        "bucket",
+        *[F.col(f"tot_{c}") for c in classes],
+        *[F.sum(c).over(w_in).alias(f"in_{c}") for c in classes],
+    )
+    # phase 2: per-bucket totals → exclusive running offsets (tiny)
+    w_off = (
+        Window.partitionBy(RID, AID)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        m.groupBy(RID, AID, "bucket")
+        .agg(*[F.sum(c).alias(f"b_{c}") for c in classes])
+        .select(
+            RID,
+            AID,
+            "bucket",
+            *[
+                (F.sum(f"b_{c}").over(w_off) - F.col(f"b_{c}")).alias(
+                    f"off_{c}"
+                )
+                for c in classes
+            ],
+        )
+    )
+    cum = within.join(F.broadcast(offsets), [RID, AID, "bucket"]).select(
+        RID,
+        AID,
+        VALUE,
+        *[
+            (F.col(f"in_{c}") + F.col(f"off_{c}")).alias(f"le_{c}")
+            for c in classes
+        ],
+        *[F.col(f"tot_{c}") for c in classes],
     )
 
     n = sum((F.col(f"tot_{c}") for c in classes), F.lit(0))

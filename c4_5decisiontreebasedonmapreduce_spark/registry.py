@@ -268,8 +268,8 @@ def _spark_cat_stats(level) -> DataFrame:
 
 def _spark_num_best(level) -> DataFrame:
     info = S.node_info(S.node_class_counts(level, LABEL))
-    cont = S.contingency(S.melt(level, NUM_FEATS, LABEL, numeric=True))
-    out = S.numeric_best_split(cont, info, CLASSES, 0.1)
+    melted = S.melt(level, NUM_FEATS, LABEL, numeric=True)
+    out = S.numeric_best_split(melted, info, CLASSES, 0.1, pre_aggregated=False)
     return out.select(
         S.RID,
         S.AID,
