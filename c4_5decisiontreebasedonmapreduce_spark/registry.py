@@ -319,7 +319,111 @@ _register(
     f"SELECT {', '.join(ATTR_ORDER)}, {LABEL} FROM lineitem",
 )
 
+# -- reference-native sources: attributes side-file + TSV -------------------
+
+from pathlib import Path  # noqa: E402
+
+from c4_5decisiontreebasedonmapreduce_spark.sources import tsv as TSV  # noqa: E402
+
+_DATA_DIR = Path(__file__).resolve().parent.parent / "data"
+
+
+def _scan_schema_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the reference's attributes side-file (`Main.java:137-166`)
+    into a relation — SURVEY §2.A #2 (`scan_schema`)."""
+    sch = TSV.parse_attributes_file(_DATA_DIR / "weather.attributes")
+    rows = [
+        (i, a.name, a.kind, ",".join(a.domain) or None)
+        for i, a in enumerate(sch.features)
+    ]
+    rows.append(
+        (len(sch.features), sch.label, "class", ",".join(sch.label_domain))
+    )
+    return spark.createDataFrame(
+        rows, "pos int, attr string, kind string, domain string"
+    )
+
+
+_SCAN_SCHEMA_SQL = """
+SELECT * FROM (VALUES
+  (0, 'outlook', 'categorical', 'sunny,overcast,rainy'),
+  (1, 'temperature', 'numeric', NULL),
+  (2, 'humidity', 'numeric', NULL),
+  (3, 'windy', 'categorical', 'true,false'),
+  (4, 'play', 'class', 'yes,no')
+) AS t(pos, attr, kind, domain)"""
+
+
+def _scan_tsv_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed scan of a reference-format TSV training table — SURVEY §2.A
+    #1 (`scan_training` for the native text format; `MyMapper.java:28-31`)."""
+    sch = TSV.parse_attributes_file(_DATA_DIR / "weather.attributes")
+    df = TSV.read_training_tsv(spark, str(_DATA_DIR / "weather.tsv"), sch)
+    return df.groupBy("outlook", "windy", "play").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("temperature"), 6).alias("sum_temp"),
+        F.round(F.sum("humidity"), 6).alias("sum_hum"),
+    )
+
+
+_WEATHER_VALUES_SQL = """
+(VALUES
+  ('sunny', 85.0, 85.0, 'false', 'no'), ('sunny', 80.0, 90.0, 'true', 'no'),
+  ('overcast', 83.0, 86.0, 'false', 'yes'), ('rainy', 70.0, 96.0, 'false', 'yes'),
+  ('rainy', 68.0, 80.0, 'false', 'yes'), ('rainy', 65.0, 70.0, 'true', 'no'),
+  ('overcast', 64.0, 65.0, 'true', 'yes'), ('sunny', 72.0, 95.0, 'false', 'no'),
+  ('sunny', 69.0, 70.0, 'false', 'yes'), ('rainy', 75.0, 80.0, 'false', 'yes'),
+  ('sunny', 75.0, 70.0, 'true', 'yes'), ('overcast', 72.0, 90.0, 'true', 'yes'),
+  ('overcast', 81.0, 75.0, 'false', 'yes'), ('rainy', 71.0, 91.0, 'true', 'no')
+) AS w(outlook, temperature, humidity, windy, play)"""
+
+_SCAN_TSV_SQL = f"""
+SELECT outlook, windy, play, COUNT(*) AS cnt,
+       ROUND(CAST(SUM(temperature) AS DOUBLE), 6) AS sum_temp,
+       ROUND(CAST(SUM(humidity) AS DOUBLE), 6) AS sum_hum
+FROM {_WEATHER_VALUES_SQL}
+GROUP BY outlook, windy, play"""
+
+_register("scan_schema", _scan_schema_query, _SCAN_SCHEMA_SQL)
+_register("scan_tsv", _scan_tsv_query, _SCAN_TSV_SQL)
+
+
 # -- rule matching / candidate expansion ------------------------------------
+
+
+def _broadcast_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference ships the frontier to every map task via the
+    distributed cache and tests each row against each rule
+    (`Main.java:189`, `MyMapper.java:33-35,63-85`) — here an explicit
+    broadcast theta-join of a rules relation against the data, the Spark
+    idiom for a tiny dimension joined on an arbitrary predicate."""
+    rules = spark.createDataFrame(
+        [(0, "O", 25.0), (1, "F", None)],
+        "rid int, status string, max_qty double",
+    )
+    data = lineitem_training(spark, sf_dir)
+    pred = (F.col("l_linestatus") == F.col("status")) & (
+        F.col("max_qty").isNull() | (F.col("l_quantity") <= F.col("max_qty"))
+    )
+    return (
+        data.join(F.broadcast(rules), pred, "inner")
+        .groupBy("rid")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+    )
+
+
+_BROADCAST_RULES_SQL = """
+SELECT rid, COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 6) AS sum_qty
+FROM lineitem
+JOIN (VALUES (0, 'O', 25.0), (1, 'F', NULL))
+     AS r(rid, status, max_qty)
+  ON l_linestatus = status AND (max_qty IS NULL OR l_quantity <= max_qty)
+GROUP BY rid"""
+
+_register("broadcast_rules", _broadcast_rules_query, _BROADCAST_RULES_SQL)
 
 _register(
     "filter_rule_match",
@@ -513,11 +617,43 @@ _register("c45_train", _c45_train_query)  # iterative: rows-only check
 _register("c45_predict", _c45_predict_query)  # iterative: rows-only check
 
 
+def _mllib_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib DecisionTreeClassifier on the same training projection — the
+    industrial-scale cross-check path (SURVEY §5.3; binning + info-gain,
+    so trees differ from the exact gain-ratio tree by design)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.mllib import (
+        mllib_tree_accuracy,
+    )
+
+    acc = mllib_tree_accuracy(
+        lineitem_training(spark, sf_dir), LINEITEM_TRAINING_SCHEMA, max_depth=4
+    )
+    return spark.createDataFrame(
+        [(round(acc, 6),)], "train_accuracy double"
+    )
+
+
+_register("mllib_train", _mllib_train_query)  # MLlib internals: rows-only
+
+
+def _sink_parquet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink + re-scan roundtrip (SURVEY §2.A #19-20): write the pricing
+    summary to parquet with mode=overwrite (the reference hand-deletes its
+    output dir, `Main.java:199-203`) and read it back — the oracle is the
+    same aggregate, so the files must preserve values and schema."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sink_parquet_") + "/q1"
+    R.q1_pricing_summary(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 # -- relational surface (SURVEY.md §2.B engine plan) ------------------------
 
 from c4_5decisiontreebasedonmapreduce_spark.operators import relational as R  # noqa: E402
 
 _register("q1_pricing_summary", R.q1_pricing_summary, R.Q1_SQL)
+_register("sink_parquet", _sink_parquet_query, R.Q1_SQL)
 _register("q3_shipping_priority", R.q3_shipping_priority, R.Q3_SQL)
 _register(
     "join_broadcast", R.join_broadcast_brand_revenue, R.JOIN_BROADCAST_SQL
