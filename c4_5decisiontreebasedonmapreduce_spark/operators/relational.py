@@ -576,3 +576,21 @@ numbered AS (
 SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events
 FROM numbered GROUP BY user_id, session_id"""
+
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for interactive exploration at scale:
+    HyperLogLog++ distinct counts and quantile sketches (absent in the
+    reference — its only aggregation is exact contingency counting,
+    `/root/reference/src/program/MyReducer.java:51-92`).
+
+    Sketch internals differ across engines, so this is checked rows-only;
+    the companion test bounds each estimate against the exact answer
+    (HLL++ rsd 5%, percentile_approx within the value's neighborhood)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+    )

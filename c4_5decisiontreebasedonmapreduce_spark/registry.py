@@ -708,6 +708,10 @@ from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW  # no
 
 _register("streaming_tumbling", SW.streaming_tumbling, R.EVENT_TUMBLING_SQL)
 _register("session_window_agg", SW.session_window_agg, SW.SESSION_WINDOW_SQL)
+_register(
+    "streaming_stateful", SW.stateful_user_totals, SW.STATEFUL_TOTALS_SQL
+)
+_register("approx_sketches", R.approx_sketches)  # sketch internals: rows-only
 
 
 def queries() -> dict[str, QueryFn]:

@@ -107,6 +107,76 @@ def session_window_agg(
     )
 
 
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running totals kept in explicit group state across
+    micro-batches (the building block for bespoke operators Spark's
+    built-in windowed aggs can't express — counters, sessionizers with
+    custom close rules, online sketches).
+
+    Sums are accumulated as integer micro-units so the result is exact
+    and order-independent — the memory-sink table equals the plain batch
+    aggregate, which is the DuckDB oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir)
+
+    def update_totals(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        cnt, micros = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            micros += int(
+                (pdf["value"] * 1_000_000).round().astype("int64").sum()
+            )
+        state.update((cnt, micros))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [cnt],
+                "sum_value": [round(micros / 1_000_000, 6)],
+            }
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="cnt bigint, micros bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # one row per user per micro-batch that touched it; the LAST row per
+    # user is the final state
+    out = spark.table(name)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
+
+
+STATEFUL_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+         AS sum_value
+FROM events GROUP BY user_id"""
+
+
 SESSION_WINDOW_SQL = """
 WITH flagged AS (
   SELECT user_id, ts,

@@ -96,3 +96,20 @@ def test_multimodal_decode_plumbing(spark, sf_small):
     for r in fr:
         n_frames = a[r["doc_id"]][2]
         assert r["count"] == (n_frames + 1) // 2
+
+
+def test_approx_sketches_bounded(spark, sf_small):
+    """HLL++/quantile sketches must land near the exact answers (rsd 5%
+    declared; allow 3x margin for small inputs)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import relational as R
+
+    row = R.approx_sketches(spark, sf_small).collect()[0]
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    exact_parts = li.select("l_partkey").distinct().count()
+    exact_orders = li.select("l_orderkey").distinct().count()
+    assert abs(row["approx_parts"] - exact_parts) <= 0.15 * exact_parts
+    assert abs(row["approx_orders"] - exact_orders) <= 0.15 * exact_orders
+    lo, hi = li.selectExpr(
+        "percentile(l_extendedprice, 0.45)", "percentile(l_extendedprice, 0.55)"
+    ).collect()[0]
+    assert lo <= row["p50_price"] <= hi
