@@ -14,8 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from c4_5decisiontreebasedonmapreduce_spark import get_spark, registry
 
-# headline set: the reference-derived hot path + heaviest extension ops
+# headline set: the reference-derived hot path + relational surface +
+# LLM-pipeline extension ops
 BENCH_QUERIES = [
+    # C4.5 statistics/training (the reference's entire computation)
     "scan_training",
     "groupby_contingency_numeric",
     "gain_ratio",
@@ -24,6 +26,20 @@ BENCH_QUERIES = [
     "argmax_per_group",
     "c45_train",
     "c45_predict",
+    # relational surface
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_broadcast",
+    "window_topk",
+    "asof_join",
+    "event_windows_tumbling",
+    "sessionize",
+    # LLM-pipeline extensions
+    "tokenize",
+    "tfidf",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
 ]
 
 

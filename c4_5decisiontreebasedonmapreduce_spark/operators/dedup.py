@@ -150,88 +150,156 @@ WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6)
 DEDUP_NGRAM_SQL = f"WITH {_shingles_sql().lstrip()},\n{_JACCARD_TAIL_SQL}"
 
 
+# affine universal-hash family over ONE base hash per shingle:
+# h_i(x) = (a_i·h(x) + b_i) mod p with p = 2^31 − 1 and h(x) reduced mod
+# p, so a_i·h < 2^62 — identical (non-overflowing) int64 arithmetic in
+# Spark and DuckDB. Constants from a fixed LCG, restated literally in the
+# oracle SQL.
+MINHASH_P = 2**31 - 1
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    a = (1103515245 * (i + 1) + 12345) % MINHASH_P
+    return (a or 1, (22695477 * (i + 7) + 1) % MINHASH_P)
+
+
+_N_BANDS = MINHASH_SEEDS // MINHASH_BAND_ROWS
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: 32 portable hash functions, 8 bands × 4
-    rows; documents colliding on any band signature become candidates,
-    then exact Jaccard verifies. The band join replaces the all-pairs
-    comparison — the piece that makes near-dedup feasible at 100 TB
+    """MinHash + LSH near-dup: 32 affine hash functions over a shared
+    60-bit base hash (8 bands × 4 rows); documents colliding on any band
+    signature become candidates, then exact Jaccard verifies.
+
+    All 32 minima fold into ONE grouped aggregation — the shuffle
+    carries 32 numbers per document, not 32× the shingle rows (the naive
+    seed crossJoin) — and each shingle is MD5-hashed once, the affine
+    family being integer arithmetic. The band equi-join replaces the
+    all-pairs comparison — what makes near-dedup feasible at 100 TB
     (candidates scale with collisions, not corpus²)."""
-    sh = _shingles_df(spark, sf_dir)
-    seeds = sh.sparkSession.range(MINHASH_SEEDS).select(
-        F.col("id").cast("int").alias("seed")
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "h", md5_long(F.col("shingle")) % MINHASH_P
     )
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            md5_long(
-                F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in ((j, _mh_params(j)) for j in range(MINHASH_SEEDS))
+        ]
     )
-    bands = (
-        mh.withColumn("band", F.expr(f"seed div {MINHASH_BAND_ROWS}").cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
+    banded = mins.select(
+        "doc_id",
+        *[
+            F.concat_ws(
                 ",",
-            ).alias("sig")
-        )
+                *[
+                    F.col(f"mh{band * MINHASH_BAND_ROWS + r}").cast("string")
+                    for r in range(MINHASH_BAND_ROWS)
+                ],
+            ).alias(f"sig{band}")
+            for band in range(_N_BANDS)
+        ],
     )
-    cand = (
-        bands.alias("a")
+    cand = None
+    for band in range(_N_BANDS):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"), F.col(f"sig{band}").alias("sig")
+        )
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"), F.col(f"sig{band}").alias("sig")
+        )
+        p = a.join(b, "sig").where(F.col("doc_a") < F.col("doc_b")).drop("sig")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    # verify ONLY the candidates (the whole point of LSH): count common
+    # shingles along the candidate pairs, never via the all-pairs
+    # shingle self-join
+    sh_only = sh.select("doc_id", "shingle")
+    sizes = sh_only.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    common = (
+        cand.join(
+            sh_only.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
         .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            sh_only.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
     )
-    verified = _jaccard_pairs(sh, JACCARD_THRESHOLD).join(
-        cand, ["doc_a", "doc_b"], "inner"
+    verified = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
-_MH_HASH = md5_long_sql(f"CONCAT(CAST(seed AS VARCHAR), '|', shingle)")
+def _mh_min_cols_sql() -> str:
+    return ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in ((j, _mh_params(j)) for j in range(MINHASH_SEEDS))
+    )
+
+
+def _band_sig_sql(alias: str, band: int) -> str:
+    cols = ", ".join(
+        f"CAST({alias}.mh{band * MINHASH_BAND_ROWS + r} AS VARCHAR)"
+        for r in range(MINHASH_BAND_ROWS)
+    )
+    return f"CONCAT_WS(',', {cols})"
+
+
+_BAND_CAND_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT a.doc_id doc_a, b.doc_id doc_b
+    FROM mins a JOIN mins b
+      ON {_band_sig_sql('a', band)} = {_band_sig_sql('b', band)}
+     AND a.doc_id < b.doc_id"""
+    for band in range(_N_BANDS)
+)
 
 DEDUP_MINHASH_SQL = f"""
 WITH {_shingles_sql().lstrip()},
-seeds AS (SELECT UNNEST(GENERATE_SERIES(0, {MINHASH_SEEDS - 1})) AS seed),
-mh AS (
-  SELECT doc_id, seed, MIN({_MH_HASH}) AS mh
-  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+hashed AS (
+  SELECT doc_id, shingle,
+         {md5_long_sql('shingle')} % {MINHASH_P} AS h
+  FROM sh
 ),
-bands AS (
-  SELECT doc_id, seed // {MINHASH_BAND_ROWS} AS band,
-         STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-  FROM mh GROUP BY doc_id, seed // {MINHASH_BAND_ROWS}
+mins AS (
+  SELECT doc_id,
+         {_mh_min_cols_sql()}
+  FROM hashed GROUP BY doc_id
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+{_BAND_CAND_SQL}
+  )
 ),
 common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
        ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
 FROM common c
-JOIN cand USING (doc_a, doc_b)
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6)
@@ -240,36 +308,44 @@ WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6)
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash over distinct tokens: per bit, +1/-1 votes from
-    each token hash; the signature packs the positive-vote bits."""
+    each token hash; the signature packs the positive-vote bits.
+
+    All 60 vote sums ride ONE grouped aggregation (a +1/-1 vote is
+    ``2·bit − count``, so per bit we only sum the bit itself) — no
+    60-way bit crossJoin multiplying the token rows through the
+    shuffle."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("token")
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("token"),
     ).withColumn("h", md5_long(F.col("token")))
-    bits = tok.sparkSession.range(SIMHASH_BITS).select(
-        F.col("id").cast("int").alias("bit")
+    votes = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"one{b}")
+            for b in range(SIMHASH_BITS)
+        ],
     )
-    votes = (
-        tok.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "vote",
+    sig = sum(
+        (
             F.when(
-                F.expr("(h >> bit) & 1") == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
+                2 * F.col(f"one{b}") > F.col("n_tok"),
+                F.lit(1 << b).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(SIMHASH_BITS)
+        ),
+        F.lit(0).cast("long"),
     )
-    return (
-        votes.withColumn(
-            "bitval",
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    return votes.select("doc_id", sig.alias("simhash"))
 
+
+_SIMHASH_ONE_COLS = ",\n         ".join(
+    f"SUM((h >> {b}) & 1) AS one{b}" for b in range(SIMHASH_BITS)
+)
+_SIMHASH_PACK = " + ".join(
+    f"CASE WHEN 2 * one{b} > n_tok THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+    for b in range(SIMHASH_BITS)
+)
 
 SIMHASH_SQL = f"""
 WITH tok AS (
@@ -280,15 +356,13 @@ WITH tok AS (
   FROM documents
 ),
 hashed AS (SELECT doc_id, {md5_long_sql('token')} AS h FROM tok),
-bits AS (SELECT UNNEST(GENERATE_SERIES(0, {SIMHASH_BITS - 1})) AS bit),
 votes AS (
-  SELECT doc_id, bit,
-         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM hashed CROSS JOIN bits GROUP BY doc_id, bit
+  SELECT doc_id, COUNT(*) AS n_tok,
+         {_SIMHASH_ONE_COLS}
+  FROM hashed GROUP BY doc_id
 )
-SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
-FROM votes GROUP BY doc_id"""
+SELECT doc_id, {_SIMHASH_PACK} AS simhash
+FROM votes"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
