@@ -204,6 +204,7 @@ def numeric_best_split(
     label_domain: list[str],
     min_ratio: float = 0.1,
     pre_aggregated: bool = True,
+    bucketed: bool = True,
 ) -> DataFrame:
     """Per (rid, aid) for numeric attributes: the boundary minimizing
     conditional entropy, subject to the reference's 10%-per-side guard
@@ -216,14 +217,17 @@ def numeric_best_split(
     counts — every candidate's two-side entropy falls out of one ordered
     pass.
 
-    The cumulative sum is a TWO-PHASE distributed prefix sum, not a
-    naive ``Window.partitionBy(rid, aid)``: with few (node, attribute)
-    groups, a per-group window serializes the whole sort onto one task
-    per group — the skew that kills this at scale. Values are bucketed
-    uniformly between the group's min/max (``width_bucket``; min/max
-    ride the same totals aggregate), cumsums run within buckets in
-    parallel, and tiny per-bucket offsets are broadcast back. Results
-    are identical — this is physical parallelism only.
+    With ``bucketed=True`` the cumulative sum is a TWO-PHASE distributed
+    prefix sum, not a naive ``Window.partitionBy(rid, aid)``: with few
+    (node, attribute) groups, a per-group window serializes the whole
+    sort onto one task per group — the skew that kills this at scale
+    when a column is near-all-distinct. Values are bucketed uniformly
+    between the group's min/max (``width_bucket``; min/max ride the same
+    totals aggregate), cumsums run within buckets in parallel, and tiny
+    per-bucket offsets are broadcast back. Results are identical — this
+    is physical parallelism only. ``bucketed=False`` (the training path,
+    where quantile binning already caps groups at max_bins rows) uses
+    the plain per-group window: three fewer exchanges per call.
 
     Attributes with no guard-passing candidate produce no row (the
     reference emits gr=-1 and the driver never selects them,
@@ -243,6 +247,22 @@ def numeric_best_split(
     )
     for c, lab in zip(classes, label_domain):
         matrix = matrix.withColumnRenamed(lab, c)
+
+    if not bucketed:
+        w_cum = (
+            Window.partitionBy(RID, AID)
+            .orderBy(VALUE)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(RID, AID)
+        cum = matrix.select(
+            RID,
+            AID,
+            VALUE,
+            *[F.sum(c).over(w_cum).alias(f"le_{c}") for c in classes],
+            *[F.sum(c).over(w_all).alias(f"tot_{c}") for c in classes],
+        )
+        return _score_candidates(cum, info_df, classes, min_ratio)
 
     # per-(rid, aid) totals + value range: one parallel hash aggregate
     totals = matrix.groupBy(RID, AID).agg(
@@ -304,7 +324,17 @@ def numeric_best_split(
         ],
         *[F.col(f"tot_{c}") for c in classes],
     )
+    return _score_candidates(cum, info_df, classes, min_ratio)
 
+
+def _score_candidates(
+    cum: DataFrame,
+    info_df: DataFrame,
+    classes: list[str],
+    min_ratio: float,
+) -> DataFrame:
+    """Candidate-boundary entropies + guard + per-(rid, aid) argmin from
+    the cumulative class counts (`le_*` vs `tot_*` columns)."""
     n = sum((F.col(f"tot_{c}") for c in classes), F.lit(0))
     n_le = sum((F.col(f"le_{c}") for c in classes), F.lit(0))
     n_gt = n - n_le

@@ -361,7 +361,9 @@ def _grow_levels(
             ).select(S.RID, S.AID, F.col("value_d").alias(S.VALUE), S.CLASS, S.CNT)
             rels.append(
                 S.numeric_best_split(
-                    cont_n, info_df, label_domain, min_ratio
+                    # binning caps groups at max_bins rows, so the plain
+                    # per-group window beats the bucketed prefix sum here
+                    cont_n, info_df, label_domain, min_ratio, bucketed=False
                 ).select(
                     F.lit("num").alias("kind"),
                     S.RID,
