@@ -99,14 +99,37 @@ class DecisionListModel:
     label_col: str = "label"
 
     def prediction_column(self, default: str | None = None) -> Column:
-        """Compile the decision list into one nested CASE WHEN — the
-        prediction path the reference lacks entirely."""
-        expr = F.lit(default)
-        # later rules never overlap earlier ones (leaves partition the
-        # space), so order is irrelevant; build reversed for when-chaining
-        for r in reversed(self.rules):
-            expr = F.when(r.predicate(), F.lit(r.label)).otherwise(expr)
-        return expr
+        """Compile the decision list into a TRIE of nested CASE WHENs —
+        the prediction path the reference lacks entirely.
+
+        Rules are root-to-leaf paths, so they share condition prefixes;
+        compiling the shared trie keeps the expression O(tree nodes) and
+        evaluates each condition once per row. A flat rule-by-rule WHEN
+        chain is O(rules × depth) and overflows JVM method-size limits
+        around depth 8 (codegen falls back to interpreted row scans)."""
+        remaining = [(r.conditions, r.label) for r in self.rules]
+        return self._compile_trie(remaining, default)
+
+    @staticmethod
+    def _compile_trie(
+        rules: list[tuple[tuple[Condition, ...], str | None]],
+        default: str | None,
+    ) -> Column:
+        exact = [label for conds, label in rules if not conds]
+        if exact:
+            # a fully-matched rule: leaves partition the space, so there
+            # is at most one
+            return F.lit(exact[0])
+        groups: dict[Condition, list] = {}
+        for conds, label in rules:
+            groups.setdefault(conds[0], []).append((conds[1:], label))
+        chain = None
+        for cond, sub in groups.items():
+            inner = DecisionListModel._compile_trie(sub, default)
+            chain = (F.when if chain is None else chain.when)(
+                cond.column(), inner
+            )
+        return chain.otherwise(F.lit(default))
 
     def transform(self, df: DataFrame, out_col: str = "prediction") -> DataFrame:
         return df.withColumn(out_col, self.prediction_column())
@@ -157,6 +180,39 @@ class DecisionListModel:
                 for r in self.rules
             ]
         )
+
+    @classmethod
+    def from_json(cls, text: str, label_col: str = "label") -> "DecisionListModel":
+        rules = [
+            Rule(
+                tuple(
+                    Condition(
+                        c["attr"],
+                        c["op"],
+                        c["value"] if c["op"] == OP_EQ else float(c["value"]),
+                    )
+                    for c in r["conditions"]
+                ),
+                r["label"],
+                r["n"],
+                r["depth"],
+            )
+            for r in json.loads(text)
+        ]
+        return cls(rules=rules, label_col=label_col)
+
+    def save(self, path: str) -> None:
+        """Persist the model — the reference only prints it to stdout
+        (`Main.java:128-131`)."""
+        from pathlib import Path
+
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path: str, label_col: str = "label") -> "DecisionListModel":
+        from pathlib import Path
+
+        return cls.from_json(Path(path).read_text(), label_col)
 
 
 def _rid_column(frontier: list[Rule]) -> Column:

@@ -143,3 +143,45 @@ def test_predict_partition_invariant(spark, weather, schema):
         weather.withColumn("m", match_count).groupBy("m").count().collect()
     )
     assert [(r["m"], r["count"]) for r in counts] == [(1, 14)]
+
+
+def test_model_save_load_roundtrip(tmp_path, spark, schema, weather):
+    model = Tr.train(weather, schema, max_depth=4, cache=False)
+    p = str(tmp_path / "model.json")
+    model.save(p)
+    loaded = Tr.DecisionListModel.load(p)
+    assert loaded.to_json() == model.to_json()
+    a = model.transform(weather).select("outlook", "temperature", "humidity",
+                                        "windy", "prediction").collect()
+    b = loaded.transform(weather).select("outlook", "temperature", "humidity",
+                                         "windy", "prediction").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_trie_prediction_equals_flat_chain(spark, schema, weather):
+    """The trie compile must agree with the naive rule-by-rule chain."""
+    from pyspark.sql import functions as F
+
+    model = Tr.train(weather, schema, max_depth=4, cache=False)
+    flat = F.lit(None).cast("string")
+    for r in reversed(model.rules):
+        flat = F.when(r.predicate(), F.lit(r.label)).otherwise(flat)
+    both = weather.withColumn("trie", model.prediction_column()).withColumn(
+        "flat", flat
+    )
+    assert both.where(~F.col("trie").eqNullSafe(F.col("flat"))).count() == 0
+
+
+def test_deep_model_transform_no_codegen_overflow(spark, sf_small):
+    """A depth-8 model (hundreds of rules) must still compile: the trie
+    expression is O(tree nodes), unlike a flat rule chain."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.training import (
+        LINEITEM_TRAINING_SCHEMA,
+        lineitem_training,
+    )
+
+    df = lineitem_training(spark, sf_small)
+    model = Tr.train(df, LINEITEM_TRAINING_SCHEMA, max_depth=8, min_rows=5)
+    pred = model.transform(df)
+    n = pred.where(pred["prediction"].isNotNull()).count()
+    assert n == df.count()
