@@ -594,3 +594,76 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
     )
+
+
+def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the `events.props` payload column
+    (absent in the reference — §2.B): extraction + typed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("distinct_k"),
+        )
+    )
+
+
+JSON_FUNCS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS distinct_k
+FROM events GROUP BY event_type"""
+
+
+N_SALTS = 8
+
+
+def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-salted equi-join: the skew-mitigation pattern for a hot join
+    key that AQE's runtime skew-split cannot always save (e.g. a single
+    customer owning 10% of all orders). The fact side derives a
+    deterministic salt from its rows; the dim side is replicated across
+    all salts; joining on (key, salt) splits each hot key's rows over
+    N_SALTS tasks. Result is identical to the unsalted join — which is
+    the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salts = spark.range(N_SALTS).select(F.col("id").cast("int").alias("salt"))
+    cust_rep = cust.crossJoin(F.broadcast(salts))
+    fact = orders.withColumn(
+        "salt", F.pmod(F.col("o_orderkey"), F.lit(N_SALTS)).cast("int")
+    )
+    return (
+        fact.join(
+            cust_rep,
+            (fact["o_custkey"] == cust_rep["c_custkey"])
+            & (fact["salt"] == cust_rep["salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""

@@ -671,6 +671,8 @@ _register("pivot", R.pivot_orders_status, R.PIVOT_SQL)
 _register("set_ops", R.set_ops_nations, R.SET_OPS_SQL)
 _register("string_funcs", R.string_funcs_part, R.STRING_FUNCS_SQL)
 _register("date_funcs", R.date_funcs_orders, R.DATE_FUNCS_SQL)
+_register("json_funcs", R.json_funcs_events, R.JSON_FUNCS_SQL)
+_register("join_salted", R.join_salted_order_revenue, R.JOIN_SALTED_SQL)
 _register("event_windows_tumbling", R.event_windows_tumbling, R.EVENT_TUMBLING_SQL)
 _register("event_windows_sliding", R.event_windows_sliding, R.EVENT_SLIDING_SQL)
 _register("sessionize", R.sessionize_events, R.SESSIONIZE_SQL)
