@@ -11,11 +11,16 @@ training projection.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from c4_5decisiontreebasedonmapreduce_spark import registry
+# robust to being loaded as a file from another working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from c4_5decisiontreebasedonmapreduce_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,60 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §7 claims are
+locked in as tests, so a regression that silently de-optimizes a plan
+(pushdown lost, broadcast dropped, a cartesian product sneaking into a
+dedup path) fails CI rather than only showing up at cluster scale."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark import registry
+
+QUERIES = registry.queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_small):
+    p = plan_of(QUERIES["q1_pricing_summary"](spark, sf_small))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in p
+    # column pruning: the 11-column lineitem scan must read only 7
+    sch = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert sch.count(":") - 1 == 7, sch
+    assert "l_orderkey" not in sch
+
+
+def test_dim_joins_broadcast(spark, sf_small):
+    for name in ("join_broadcast", "q3_shipping_priority", "join_semi"):
+        p = plan_of(QUERIES[name](spark, sf_small))
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, name
+
+
+def test_no_cartesian_in_scalable_dedup(spark, sf_small):
+    """Candidate generation must be an equi-join on a derived key; a
+    CartesianProduct in these plans means the 100 TB path regressed.
+    (dedup_embedding/similarity_topk are the *declared* brute-force
+    baselines and are exempt.)"""
+    for name in ("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard"):
+        p = plan_of(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_contingency_has_partial_aggregation(spark, sf_small):
+    """The combiner the reference never had: map-side partial hash
+    aggregation before the exchange."""
+    p = plan_of(QUERIES["groupby_contingency"](spark, sf_small))
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_scan_training_prunes_columns(spark, sf_small):
+    p = plan_of(QUERIES["scan_training"](spark, sf_small))
+    sch = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in sch and "l_shipdate" not in sch
