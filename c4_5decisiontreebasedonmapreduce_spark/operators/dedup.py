@@ -520,3 +520,84 @@ FROM dots
 JOIN norms na ON na.vec_id = vec_a
 JOIN norms nb ON nb.vec_id = vec_b
 WHERE ROUND(dot / (na.norm * nb.norm), 6) >= {COSINE_THRESHOLD}"""
+
+
+# ---------------------------------------------------------------------------
+# cluster materialization: pairs → connected components → survivors
+
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn near-dup PAIRS into the thing a pipeline actually needs: one
+    surviving representative per duplicate cluster. Connected components
+    by iterative min-label propagation over the (undirected) pair graph —
+    each round joins every node to its neighbors' current labels and
+    keeps the minimum; rounds double the propagation radius, so
+    convergence is O(log diameter) Spark jobs (near-dup clusters are
+    shallow; the loop exits on a fixpoint count check).
+
+    Returns (doc_id, cluster_rep): every clustered document with the
+    minimum doc_id of its component — ``doc_id = cluster_rep`` marks the
+    survivor. The DuckDB oracle computes the same component minima with a
+    recursive CTE."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # ≥ log2(diameter); near-dup comps are tiny
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.join(
+                labels.withColumnRenamed("label", "old"), "doc_id"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_SQL.strip()})
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, other) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_a, r.other
+  FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+)
+SELECT doc_id, MIN(other) AS cluster_rep
+FROM reach GROUP BY doc_id"""

@@ -696,6 +696,29 @@ _register("dedup_ngram_jaccard", D.dedup_ngram_jaccard, D.DEDUP_NGRAM_SQL)
 _register("dedup_minhash", D.dedup_minhash, D.DEDUP_MINHASH_SQL)
 _register("dedup_simhash", D.dedup_simhash, D.DEDUP_SIMHASH_SQL)
 _register("dedup_embedding", D.dedup_embedding, D.DEDUP_EMBEDDING_SQL)
+_register("dedup_cluster", D.dedup_cluster, D.DEDUP_CLUSTER_SQL)
+
+
+def _mllib_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans over the embeddings table — the iterative-algorithm
+    path for real IVF codebooks (the ivf query uses deterministic
+    pseudo-centroids so its oracle stays static)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=5).fit(e)
+    pred = model.transform(e)
+    return pred.groupBy(F.col("prediction").alias("cluster")).agg(
+        F.count("*").alias("n_vectors")
+    )
+
+
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table  # noqa: E402
+
+_register("mllib_kmeans", _mllib_kmeans_query)  # MLlib internals: rows-only
 
 _register("similarity_topk", SIM.similarity_topk, SIM.SIMILARITY_TOPK_SQL)
 _register("similarity_ann_ivf", SIM.similarity_ann_ivf)  # approx: rows-only
