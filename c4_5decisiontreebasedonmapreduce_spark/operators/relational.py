@@ -667,3 +667,40 @@ SELECT c_mktsegment, COUNT(*) AS n_orders,
          AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical predicate-pushdown aggregate — every
+    filter must reach the parquet scan (asserted in test_scale_plans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(8,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE), 2)
+         AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""

@@ -655,6 +655,7 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import relational as R  # 
 _register("q1_pricing_summary", R.q1_pricing_summary, R.Q1_SQL)
 _register("sink_parquet", _sink_parquet_query, R.Q1_SQL)
 _register("q3_shipping_priority", R.q3_shipping_priority, R.Q3_SQL)
+_register("q6_forecast_revenue", R.q6_forecast_revenue, R.Q6_SQL)
 _register(
     "join_broadcast", R.join_broadcast_brand_revenue, R.JOIN_BROADCAST_SQL
 )

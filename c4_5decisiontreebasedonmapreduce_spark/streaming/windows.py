@@ -9,10 +9,14 @@ to the batch/DuckDB oracle. In production the source line changes to
 Kafka and the sink to a real table — the aggregation plan is identical.
 
 Watermarks: the synchronous smoke path uses complete output mode (no
-watermark needed, all windows retained). `tumbling_counts_stream` with
-``watermark=`` shows the bounded-state variant used on unbounded sources:
-state for windows older than the watermark is dropped, late events beyond
-it are discarded.
+watermark needed, all windows retained). ``streaming_tumbling`` with
+``watermark=`` shows the bounded-state variant used on unbounded sources.
+The watermark CONTRACT (asserted in tests/test_streaming.py) is state
+eviction: windows whose end falls below the watermark are closed and
+their state dropped, so state covers only the watermark horizon. Note
+that dropping of late *input* is best-effort, not guaranteed — a late row
+for an already-evicted window may still surface as a new emission; exact
+once-per-window output needs a downstream dedup on window_start.
 """
 
 from __future__ import annotations

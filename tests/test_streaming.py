@@ -1,0 +1,119 @@
+"""Structured Streaming semantics beyond the synchronous oracle twins:
+multi-batch incremental processing, watermark-driven late-data handling,
+and the stateful operator's cross-batch state."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW
+
+
+@pytest.fixture()
+def staged_events(tmp_path, spark, sf_small):
+    """events split into two files: batch 1 = on-time rows, batch 2 =
+    rows more than 3 hours older than batch 1's max timestamp (late)."""
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    cut = ev.agg(F.max("ts")).collect()[0][0]
+    late = ev.where(F.col("ts") < F.lit(cut) - F.expr("INTERVAL 3 HOURS"))
+    ontime = ev.where(F.col("ts") >= F.lit(cut) - F.expr("INTERVAL 3 HOURS"))
+    d = tmp_path / "stream"
+    os.makedirs(d)
+    ontime.coalesce(1).write.parquet(str(d / "batch1"))
+    late.coalesce(1).write.parquet(str(d / "batch2"))
+    # flatten: file source wants files in one dir; order micro-batches by
+    # mtime (FileStreamSource sorts by timestamp) so the late file
+    # genuinely arrives AFTER the on-time one
+    import time
+
+    now = time.time()
+    for i, sub in enumerate(("batch1", "batch2")):
+        for f in sorted(os.listdir(d / sub)):
+            if f.endswith(".parquet"):
+                dst = d / f"{sub}.parquet"
+                os.rename(d / sub / f, dst)
+                os.utime(dst, (now - 3600 + i * 1800, now - 3600 + i * 1800))
+    return str(d), ev.schema, ontime, late
+
+
+def test_watermark_bounds_state(spark, staged_events):
+    """The watermark CONTRACT is bounded state: windows whose end falls
+    below the advanced watermark are evicted (emitted, in append mode)
+    instead of accumulating forever. After draining a recent batch (which
+    advances the watermark near the stream's max event time) and an old
+    batch, retained state must cover only the watermark horizon — not the
+    month of event-time the data spans."""
+    d, schema, ontime, late = staged_events
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    name = "late_test_out"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    finally:
+        q.stop()
+    assert progress, "expected stateful progress entries"
+    final_state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    total_windows = (
+        ontime.unionByName(late)
+        .select(F.window("ts", "1 hour"))
+        .distinct()
+        .count()
+    )
+    # without eviction the state would hold every touched window (~500 at
+    # sf0.001); with a 1-hour watermark + 1-hour windows it may retain
+    # only the horizon's worth
+    assert final_state_rows <= 3, (final_state_rows, total_windows)
+    assert total_windows > 100
+    # closed windows were emitted on eviction (append-mode contract)
+    assert spark.table(name).count() > 0
+
+
+def test_streaming_two_batches_incremental(spark, staged_events):
+    """Complete-mode aggregation over two micro-batches equals the batch
+    aggregate over all rows (late data included when no watermark)."""
+    d, schema, ontime, late = staged_events
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = "two_batch_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_type"]: r["n"] for r in spark.table(name).collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in ontime.unionByName(late)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
