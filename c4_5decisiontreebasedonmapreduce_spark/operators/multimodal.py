@@ -102,6 +102,63 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(assets)
 
 
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def feature_extract(assets: DataFrame) -> DataFrame:
+    """mapInPandas feature-extraction stage: per asset, an embedding
+    vector (deterministic hash-derived stand-in for a vision/audio
+    encoder — the real model's forward pass drops into `_fake_embed`).
+    Output is `array<float>` exactly like the embeddings table, so the
+    similarity operators compose directly on top."""
+
+    def _fake_embed(payload: bytes) -> list[float]:
+        h = hashlib.sha256(payload).digest()
+        return [
+            round((h[i] / 255.0) * 2 - 1, 6) for i in range(FEATURE_DIM)
+        ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": [_fake_embed(p) for p in pdf["payload"]],
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_meta(decoded: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize plumbing: compute the target geometry (aspect-preserving,
+    longest side = max_side) as Column arithmetic; a real pipeline feeds
+    these targets plus the payload back through a mapInPandas resampler."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side)
+        / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(
+            F.lit(1), F.round(F.col("width") * scale).cast("int")
+        ).alias("target_width"),
+        F.greatest(
+            F.lit(1), F.round(F.col("height") * scale).cast("int")
+        ).alias("target_height"),
+    )
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing: explode decoded assets into frame rows,
     keep every n-th frame. Pure Column ops over the decode output."""

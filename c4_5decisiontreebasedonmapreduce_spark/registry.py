@@ -648,12 +648,36 @@ def _sink_parquet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def _sink_csv_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + typed re-scan roundtrip: header + explicit schema on
+    read (text formats carry no types; the declared StructType restores
+    them losslessly for this aggregate)."""
+    import tempfile
+
+    df = R.q1_pricing_summary(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sink_csv_") + "/q1"
+    df.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.option("header", True).schema(df.schema).csv(out)
+
+
+def _sink_json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-pinned re-scan roundtrip."""
+    import tempfile
+
+    df = R.q1_pricing_summary(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sink_json_") + "/q1"
+    df.write.mode("overwrite").json(out)
+    return spark.read.schema(df.schema).json(out)
+
+
 # -- relational surface (SURVEY.md §2.B engine plan) ------------------------
 
 from c4_5decisiontreebasedonmapreduce_spark.operators import relational as R  # noqa: E402
 
 _register("q1_pricing_summary", R.q1_pricing_summary, R.Q1_SQL)
 _register("sink_parquet", _sink_parquet_query, R.Q1_SQL)
+_register("sink_csv", _sink_csv_query, R.Q1_SQL)
+_register("sink_json", _sink_json_query, R.Q1_SQL)
 _register("q3_shipping_priority", R.q3_shipping_priority, R.Q3_SQL)
 _register("q6_forecast_revenue", R.q6_forecast_revenue, R.Q6_SQL)
 _register(

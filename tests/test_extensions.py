@@ -113,3 +113,30 @@ def test_approx_sketches_bounded(spark, sf_small):
         "percentile(l_extendedprice, 0.45)", "percentile(l_extendedprice, 0.55)"
     ).collect()[0]
     assert lo <= row["p50_price"] <= hi
+
+
+def test_multimodal_feature_and_resize(spark, sf_small):
+    """feature_extract emits embedding-shaped array<float> composable
+    with the similarity ops; resize targets preserve aspect ratio."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    assets = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    ).limit(50)
+    feats = M.feature_extract(assets)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows)
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    # deterministic
+    again = {r["doc_id"]: r["feature"] for r in feats.collect()}
+    assert all(again[r["doc_id"]] == r["feature"] for r in rows)
+
+    decoded = M.multimodal_decode(spark, sf_small)
+    rs = M.resize_meta(decoded, max_side=32).collect()
+    for r in rs:
+        assert max(r["target_width"], r["target_height"]) <= 32
+        ar = r["width"] / r["height"]
+        tar = r["target_width"] / r["target_height"]
+        assert abs(ar - tar) / ar < 0.25  # rounding tolerance
