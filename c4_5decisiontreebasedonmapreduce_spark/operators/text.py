@@ -240,3 +240,43 @@ WITH n AS (
 SELECT doc_id, MD5(norm) AS fingerprint,
        CAST(CONCAT('0x', SUBSTR(MD5(norm), 1, 15)) AS BIGINT) AS fingerprint_int
 FROM n"""
+
+
+# GPT-2-style pre-tokenizer shape (ASCII-simplified so Java regex and RE2
+# agree byte-for-byte): contractions, letter runs, digit runs, punctuation
+# runs — the subword-ish unit count an LLM-data pipeline budgets by.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budget under a BPE-ish pre-tokenization,
+    alongside the plain whitespace count — both pure regexp, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), 0))
+    ws = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    )
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(
+            F.when(ws > 0, bpe.cast("double") / ws).otherwise(F.lit(0.0)), 6
+        ).alias("bpe_per_word"),
+    )
+
+
+_BPE_SQL_RE = BPE_ISH_RE.replace("'", "''")
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_SQL_RE}')) AS n_bpe_tokens,
+       LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> t <> ''))
+         AS n_ws_tokens,
+       ROUND(CASE WHEN LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                       t -> t <> '')) > 0
+             THEN LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_SQL_RE}'))
+                  / CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                         t -> t <> '')) AS DOUBLE)
+             ELSE 0.0 END, 6) AS bpe_per_word
+FROM documents"""

@@ -715,6 +715,7 @@ _register("text_stats", TX.text_stats, TX.TEXT_STATS_SQL)
 _register("lang_id", TX.lang_id, TX.LANG_ID_SQL)
 _register("tfidf", TX.tfidf, TX.TFIDF_SQL)
 _register("doc_fingerprint", TX.doc_fingerprint, TX.DOC_FINGERPRINT_SQL)
+_register("token_count_bpe", TX.token_count_bpe, TX.TOKEN_COUNT_BPE_SQL)
 
 _register("dedup_exact", D.dedup_exact, D.DEDUP_EXACT_SQL)
 _register("dedup_ngram_jaccard", D.dedup_ngram_jaccard, D.DEDUP_NGRAM_SQL)
