@@ -613,8 +613,20 @@ def _c45_predict_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("prediction").agg(F.count("*").alias("cnt"))
 
 
+def _c45_accuracy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set accuracy of the decision list — directly comparable with
+    mllib_train's accuracy column (the reference never scores its model)."""
+    model = _train_model(spark, sf_dir)
+    acc = Tr.accuracy(model, lineitem_training(spark, sf_dir), LABEL)
+    return spark.createDataFrame(
+        [(round(acc, 6), len(model.rules))],
+        "train_accuracy double, n_rules int",
+    )
+
+
 _register("c45_train", _c45_train_query)  # iterative: rows-only check
 _register("c45_predict", _c45_predict_query)  # iterative: rows-only check
+_register("c45_accuracy", _c45_accuracy_query)  # iterative: rows-only check
 
 
 def _mllib_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
