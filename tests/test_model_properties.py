@@ -1,0 +1,70 @@
+"""Hypothesis property tests for the pure-Python model layer (no Spark):
+serialization round-trips, majority-label determinism, and trie compile
+structure. These run in milliseconds and pin the invariants the Spark
+paths rely on."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import tree as Tr
+
+attrs = st.sampled_from(["a", "b", "c", "d"])
+cat_values = st.sampled_from(["x", "y", "z"])
+num_values = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+conditions = st.one_of(
+    st.builds(Tr.Condition, attrs, st.just(Tr.OP_EQ), cat_values),
+    st.builds(Tr.Condition, attrs, st.just(Tr.OP_LE), num_values),
+    st.builds(Tr.Condition, attrs, st.just(Tr.OP_GT), num_values),
+)
+rules = st.builds(
+    Tr.Rule,
+    st.tuples(conditions, conditions).map(tuple)
+    | st.tuples(conditions).map(tuple),
+    st.sampled_from(["R", "A", "N"]),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=0, max_value=16),
+)
+models = st.builds(
+    Tr.DecisionListModel, st.lists(rules, min_size=1, max_size=20)
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(models)
+def test_model_json_roundtrip(model):
+    back = Tr.DecisionListModel.from_json(model.to_json())
+    assert back.to_json() == model.to_json()
+    assert [r.conditions for r in back.rules] == [
+        r.conditions for r in model.rules
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["R", "A", "N"]),
+        st.integers(min_value=1, max_value=1000),
+        min_size=1,
+    )
+)
+def test_majority_is_true_mode_with_deterministic_ties(h):
+    m = Tr._majority(h, ["R", "A", "N"])
+    top = max(h.values())
+    assert h[m] == top
+    assert m == min(k for k, v in h.items() if v == top)
+
+
+@settings(max_examples=100, deadline=None)
+@given(models)
+def test_used_attrs_only_categorical(model):
+    for r in model.rules:
+        assert r.used_attrs() == {
+            c.attr for c in r.conditions if c.op == Tr.OP_EQ
+        }
+
+
+def test_condition_sql_quoting():
+    assert Tr.Condition("a", Tr.OP_EQ, "x").sql() == "\"a\" = 'x'"
+    assert Tr.Condition("a", Tr.OP_LE, 1.5).sql() == '"a" <= 1.5'

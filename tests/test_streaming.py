@@ -7,7 +7,6 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW
 
 
 @pytest.fixture()
