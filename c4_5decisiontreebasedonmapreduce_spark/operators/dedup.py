@@ -180,6 +180,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir).withColumn(
         "h", md5_long(F.col("shingle")) % MINHASH_P
     )
+    # The shingle explode + MD5 scan feeds the signature aggregation AND
+    # both sides of the candidate verify; materialize it once instead of
+    # letting each consumer re-derive it from the documents scan.
+    sh = sh.localCheckpoint()
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(
@@ -188,30 +192,41 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in ((j, _mh_params(j)) for j in range(MINHASH_SEEDS))
         ]
     )
-    banded = mins.select(
+    # melt band signatures to (doc_id, band, sig) rows so ALL bands share
+    # ONE self-join on (band, sig) — one exchange instead of a union of
+    # per-band joins that each copy the signature subplan
+    banded_long = mins.select(
         "doc_id",
-        *[
-            F.concat_ws(
-                ",",
+        F.explode(
+            F.array(
                 *[
-                    F.col(f"mh{band * MINHASH_BAND_ROWS + r}").cast("string")
-                    for r in range(MINHASH_BAND_ROWS)
-                ],
-            ).alias(f"sig{band}")
-            for band in range(_N_BANDS)
-        ],
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(
+                                    f"mh{band * MINHASH_BAND_ROWS + r}"
+                                ).cast("string")
+                                for r in range(MINHASH_BAND_ROWS)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for band in range(_N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    cand = (
+        banded_long.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(
+            banded_long.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    cand = None
-    for band in range(_N_BANDS):
-        a = banded.select(
-            F.col("doc_id").alias("doc_a"), F.col(f"sig{band}").alias("sig")
-        )
-        b = banded.select(
-            F.col("doc_id").alias("doc_b"), F.col(f"sig{band}").alias("sig")
-        )
-        p = a.join(b, "sig").where(F.col("doc_a") < F.col("doc_b")).drop("sig")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
     # verify ONLY the candidates (the whole point of LSH): count common
     # shingles along the candidate pairs, never via the all-pairs
     # shingle self-join
