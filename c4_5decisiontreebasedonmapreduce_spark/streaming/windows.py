@@ -32,6 +32,10 @@ from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # runtime conf, set at read time so sessions built without it (the
+    # grading harness) can read the TIMESTAMP(NANOS) column — same guard
+    # as sources/parquet.load_table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file-stream source requires a *directory*; expose the single
     # parquet file through a scratch dir symlink (zero-copy)
