@@ -18,7 +18,7 @@ All pure Column expressions — no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
@@ -43,14 +43,24 @@ COSINE_THRESHOLD = 0.45
 
 
 def shingles_col(text: Column) -> Column:
-    """Distinct word-trigram shingles of a document."""
+    """Distinct word-trigram shingles of a document.
+
+    Documents with fewer than SHINGLE_K tokens yield an EMPTY array (same
+    as DuckDB's GENERATE_SERIES over an empty range). The WHEN guard
+    matters: Spark's ``sequence(1, 0)`` is a *descending* [1, 0] — not
+    empty — and the resulting ``slice(toks, 0, 3)`` throws
+    INVALID_PARAMETER_VALUE.START on any short document."""
     toks = tokens_col(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, SHINGLE_K), " "),
-        )
-    )
+    n = F.size(toks) - (SHINGLE_K - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_join(F.slice(toks, i, SHINGLE_K), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _shingles_sql() -> str:
@@ -481,22 +491,80 @@ def embeddings_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.45). Exact all-pairs at
-    test scale; the scale path is the IVF variant in similarity.py which
-    prunes via centroid buckets first."""
+EMB_PROBES = 4  # multi-probe width of the IVF-pruned candidate generator
+
+
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45).
+
+    Default path is IVF-PRUNED: every vector is assigned to its
+    EMB_PROBES nearest codebook centroids (the deterministic
+    pseudo-codebook shared with similarity.py; mllib_kmeans supplies real
+    centroids in production) and only pairs co-occurring in at least one
+    bucket are scored. The corpus is joined against the tiny broadcast
+    codebook (N×C, C ≪ N) and then self-joined on the bucket key — never
+    N² — so candidates scale with bucket occupancy. Multi-probing keeps
+    recall: a near-dup pair's two vectors are nearly identical, so their
+    top-EMB_PROBES centroid sets overlap (tests assert parity with the
+    exact path at test scale).
+
+    ``exact=True`` keeps the all-pairs cross join — the oracle twin used
+    to quantify pruning recall, NOT a 100 TB path."""
     e = embeddings_with_norm(spark, sf_dir)
-    a = e.select(
+    a_cols = (
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
-    b = e.select(
+    b_cols = (
         F.col("vec_id").alias("vec_b"),
         F.col("emb").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
-    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    if exact:
+        pairs = (
+            e.select(*a_cols)
+            .crossJoin(e.select(*b_cols))
+            .where(F.col("vec_a") < F.col("vec_b"))
+        )
+    else:
+        from c4_5decisiontreebasedonmapreduce_spark.operators.similarity import (
+            CENTROID_STRIDE,
+        )
+
+        cents = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+        c_cos = _dot(F.col("emb"), F.col("c_emb")).cast("double") / (
+            F.col("norm") * F.col("c_norm")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("c_cos"), F.asc("centroid_id")
+        )
+        assign = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("c_cos", c_cos)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= EMB_PROBES)
+            .select("vec_id", "centroid_id")
+        )
+        cand = (
+            assign.select(F.col("vec_id").alias("vec_a"), "centroid_id")
+            .join(
+                assign.select(F.col("vec_id").alias("vec_b"), "centroid_id"),
+                "centroid_id",
+            )
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
+        )
+        pairs = cand.join(e.select(*a_cols), "vec_a").join(
+            e.select(*b_cols), "vec_b"
+        )
     cos = F.round(
         _dot(F.col("emb_a"), F.col("emb_b")).cast("double")
         / (F.col("norm_a") * F.col("norm_b")),
@@ -541,14 +609,22 @@ WHERE ROUND(dot / (na.norm * nb.norm), 6) >= {COSINE_THRESHOLD}"""
 # cluster materialization: pairs → connected components → survivors
 
 
-def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 32
+) -> DataFrame:
     """Turn near-dup PAIRS into the thing a pipeline actually needs: one
     surviving representative per duplicate cluster. Connected components
-    by iterative min-label propagation over the (undirected) pair graph —
-    each round joins every node to its neighbors' current labels and
-    keeps the minimum; rounds double the propagation radius, so
-    convergence is O(log diameter) Spark jobs (near-dup clusters are
-    shallow; the loop exits on a fixpoint count check).
+    by iterative min-label propagation over the (undirected) pair graph,
+    with POINTER JUMPING each round: a node's new label is the minimum of
+    its own label, its neighbors' labels, and its label's label. The
+    label-to-label shortcut halves the distance to the component minimum
+    every round, so convergence is O(log diameter) Spark jobs (plain
+    one-hop propagation would need O(diameter) — a 1000-hop duplicate
+    chain would blow any fixed round cap).
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_rounds`` — silent non-convergence would return wrong
+    cluster_rep values.
 
     Returns (doc_id, cluster_rep): every clustered document with the
     minimum doc_id of its component — ``doc_id = cluster_rep`` marks the
@@ -564,7 +640,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # ≥ log2(diameter); near-dup comps are tiny
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -576,12 +652,20 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("nbr_label").alias("nbr_label"))
         )
+        # pointer jumping: label(label(doc)) — every label is itself a
+        # doc_id present in `labels`, so the lookup always resolves
+        label_label = labels.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("ll")
+        )
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
+            .join(label_label, "label", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                    F.col("label"),
+                    F.coalesce("nbr_label", "label"),
+                    F.coalesce("ll", "label"),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -596,6 +680,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_cluster did not converge in {max_rounds} rounds"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 

@@ -177,7 +177,14 @@ FROM t"""
 def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full (doc, token) TF-IDF relation: tf raw count, smoothed idf
     ``ln((1+N)/(1+df)) + 1``. One explode + two hash aggregates + a
-    broadcast of the single-row corpus size."""
+    broadcast of the single-row corpus size.
+
+    The document-frequency relation is deliberately NOT broadcast-hinted:
+    it has one row per distinct token, and a web-scale corpus vocabulary
+    (10^8-10^9 tokens) would OOM a forced broadcast. AQE still picks a
+    broadcast join at small scale on its own; at large scale both sides
+    are already hash-partitioned by token from their aggregations, so the
+    sort-merge join reuses the exchange."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
@@ -187,7 +194,7 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = d.select(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -130,14 +130,20 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
 
     def update_totals(key, pdf_iter, state):
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
         cnt, micros = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             cnt += len(pdf)
+            # floor(x + 0.5) = round-half-UP, matching the oracle's
+            # FLOOR(value*1000000 + 0.5) exactly; pandas' .round() is
+            # half-to-even and diverges on exact .5 micro boundaries
             micros += int(
-                (pdf["value"] * 1_000_000).round().astype("int64").sum()
+                np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5)
+                .astype("int64")
+                .sum()
             )
         state.update((cnt, micros))
         yield pd.DataFrame(
@@ -180,7 +186,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STATEFUL_TOTALS_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
-       ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+       ROUND(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 6)
          AS sum_value
 FROM events GROUP BY user_id"""
 

@@ -140,3 +140,46 @@ def test_multimodal_feature_and_resize(spark, sf_small):
         ar = r["width"] / r["height"]
         tar = r["target_width"] / r["target_height"]
         assert abs(ar - tar) / ar < 0.25  # rounding tolerance
+
+
+def test_dedup_embedding_pruned_matches_exact(spark, sf_small):
+    """The IVF-pruned default must find exactly the pairs the all-pairs
+    oracle twin finds on this data — multi-probe assignment keeps recall
+    total while candidates scale with bucket occupancy, not corpus²."""
+    exact = sorted(
+        map(tuple, D.dedup_embedding(spark, sf_small, exact=True).collect())
+    )
+    pruned = sorted(map(tuple, D.dedup_embedding(spark, sf_small).collect()))
+    assert pruned == exact and len(exact) > 0
+
+
+def test_shingles_empty_for_short_docs(spark):
+    """Documents with fewer than SHINGLE_K tokens must produce an EMPTY
+    shingle array (Spark's sequence(1, 0) is descending [1, 0], which
+    would crash slice() without the guard) — matching DuckDB's empty
+    GENERATE_SERIES."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "single"), (3, ""), (4, "a b c d")],
+        "doc_id int, text string",
+    )
+    rows = df.select(
+        "doc_id", D.shingles_col(F.col("text")).alias("sh")
+    ).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in rows}
+    assert by_id[1] == [] and by_id[2] == [] and by_id[3] == []
+    assert by_id[4] == ["a b c", "b c d"]
+
+
+def test_dedup_cluster_converges_on_long_chain(spark, sf_small, monkeypatch):
+    """Pointer jumping must close a duplicate CHAIN (diameter ≫ rounds of
+    one-hop propagation) in O(log diameter) rounds: 40 nodes in a path
+    graph converge to one component well within the 32-round cap."""
+    import c4_5decisiontreebasedonmapreduce_spark.operators.dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(40)], "doc_a long, doc_b long, jaccard double"
+    )
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda s, sf: chain)
+    out = dd.dedup_cluster(spark, sf_small, max_rounds=9).collect()
+    assert len(out) == 41
+    assert {r["cluster_rep"] for r in out} == {0}

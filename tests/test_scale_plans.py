@@ -39,12 +39,17 @@ def test_dim_joins_broadcast(spark, sf_small):
 def test_no_cartesian_in_scalable_dedup(spark, sf_small):
     """Candidate generation must be an equi-join on a derived key; a
     CartesianProduct in these plans means the 100 TB path regressed.
-    (dedup_embedding/similarity_topk are the *declared* brute-force
-    baselines and are exempt.)"""
+    (similarity_topk is the *declared* brute-force baseline and is
+    exempt.)"""
     for name in ("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard"):
         p = plan_of(QUERIES[name](spark, sf_small))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+    # dedup_embedding's default is the IVF-pruned path: the only
+    # non-equi join allowed is the corpus × broadcast-CODEBOOK
+    # assignment (N×C, C tiny) — never an N×N CartesianProduct
+    p = plan_of(QUERIES["dedup_embedding"](spark, sf_small))
+    assert "CartesianProduct" not in p, "dedup_embedding"
 
 
 def test_contingency_has_partial_aggregation(spark, sf_small):
