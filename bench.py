@@ -30,9 +30,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_broadcast",
-    "window_topk",
+    "window_funcs",
     "asof_join",
-    "event_windows_tumbling",
+    "event_windows",
     "sessionize",
     # LLM-pipeline extensions
     "tokenize",

@@ -31,7 +31,7 @@ def test_q1_pushdown_and_pruning(spark, sf_small):
 
 
 def test_dim_joins_broadcast(spark, sf_small):
-    for name in ("join_broadcast", "q3_shipping_priority", "join_semi"):
+    for name in ("join_broadcast", "q3_shipping_priority", "join_semi_anti"):
         p = plan_of(QUERIES[name](spark, sf_small))
         assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, name
 
