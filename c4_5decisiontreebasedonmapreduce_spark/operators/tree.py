@@ -98,6 +98,20 @@ class DecisionListModel:
     rules: list[Rule] = field(default_factory=list)
     label_col: str = "label"
 
+    @property
+    def majority_label(self) -> str | None:
+        """Training-majority label: leaf rules partition the training
+        set, so summing leaf counts per label recovers the full class
+        distribution (ties break to the lexicographically smallest label
+        for determinism)."""
+        totals: dict[str, int] = {}
+        for r in self.rules:
+            if r.label is not None:
+                totals[r.label] = totals.get(r.label, 0) + r.n
+        if not totals:
+            return None
+        return min(totals.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
     def prediction_column(self, default: str | None = None) -> Column:
         """Compile the decision list into a TRIE of nested CASE WHENs —
         the prediction path the reference lacks entirely.
@@ -106,7 +120,15 @@ class DecisionListModel:
         compiling the shared trie keeps the expression O(tree nodes) and
         evaluates each condition once per row. A flat rule-by-rule WHEN
         chain is O(rules × depth) and overflows JVM method-size limits
-        around depth 8 (codegen falls back to interpreted row scans)."""
+        around depth 8 (codegen falls back to interpreted row scans).
+
+        Rows no trie path matches — i.e. a categorical value outside the
+        training domain — predict ``default``, which falls back to the
+        training-majority label (the reference crashes/drops such rows,
+        SURVEY quirk Q5; in-domain rows always reach a leaf, so their
+        predictions are unaffected)."""
+        if default is None:
+            default = self.majority_label
         remaining = [(r.conditions, r.label) for r in self.rules]
         return self._compile_trie(remaining, default)
 

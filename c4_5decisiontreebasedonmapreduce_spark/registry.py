@@ -491,19 +491,33 @@ _register(
 
 # -- level-scoped statistics over the fixed frontier ------------------------
 
+# level_stats feeds argmax_per_group in any real level iteration, so the
+# tiny (|frontier| × |attrs|)-row statistics frame is computed once per
+# (session, sf_dir) and materialized — argmax re-running the whole
+# melt+agg pipeline from fresh scans would be pure duplicate work.
+_LEVEL_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _level_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LEVEL_STATS_CACHE:
+        df = _spark_level_stats(
+            _frontier_level(spark, sf_dir, root=False), _EXHAUSTED
+        )
+        _LEVEL_STATS_CACHE[key] = df.localCheckpoint(eager=True)
+    return _LEVEL_STATS_CACHE[key]
+
+
 _register(
     "level_stats",
-    lambda spark, sf: _spark_level_stats(
-        _frontier_level(spark, sf, root=False), _EXHAUSTED
-    ),
+    _level_stats_cached,
     _level_stats_sql(RID_CASE_SQL, _EXHAUSTED),
 )
 
 _register(
     "argmax_per_group",
     lambda spark, sf: S.best_attribute(
-        _spark_level_stats(_frontier_level(spark, sf, root=False), _EXHAUSTED),
-        ATTR_ORDER,
+        _level_stats_cached(spark, sf), ATTR_ORDER
     ).select(S.RID, S.AID, "gain_ratio", "boundary"),
     _argmax_sql(RID_CASE_SQL, _EXHAUSTED),
 )

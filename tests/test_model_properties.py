@@ -68,3 +68,16 @@ def test_used_attrs_only_categorical(model):
 def test_condition_sql_quoting():
     assert Tr.Condition("a", Tr.OP_EQ, "x").sql() == "\"a\" = 'x'"
     assert Tr.Condition("a", Tr.OP_LE, 1.5).sql() == '"a" <= 1.5'
+
+
+@settings(max_examples=100, deadline=None)
+@given(models)
+def test_majority_label_is_weighted_mode(model):
+    totals = {}
+    for r in model.rules:
+        totals[r.label] = totals.get(r.label, 0) + r.n
+    if any(v > 0 for v in totals.values()) or totals:
+        top = max(totals.values())
+        assert model.majority_label == min(
+            k for k, v in totals.items() if v == top
+        )

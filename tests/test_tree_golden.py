@@ -185,3 +185,25 @@ def test_deep_model_transform_no_codegen_overflow(spark, sf_small):
     pred = model.transform(df)
     n = pred.where(pred["prediction"].isNotNull()).count()
     assert n == df.count()
+
+
+def test_unseen_categorical_predicts_majority(spark):
+    """A row whose categorical value is outside the training domain must
+    fall back to the training-majority label instead of NULL (the
+    reference crashes/drops such rows — quirk Q5)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import tree as Tr
+
+    model = Tr.DecisionListModel(
+        rules=[
+            Tr.Rule((Tr.Condition("color", Tr.OP_EQ, "red"),), "R", 70, 1),
+            Tr.Rule((Tr.Condition("color", Tr.OP_EQ, "blue"),), "B", 30, 1),
+        ]
+    )
+    assert model.majority_label == "R"
+    df = spark.createDataFrame(
+        [("red",), ("blue",), ("chartreuse",)], "color string"
+    )
+    got = {
+        r["color"]: r["prediction"] for r in model.transform(df).collect()
+    }
+    assert got == {"red": "R", "blue": "B", "chartreuse": "R"}
