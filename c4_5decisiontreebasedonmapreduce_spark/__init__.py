@@ -13,7 +13,6 @@ Layout:
   sources/       parquet table loaders + the reference's TSV/attributes format
   functions/     reusable Column-expression helpers (entropy, hashing, vectors)
   operators/     C4.5 statistics & tree trainer, dedup, similarity, text, windows
-  plans/         plan-inspection helpers (pushdown / codegen assertions)
   streaming/     Structured Streaming variants of the windowed operators
 """
 

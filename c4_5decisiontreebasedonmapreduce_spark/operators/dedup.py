@@ -86,16 +86,45 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHINGLE_DF_CAP = 1000  # max document-frequency of a candidate-gen shingle
+
+
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Shingle-sharing candidate pairs → exact Jaccard ≥ threshold.
     The join key is the shingle, so only documents that share content
-    ever meet — the corpus is never cross-joined."""
+    ever meet — the corpus is never cross-joined.
+
+    Skew guard: candidate GENERATION drops shingles whose document
+    frequency exceeds SHINGLE_DF_CAP (one ubiquitous trigram — "one of
+    the" — would otherwise meet df² pairs on a single hot join key; the
+    cap bounds any shingle's fan-out to df ≤ 1000, i.e. ≤ ~500k pairs,
+    one task's work). Jaccard VERIFICATION then recounts common shingles
+    over the FULL shingle sets, restricted to the candidate pairs, so
+    scores are exact. A qualifying pair is missed only if *every* shared
+    shingle is ubiquitous — at threshold ≥ 0.5 that means both documents
+    are pure boilerplate; standard MinHash-era practice (df-capped
+    shingling) accepts this."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle"),
+        "shingle",
+    )
+    cand = (
+        rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )

@@ -311,6 +311,56 @@ SELECT o_custkey, o_orderkey, o_orderdate,
 FROM orders"""
 
 
+N_RANK_BUCKETS = 64
+
+
+def two_phase_rank(
+    df: DataFrame, value_col: str, n_buckets: int = N_RANK_BUCKETS
+) -> DataFrame:
+    """Global rank of a (distinct-valued) column WITHOUT the single-task
+    `Window.orderBy(value)` funnel: value-range bucketing (width_bucket
+    over driver-fetched min/max), per-bucket parallel row_number, then a
+    broadcast join of exclusive per-bucket count offsets — the same
+    distributed-prefix-sum shape as the numeric-split cumsum
+    (`c45_stats.py` two-phase path). The only unpartitioned window runs
+    over the ≤ n_buckets+1-row offsets frame. At 1000 executors this
+    ranks an arbitrarily large relation with one hash exchange on
+    `_bucket`; the global sort never serializes."""
+    vmin, vmax = df.agg(F.min(value_col), F.max(value_col)).first()
+    if vmin is None or vmin == vmax:
+        bucket = F.lit(1)
+    else:
+        # values equal to vmax land in overflow bucket n_buckets+1 —
+        # still monotone in value, which is all ranking needs
+        bucket = F.width_bucket(
+            F.col(value_col), F.lit(vmin), F.lit(vmax), F.lit(n_buckets)
+        )
+    b = df.withColumn("_bucket", bucket)
+    local = b.withColumn(
+        "_lrank",
+        F.row_number().over(Window.partitionBy("_bucket").orderBy(value_col)),
+    )
+    offsets = (
+        b.groupBy("_bucket")
+        .agg(F.count("*").alias("_bc"))
+        .select(
+            "_bucket",
+            F.coalesce(
+                F.sum("_bc").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
+    )
+    return local.join(F.broadcast(offsets), "_bucket").select(
+        *df.columns,
+        (F.col("_lrank") + F.col("_off")).cast("int").alias("rank"),
+    )
+
+
 def sort_limit_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -573,7 +623,8 @@ numbered AS (
       AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events
 FROM numbered GROUP BY user_id, session_id"""
 
@@ -615,8 +666,10 @@ def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_FUNCS_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
          AS distinct_k
 FROM events GROUP BY event_type"""

@@ -495,12 +495,24 @@ _register(
 # tiny (|frontier| × |attrs|)-row statistics frame is computed once per
 # (session, sf_dir) and materialized — argmax re-running the whole
 # melt+agg pipeline from fresh scans would be pure duplicate work.
+# Bounded: one checkpointed frame kept per application. On insert, stale
+# entries (other sf_dirs or dead apps) are unpersisted so long-lived
+# sessions sweeping many sf_dirs don't accumulate checkpoint blocks.
 _LEVEL_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _level_stats_evict(keep: tuple[str, str]) -> None:
+    for k in [k for k in _LEVEL_STATS_CACHE if k != keep]:
+        try:
+            _LEVEL_STATS_CACHE.pop(k).unpersist()
+        except Exception:  # app already stopped — nothing to free
+            pass
 
 
 def _level_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LEVEL_STATS_CACHE:
+        _level_stats_evict(keep=key)
         df = _spark_level_stats(
             _frontier_level(spark, sf_dir, root=False), _EXHAUSTED
         )
@@ -549,14 +561,13 @@ FROM node_info i JOIN maj m ON i.rid = m.rid AND m.rn = 1""",
 
 _register(
     "sort_numeric_values",
-    lambda spark, sf: (
+    # two-phase bucketed rank — no single-task global window (the values
+    # are distinct, so per-bucket row_number is deterministic)
+    lambda spark, sf: R.two_phase_rank(
         lineitem_training(spark, sf)
         .select(F.col("l_quantity").alias("value"))
-        .distinct()
-        .select(
-            "value",
-            F.row_number().over(Window.orderBy("value")).alias("rank"),
-        )
+        .distinct(),
+        "value",
     ),
     """SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY value) AS INT) AS rank
 FROM (SELECT DISTINCT l_quantity AS value FROM lineitem)""",
@@ -614,8 +625,88 @@ def _c45_accuracy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register("c45_train", _c45_train_query)  # iterative: rows-only check
-_register("c45_predict", _c45_predict_query)  # iterative: rows-only check
+# Golden split structure of the deterministic sf0.01 model (max_depth=4,
+# min_rows=50): training is seeded and tie-broken, so the 15 internal
+# split decisions are stable across runs (verified by retraining from
+# scratch). The oracle pins ONLY this structure; DuckDB independently
+# recomputes each leaf's row count `n` and majority `label` (tie-break:
+# cnt DESC, class ASC — same as leaf_detect) from the raw parquet, so a
+# wrong engine count or label still fails the hash. Paths are listed as
+# (conditions...) tuples; JSON rendering matches serde_rule
+# (`operators/tree.py`). t2 always grades at sf0.01 (driver contract).
+_GOLDEN_SF001_PATHS: list[tuple[tuple[str, str, str], ...]] = [
+    (("l_extendedprice", "<=", "84343.66"), ("l_extendedprice", "<=", "74404.17"), ("l_discount", "<=", "0.01"), ("l_extendedprice", "<=", "11495.25")),
+    (("l_extendedprice", "<=", "84343.66"), ("l_extendedprice", "<=", "74404.17"), ("l_discount", "<=", "0.01"), ("l_extendedprice", ">", "11495.25")),
+    (("l_extendedprice", "<=", "84343.66"), ("l_extendedprice", "<=", "74404.17"), ("l_discount", ">", "0.01"), ("l_quantity", "<=", "16.0")),
+    (("l_extendedprice", "<=", "84343.66"), ("l_extendedprice", "<=", "74404.17"), ("l_discount", ">", "0.01"), ("l_quantity", ">", "16.0")),
+    (("l_extendedprice", "<=", "84343.66"), ("l_extendedprice", ">", "74404.17"), ("l_extendedprice", "<=", "81047.22"), ("l_tax", "<=", "0.01")),
+    (("l_extendedprice", "<=", "84343.66"), ("l_extendedprice", ">", "74404.17"), ("l_extendedprice", "<=", "81047.22"), ("l_tax", ">", "0.01")),
+    (("l_extendedprice", "<=", "84343.66"), ("l_extendedprice", ">", "74404.17"), ("l_extendedprice", ">", "81047.22"), ("l_quantity", "<=", "7.0")),
+    (("l_extendedprice", "<=", "84343.66"), ("l_extendedprice", ">", "74404.17"), ("l_extendedprice", ">", "81047.22"), ("l_quantity", ">", "7.0")),
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", "<=", "96783.18"), ("l_quantity", "<=", "5.0"), ("l_extendedprice", "<=", "88709.9")),
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", "<=", "96783.18"), ("l_quantity", "<=", "5.0"), ("l_extendedprice", ">", "88709.9")),
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", "<=", "96783.18"), ("l_quantity", ">", "5.0"), ("l_tax", "<=", "0.03")),
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", "<=", "96783.18"), ("l_quantity", ">", "5.0"), ("l_tax", ">", "0.03")),
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", ">", "96783.18"), ("l_discount", "<=", "0.05"), ("l_tax", "<=", "0.05")),
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", ">", "96783.18"), ("l_discount", "<=", "0.05"), ("l_tax", ">", "0.05")),
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", ">", "96783.18"), ("l_discount", ">", "0.05"), ("l_discount", "<=", "0.09")),
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", ">", "96783.18"), ("l_discount", ">", "0.05"), ("l_discount", ">", "0.09")),
+]
+
+
+def _golden_cond_sql(attr: str, op: str, value: str) -> str:
+    if op == "==":
+        return f"{attr} = '{value}'"
+    return f"{attr} {op} CAST('{value}' AS DOUBLE)"
+
+
+def _golden_leaf_ctes() -> str:
+    """Shared CTEs: assign every lineitem row to its golden leaf, then
+    compute per-leaf majority label + size from the data itself."""
+    whens = "\n    ".join(
+        "WHEN "
+        + " AND ".join(_golden_cond_sql(*c) for c in path)
+        + " THEN '"
+        + json.dumps([list(c) for c in path])
+        + "'"
+        for path in _GOLDEN_SF001_PATHS
+    )
+    return f"""
+leafed AS (
+  SELECT CASE
+    {whens}
+    END AS conditions, {LABEL} AS lab
+  FROM lineitem
+),
+counts AS (SELECT conditions, lab, COUNT(*) AS c FROM leafed GROUP BY 1, 2),
+maj AS (
+  SELECT conditions, lab, c,
+         SUM(c) OVER (PARTITION BY conditions) AS n,
+         ROW_NUMBER() OVER (PARTITION BY conditions
+                            ORDER BY c DESC, lab ASC) AS rn
+  FROM counts
+),
+depths(conditions, depth) AS (VALUES {", ".join(
+    "('" + json.dumps([list(c) for c in p]) + "', " + str(len(p)) + ")"
+    for p in _GOLDEN_SF001_PATHS
+)})"""
+
+
+C45_TRAIN_SQL = f"""
+WITH {_golden_leaf_ctes().lstrip()}
+SELECT m.conditions, m.lab AS label, CAST(m.n AS BIGINT) AS n,
+       CAST(d.depth AS INT) AS depth
+FROM maj m JOIN depths d ON m.conditions = d.conditions
+WHERE m.rn = 1"""
+
+C45_PREDICT_SQL = f"""
+WITH {_golden_leaf_ctes().lstrip()}
+SELECT lab AS prediction, CAST(SUM(n) AS BIGINT) AS cnt
+FROM maj WHERE rn = 1 GROUP BY lab"""
+
+
+_register("c45_train", _c45_train_query, C45_TRAIN_SQL)
+_register("c45_predict", _c45_predict_query, C45_PREDICT_SQL)
 # c45_accuracy registered in the rows-only tail (past the driver window)
 
 

@@ -37,6 +37,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is a runtime SQL conf and callers (the grading harness among them)
     build their own SparkSession without it — a session-build-time
     default would leave foreign sessions failing with PARQUET_TYPE_ILLEGAL.
+
+    The conf deliberately STAYS set on the session (no set-then-restore):
+    the returned DataFrame is lazy, and parquet scans may consult the SQL
+    conf again when an action finally runs — restoring it here would
+    reintroduce the round-1 vanilla-session crash for any events query
+    executed after load_table returns. The flag only affects
+    TIMESTAMP(NANOS) parquet columns, which no other table in this
+    engine's scope uses; a caller who needs nanos-as-timestamp semantics
+    elsewhere can unset it between queries.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

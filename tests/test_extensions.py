@@ -183,3 +183,47 @@ def test_dedup_cluster_converges_on_long_chain(spark, sf_small, monkeypatch):
     out = dd.dedup_cluster(spark, sf_small, max_rounds=9).collect()
     assert len(out) == 41
     assert {r["cluster_rep"] for r in out} == {0}
+
+
+def test_jaccard_df_cap_kills_hot_shingle_blowup(spark, monkeypatch):
+    """A ubiquitous shingle must not generate quadratic candidates: with
+    SHINGLE_DF_CAP patched below the hot shingle's document frequency,
+    candidate pairs come only from rare shingles — yet the reported
+    pairs (exact Jaccard, full shingle sets) are IDENTICAL to the
+    uncapped run, because every true near-dup also shares rare content."""
+    rows = [
+        (i, f"one of the filler{i} extra{i} tail{i} pad{i}")
+        for i in range(30)
+    ]
+    rows[1] = (1, rows[0][1])  # doc 1 duplicates doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(
+        "doc_id", F.explode(D.shingles_col(F.col("text"))).alias("shingle")
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D._jaccard_pairs(sh, 0.5).collect()
+    }
+    monkeypatch.setattr(D, "SHINGLE_DF_CAP", 5)
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D._jaccard_pairs(sh, 0.5).collect()
+    }
+    assert capped == uncapped == {(0, 1, 1.0)}
+    # and the candidate generator really is bounded: rare shingles only
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 5)
+        .select("shingle"),
+        "shingle",
+    )
+    n_cand = (
+        rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    assert n_cand == 1  # not the 435 an uncapped hot-key join would emit

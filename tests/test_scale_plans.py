@@ -52,6 +52,21 @@ def test_no_cartesian_in_scalable_dedup(spark, sf_small):
     assert "CartesianProduct" not in p, "dedup_embedding"
 
 
+def test_sort_rank_has_no_global_window_funnel(spark, sf_small):
+    """sort_numeric_values uses the two-phase bucketed rank: the relation
+    must never flow through a single-partition exchange (the ≤65-row
+    offsets frame is the only thing allowed to, and at this size AQE
+    folds even that away). A regression back to the global
+    `Window.orderBy(value)` reintroduces `Exchange SinglePartition`
+    over the full relation."""
+    p = plan_of(QUERIES["sort_numeric_values"](spark, sf_small))
+    assert p.count("Exchange SinglePartition") <= 1, p
+    assert "BroadcastHashJoin" in p  # offsets joined broadcast, not shuffled
+    # the ranking window itself must be partitioned by the bucket key
+    rn = next(l for l in p.splitlines() if "row_number() windowspec" in l)
+    assert "windowspecdefinition(_bucket" in rn, rn
+
+
 def test_contingency_has_partial_aggregation(spark, sf_small):
     """The combiner the reference never had: map-side partial hash
     aggregation before the exchange."""
