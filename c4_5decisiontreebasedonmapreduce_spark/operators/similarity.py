@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+    CENTROID_STRIDE,  # deterministic pseudo-centroids: vec_id % 50 == 0
     _EMB_ELEMS_SQL,
     _dot,
     embeddings_with_norm,
@@ -25,7 +26,6 @@ from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
 
 N_QUERIES = 20  # query set: vec_id < 20
 TOP_K = 5
-CENTROID_STRIDE = 50  # deterministic pseudo-centroids: vec_id % 50 == 0
 # The synthetic embeddings are near-isotropic (mean pairwise cos ≈ 0), so
 # recall scales with the probed fraction; 6/10 buckets gives recall@5 ≈ 0.8
 # on sf0.001. On real (clustered) embedding corpora nprobe/nlist would be
@@ -162,3 +162,60 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+# SQL twin of the IVF path — the deterministic pseudo-codebook makes the
+# whole probe/assign/rank pipeline SQL-expressible, so the approximate
+# ANN result is hash-graded, not just recall-bounded. Mirrors the Spark
+# side exactly: vector↔centroid cosines ROUNDED to 6 (both
+# ivf_assignments and the probe ranking round), ties by centroid_id;
+# assignment keeps rn = 1, probing keeps rn <= N_PROBES; final exact
+# cosine rounded, rank ties by neighbor_id.
+SIMILARITY_ANN_IVF_SQL = f"""
+WITH {_EMB_ELEMS_SQL.strip()},
+vc AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         ROUND(CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE)
+               / (nv.norm * nc.norm), 6) AS c_cos
+  FROM elems v
+  JOIN elems c ON v.i = c.i AND c.vec_id % {CENTROID_STRIDE} = 0
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  GROUP BY v.vec_id, c.vec_id, nv.norm, nc.norm
+),
+ranked AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY c_cos DESC, centroid_id ASC) AS rn
+  FROM vc
+),
+assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id
+  FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(q.x * e.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN elems q ON q.vec_id = query_id
+  JOIN elems e ON e.vec_id = neighbor_id AND e.i = q.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(dot / (nq.norm * ne.norm), 6) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms ne ON ne.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}"""

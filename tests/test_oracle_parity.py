@@ -18,8 +18,16 @@ def duck(sf_small):
     con.close()
 
 
+# Golden oracles that pin the deterministic sf0.01 model: the driver's t2
+# gate always grades at sf0.01, so at any other sf the pinned split
+# structure (rightly) differs and the comparison is meaningless.
+SF001_PINNED = {"c45_train", "c45_predict"}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_small, duck, name):
+    if name in SF001_PINNED and not sf_small.rstrip("/").endswith("sf0.01"):
+        pytest.skip("golden oracle pins the sf0.01 model (driver t2 scale)")
     df = QUERIES[name](spark, sf_small)
     compare(df, duck, ORACLES[name], name)
 
@@ -28,3 +36,15 @@ def test_oracle_parity(spark, sf_small, duck, name):
 def test_rows_only(spark, sf_small, name):
     df = QUERIES[name](spark, sf_small)
     assert df.count() >= 0
+
+
+def test_c45_golden_oracles_at_driver_scale(spark, sf_oracle):
+    """The pinned c45 oracles, checked at the sf the driver actually
+    grades (sf0.01): structure from the deterministic model, n/label
+    recomputed by DuckDB from the raw parquet."""
+    con = duck_connection(sf_oracle)
+    try:
+        for name in sorted(SF001_PINNED):
+            compare(QUERIES[name](spark, sf_oracle), con, ORACLES[name], name)
+    finally:
+        con.close()

@@ -45,11 +45,14 @@ def test_no_cartesian_in_scalable_dedup(spark, sf_small):
         p = plan_of(QUERIES[name](spark, sf_small))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
-    # dedup_embedding's default is the IVF-pruned path: the only
-    # non-equi join allowed is the corpus × broadcast-CODEBOOK
-    # assignment (N×C, C tiny) — never an N×N CartesianProduct
-    p = plan_of(QUERIES["dedup_embedding"](spark, sf_small))
-    assert "CartesianProduct" not in p, "dedup_embedding"
+    # dedup_embedding_ivf is the embedding scale path: the only non-equi
+    # join allowed is the corpus × broadcast-CODEBOOK assignment (N×C,
+    # C tiny) — never an N×N CartesianProduct. (The plain dedup_embedding
+    # entry is the DECLARED exact all-pairs semantics twin, exempt like
+    # similarity_topk.)
+    for name in ("dedup_embedding_ivf", "similarity_ann_ivf"):
+        p = plan_of(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in p, name
 
 
 def test_sort_rank_has_no_global_window_funnel(spark, sf_small):
