@@ -376,6 +376,182 @@ def train(
     return model
 
 
+def _level_rels(
+    level: DataFrame,
+    *,
+    cat_names: list[str],
+    num_names: list[str],
+    label: str,
+    label_domain: list[str],
+    min_ratio: float,
+    hist_only: bool,
+) -> list[DataFrame]:
+    """One level's statistics relations, uniformly projected to
+    ``(kind, rid, aid, gain_ratio, boundary)`` so class histograms,
+    categorical gain ratios and numeric best-splits all ride ONE action.
+
+    ``hist_only`` (every node at this level is leaf-bound, i.e. the
+    max-depth level) skips the attribute melt entirely: the deepest
+    level has the widest frontier, so this drops the single largest
+    shuffle of the whole training run down to a plain
+    ``groupBy(rid, class)`` — the melt multiplies rows by |attrs|+1,
+    and none of those stats can ever be used at a depth-capped node."""
+    none_d = F.lit(None).cast("double")
+    if hist_only:
+        cc = level.groupBy(S.RID, F.col(label).alias(S.CLASS)).agg(
+            F.count("*").alias(S.CNT)
+        )
+        return [
+            cc.select(
+                F.lit("cc").alias("kind"),
+                S.RID,
+                F.col(S.CLASS).alias(S.AID),
+                F.col(S.CNT).cast("double").alias("gain_ratio"),
+                none_d.alias("boundary"),
+            )
+        ]
+    cont = S.mixed_contingency(
+        S.melt_mixed(level, cat_names, num_names, label)
+    )
+    cc_counts = cont.where(F.col(S.AID) == S.CC_AID).select(
+        S.RID, S.CLASS, S.CNT
+    )
+    info_df = S.node_info(cc_counts)  # broadcast — reused by both stats
+    rels = [
+        cc_counts.select(
+            F.lit("cc").alias("kind"),
+            S.RID,
+            F.col(S.CLASS).alias(S.AID),
+            F.col(S.CNT).cast("double").alias("gain_ratio"),
+            none_d.alias("boundary"),
+        )
+    ]
+    stats_parts = []
+    if cat_names:
+        cont_c = cont.where(F.col(S.AID).isin(cat_names)).select(
+            S.RID, S.AID, F.col("value_s").alias(S.VALUE), S.CLASS, S.CNT
+        )
+        stats_parts.append(
+            S.categorical_stats(cont_c, info_df).select(
+                S.RID, S.AID, "gain_ratio", none_d.alias("boundary")
+            )
+        )
+    if num_names:
+        cont_n = cont.where(F.col(S.AID).isin(num_names)).select(
+            S.RID, S.AID, F.col("value_d").alias(S.VALUE), S.CLASS, S.CNT
+        )
+        stats_parts.append(
+            S.numeric_best_split(
+                # binning caps groups at max_bins rows, so the plain
+                # per-group window beats the bucketed prefix sum here
+                cont_n, info_df, label_domain, min_ratio, bucketed=False
+            ).select(S.RID, S.AID, "gain_ratio", "boundary")
+        )
+    stats = stats_parts[0]
+    for part in stats_parts[1:]:
+        stats = stats.unionByName(part)
+    rels.append(
+        stats.select(
+            F.lit("st").alias("kind"), S.RID, S.AID, "gain_ratio", "boundary"
+        )
+    )
+    return rels
+
+
+def _decide_level(
+    model: "DecisionListModel",
+    frontier: list["Rule"],
+    hist: dict[int, dict[str, int]],
+    stats: dict[int, list],
+    *,
+    attr_order: list[str],
+    cat_domains: dict[str, list[str]],
+    label_domain: list[str],
+    max_depth: int,
+    min_rows: int,
+    best: dict[int, tuple] | None = None,
+) -> tuple[list["Rule"], list[tuple[int, list]]]:
+    """Turn one level's collected statistics into leaves + splits.
+
+    When ``best`` is given (the collected in-plan argmax) the split
+    choice comes from it verbatim — the same relation that keyed the
+    child level's statistics, so structure and stats can never disagree.
+    Otherwise the classic driver-side argmax runs: gain_ratio > 0 only
+    (the reference inits maxGR = 0, `Main.java:258-261`), skipping
+    attributes exhausted by the rule, ties by declaration order."""
+    next_frontier: list[Rule] = []
+    splits: list[tuple[int, list[tuple[Condition, int]]]] = []
+    attr_rank = {a: i for i, a in enumerate(attr_order)}
+    for i, rule in enumerate(frontier):
+        h = hist.get(i)
+        if not h:  # no rows reached this node (empty domain value)
+            label = _majority(
+                _parent_hist(hist, frontier, i) or {}, label_domain
+            )
+            model.rules.append(Rule(rule.conditions, label, 0, rule.depth))
+            continue
+        total = sum(h.values())
+        choice: tuple | None = None
+        if best is not None:
+            choice = best.get(i)
+        elif not (
+            len(h) == 1 or total < min_rows or rule.depth >= max_depth
+        ):
+            used = rule.used_attrs()
+            cands = [
+                r
+                for r in stats.get(i, [])
+                if r["gain_ratio"] > 0 and r[S.AID] not in used
+            ]
+            if cands:
+                bst = max(
+                    cands,
+                    key=lambda r: (r["gain_ratio"], -attr_rank[r[S.AID]]),
+                )
+                choice = (bst[S.AID], bst["boundary"])
+        if choice is None:
+            # pure / too small / depth-capped / no positive gain (or all
+            # numeric splits failed the guard): honest majority leaf (Q5)
+            model.rules.append(
+                Rule(
+                    rule.conditions,
+                    _majority(h, label_domain),
+                    total,
+                    rule.depth,
+                )
+            )
+            continue
+        aid, bd = choice
+        if bd is not None:
+            bd = float(bd)
+            conds = [Condition(aid, OP_LE, bd), Condition(aid, OP_GT, bd)]
+        else:
+            conds = [Condition(aid, OP_EQ, v) for v in cat_domains[aid]]
+        children = []
+        for c in conds:
+            children.append((c, len(next_frontier)))
+            next_frontier.append(rule.child(c))
+        splits.append((i, children))
+    return next_frontier, splits
+
+
+def _apply_splits(
+    level: DataFrame, splits: list[tuple[int, list]]
+) -> DataFrame:
+    """rid update: only this level's split conditions enter the plan."""
+    parts = []
+    for parent, children in splits:
+        inner = None
+        for cond, cid in children:
+            inner = (F.when if inner is None else inner.when)(
+                cond.column(), F.lit(cid)
+            )
+        parts.append(F.when(F.col(S.RID) == parent, inner))
+    return level.withColumn(S.RID, F.coalesce(*parts).cast("int")).where(
+        F.col(S.RID).isNotNull()
+    )
+
+
 def _grow_levels(
     *,
     model: DecisionListModel,
@@ -391,65 +567,43 @@ def _grow_levels(
     min_ratio: float,
     min_rows: int,
     cache: bool,
-    checkpoint_interval: int = 1,
 ) -> None:
-    """The level-synchronous growth loop (see :func:`train`)."""
-    depth_since_ckpt = 0
-    while frontier:
+    """The level-synchronous growth loop (see :func:`train`): ONE Spark
+    action per tree level (the reference's one-MR-job-per-level shape,
+    `Main.java:59-123`, plus the combiner it never had).
 
-        # ONE action per level (the reference's one-MR-job-per-level shape,
-        # `Main.java:59-123`, plus the combiner it never had): a single
-        # mixed melt + grouped count is the only data-sized exchange; the
-        # class-histogram ∪ categorical ∪ numeric stats branches all read
-        # that contingency (ReuseExchange dedups the shared child), and
-        # the collected result is ≤ |frontier|×|attrs| rows. Purity/guard
-        # decisions and the per-node argmax happen driver-side.
-        cont = S.mixed_contingency(
-            S.melt_mixed(level, cat_names, num_names, schema.label)
+    Level L's contingency feeds class histograms, categorical gain
+    ratios and numeric best-splits, all unioned into one
+    ``(kind, rid, aid, gain_ratio, boundary)`` relation so the collected
+    result is ≤ |frontier|×|attrs| rows; ReuseExchange dedups the shared
+    contingency child. Purity/guard decisions and the per-node argmax
+    happen driver-side (:func:`_decide_level`). The terminal level
+    (every node depth-capped) takes the ``hist_only`` fast path — a
+    plain ``groupBy(rid, class)`` with no attribute melt, dropping the
+    widest level's shuffle by a factor of |attrs|+1.
+
+    A two-levels-per-action variant (in-plan argmax + child stats in the
+    same query) was measured 28.0s vs 21.2s for this formulation at
+    sf0.1: the doubled plan's analysis/codegen cost exceeds the
+    scheduling it saves, so per-level it stays."""
+    decide_kw = dict(
+        attr_order=attr_order,
+        cat_domains=cat_domains,
+        label_domain=label_domain,
+        max_depth=max_depth,
+        min_rows=min_rows,
+    )
+    while frontier:
+        depth = frontier[0].depth  # level-synchronous: all nodes equal
+        rels = _level_rels(
+            level,
+            cat_names=cat_names,
+            num_names=num_names,
+            label=schema.label,
+            label_domain=label_domain,
+            min_ratio=min_ratio,
+            hist_only=depth >= max_depth,
         )
-        cc_counts = cont.where(F.col(S.AID) == S.CC_AID).select(
-            S.RID, S.CLASS, S.CNT
-        )
-        info_df = S.node_info(cc_counts)  # broadcast — reused by both stats
-        rels = [
-            cc_counts.select(
-                F.lit("cc").alias("kind"),
-                S.RID,
-                F.col(S.CLASS).alias(S.AID),
-                F.col(S.CNT).cast("double").alias("gain_ratio"),
-                F.lit(None).cast("double").alias("boundary"),
-            )
-        ]
-        if cat_names:
-            cont_c = cont.where(
-                F.col(S.AID).isin(cat_names)
-            ).select(S.RID, S.AID, F.col("value_s").alias(S.VALUE), S.CLASS, S.CNT)
-            rels.append(
-                S.categorical_stats(cont_c, info_df).select(
-                    F.lit("cat").alias("kind"),
-                    S.RID,
-                    S.AID,
-                    "gain_ratio",
-                    F.lit(None).cast("double").alias("boundary"),
-                )
-            )
-        if num_names:
-            cont_n = cont.where(
-                F.col(S.AID).isin(num_names)
-            ).select(S.RID, S.AID, F.col("value_d").alias(S.VALUE), S.CLASS, S.CNT)
-            rels.append(
-                S.numeric_best_split(
-                    # binning caps groups at max_bins rows, so the plain
-                    # per-group window beats the bucketed prefix sum here
-                    cont_n, info_df, label_domain, min_ratio, bucketed=False
-                ).select(
-                    F.lit("num").alias("kind"),
-                    S.RID,
-                    S.AID,
-                    "gain_ratio",
-                    "boundary",
-                )
-            )
         out = rels[0]
         for r in rels[1:]:
             out = out.unionByName(r)
@@ -465,89 +619,19 @@ def _grow_levels(
             else:
                 stats.setdefault(row[S.RID], []).append(row)
 
-        next_frontier: list[Rule] = []
-        # per split node: (parent rid, [(child condition, child rid), ...])
-        splits: list[tuple[int, list[tuple[Condition, int]]]] = []
-        attr_rank = {a: i for i, a in enumerate(attr_order)}
-        for i, rule in enumerate(frontier):
-            h = hist.get(i)
-            if not h:  # no rows reached this node (empty domain value)
-                label = _majority(
-                    _parent_hist(hist, frontier, i) or {}, label_domain
-                )
-                model.rules.append(Rule(rule.conditions, label, 0, rule.depth))
-                continue
-            total = sum(h.values())
-            if len(h) == 1 or total < min_rows or rule.depth >= max_depth:
-                model.rules.append(
-                    Rule(
-                        rule.conditions,
-                        _majority(h, label_domain),
-                        total,
-                        rule.depth,
-                    )
-                )
-                continue
-            # argmax over this node's stats: gain_ratio > 0 only (the
-            # reference inits maxGR = 0, `Main.java:258-261`), skipping
-            # attributes exhausted by the rule; ties by declaration order
-            used = rule.used_attrs()
-            cands = [
-                r
-                for r in stats.get(i, [])
-                if r["gain_ratio"] > 0 and r[S.AID] not in used
-            ]
-            if not cands:
-                # no attribute with positive gain (or all numeric splits
-                # failed the guard): honest majority leaf (Q5)
-                model.rules.append(
-                    Rule(
-                        rule.conditions,
-                        _majority(h, label_domain),
-                        total,
-                        rule.depth,
-                    )
-                )
-                continue
-            b = max(
-                cands,
-                key=lambda r: (r["gain_ratio"], -attr_rank[r[S.AID]]),
-            )
-            aid = b[S.AID]
-            if b["boundary"] is not None:
-                bd = float(b["boundary"])
-                conds = [Condition(aid, OP_LE, bd), Condition(aid, OP_GT, bd)]
-            else:
-                conds = [Condition(aid, OP_EQ, v) for v in cat_domains[aid]]
-            children = []
-            for c in conds:
-                children.append((c, len(next_frontier)))
-                next_frontier.append(rule.child(c))
-            splits.append((i, children))
-
-        frontier = next_frontier
-        if frontier:
-            # rid update: only THIS level's split conditions enter the plan
-            parts = []
-            for parent, children in splits:
-                inner = None
-                for cond, cid in children:
-                    inner = (F.when if inner is None else inner.when)(
-                        cond.column(), F.lit(cid)
-                    )
-                parts.append(F.when(F.col(S.RID) == parent, inner))
-            level = level.withColumn(
-                S.RID, F.coalesce(*parts).cast("int")
-            ).where(F.col(S.RID).isNotNull())
-            # per-level by default: the materialization (~0.3s locally)
-            # shrinks the data as leaves resolve and keeps every level's
-            # first stage identical for the codegen cache; measured faster
-            # than interval checkpointing (re-deriving levels recompiles
-            # the growing CASE stack and rescans unshrunk data)
-            depth_since_ckpt += 1
-            if cache and depth_since_ckpt >= checkpoint_interval:
-                level = level.localCheckpoint(eager=True)
-                depth_since_ckpt = 0
+        frontier, splits = _decide_level(
+            model, frontier, hist, stats, **decide_kw
+        )
+        if not frontier:
+            break
+        level = _apply_splits(level, splits)
+        # per-level: the materialization (~0.3s locally) shrinks the
+        # data as leaves resolve and keeps every level's first stage
+        # identical for the codegen cache (a flat frontier CASE WHEN
+        # overflows JVM 64KB method limits at depth ≥ 8 → interpreted
+        # fallback); measured faster than interval checkpointing
+        if cache:
+            level = level.localCheckpoint(eager=True)
 
 
 def _majority(h: dict[str, int], label_domain: list[str]) -> str:

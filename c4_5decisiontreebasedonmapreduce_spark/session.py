@@ -58,6 +58,15 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local"):
+        # local mode runs driver + all executor threads in ONE JVM;
+        # Spark's 1g default heap is sized for a cluster driver, not a
+        # 32-thread single-process engine. No effect if a JVM already
+        # exists (getOrCreate reuses it) or on a real cluster master.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -11,13 +11,12 @@ attribute, last line the class declaration
     play:yes,no                             # class (last line)
 
 Here the side-file becomes a typed :class:`TrainingSchema` and the TSV is
-read through ``spark.read.csv`` with an explicit ``StructType`` — so numeric
-columns arrive as doubles (the reference re-parses strings per row,
-`MyMapper.java:98-102`) and Catalyst can prune/push down.
-
-Divergence note (SURVEY.md Q-ledger): the reference splits rows on ``\\t+``
-(runs of tabs collapse, `MyMapper.java:30`); we treat a single tab as the
-delimiter — well-formed files behave identically.
+read via ``spark.read.text`` + a ``\\t+`` regexp split projected onto the
+schema's typed columns — the reference's exact row-parse semantics
+(`String.split("\\t+")`, `MyMapper.java:30`: RUNS of tabs collapse, so a
+doubled tab never yields an empty field) while numeric columns still
+arrive as doubles (the reference re-parses strings per row,
+`MyMapper.java:98-102`) and the whole projection stays inside codegen.
 """
 
 from __future__ import annotations
@@ -26,6 +25,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 CATEGORICAL = "categorical"
@@ -99,5 +99,20 @@ def parse_attributes_file(path: str | Path) -> TrainingSchema:
 def read_training_tsv(
     spark: SparkSession, path: str, schema: TrainingSchema
 ) -> DataFrame:
-    """Typed scan of a reference-format TSV training table."""
-    return spark.read.csv(path, sep="\t", schema=schema.spark_schema())
+    """Typed scan of a reference-format TSV training table.
+
+    Splits each line on RUNS of tabs (``\\t+``) exactly like the
+    reference's ``String.split("\\t+")`` (`MyMapper.java:30`) — on a
+    malformed file with doubled tabs the fields shift left instead of
+    becoming nulls, matching the reference bit-for-bit; well-formed files
+    are identical to a plain single-tab CSV read. The split + typed
+    element_at projection is pure Column code, so it whole-stage-codegens
+    like the csv reader did."""
+    parts = F.split(F.col("value"), r"\t+")
+    fields = schema.spark_schema().fields
+    return spark.read.text(path).select(
+        *[
+            F.element_at(parts, i + 1).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(fields)
+        ]
+    )

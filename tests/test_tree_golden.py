@@ -207,3 +207,24 @@ def test_unseen_categorical_predicts_majority(spark):
         r["color"]: r["prediction"] for r in model.transform(df).collect()
     }
     assert got == {"red": "R", "blue": "B", "chartreuse": "R"}
+
+
+def test_tsv_tab_runs_collapse_like_reference(tmp_path, spark, schema):
+    """The reference splits rows on RUNS of tabs (`String.split("\\t+")`,
+    `MyMapper.java:30`): a doubled tab collapses and fields shift left.
+    The reader must reproduce that — not emit a null column the way a
+    single-tab csv parse would."""
+    tsv = tmp_path / "malformed.tsv"
+    tsv.write_text(
+        "sunny\t\t85.0\t85.0\tfalse\tno\n"  # doubled tab after field 1
+        "rainy\t70.0\t96.0\tfalse\tyes\n"  # well-formed control row
+    )
+    rows = {
+        r["outlook"]: r
+        for r in read_training_tsv(spark, str(tsv), schema).collect()
+    }
+    bad, good = rows["sunny"], rows["rainy"]
+    assert (bad["temperature"], bad["humidity"], bad["windy"], bad["play"]) \
+        == (85.0, 85.0, "false", "no")
+    assert (good["temperature"], good["humidity"], good["play"]) \
+        == (70.0, 96.0, "yes")
