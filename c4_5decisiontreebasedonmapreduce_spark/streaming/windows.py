@@ -50,10 +50,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .load(stage)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    # same ts normalization as sources/parquet.load_table: nanos-long
+    # (legacy testdata) or TIMESTAMP_NTZ (current micros testdata) both
+    # become a session-zone TIMESTAMP
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

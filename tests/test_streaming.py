@@ -7,15 +7,15 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
+
 
 
 @pytest.fixture()
 def staged_events(tmp_path, spark, sf_small):
     """events split into two files: batch 1 = on-time rows, batch 2 =
     rows more than 3 hours older than batch 1's max timestamp (late)."""
-    ev = spark.read.parquet(f"{sf_small}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, sf_small, "events")
     cut = ev.agg(F.max("ts")).collect()[0][0]
     late = ev.where(F.col("ts") < F.lit(cut) - F.expr("INTERVAL 3 HOURS"))
     ontime = ev.where(F.col("ts") >= F.lit(cut) - F.expr("INTERVAL 3 HOURS"))
