@@ -1,6 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: each query runs once COLD (includes Janino codegen and any
+first-touch materialization), then $SPARK_GRAFT_BENCH_REPS (default 3)
+timed WARM runs; the headline per-query number is the warm MEDIAN, which
+is reproducible to ~±10% under background machine load — the single-cold
+-run figure recorded in rounds 1-4 inflated 1.5× on byte-identical code.
+Cold times are kept in "queries_cold" for first-run diagnosis. Queries
+that memoize across calls (c45_train's model cache) are reset between
+reps via registry._MODEL_CACHE.clear() so every rep does the real work.
 """
 
 from __future__ import annotations
@@ -43,31 +52,56 @@ BENCH_QUERIES = [
 ]
 
 
+# queries that memoize work across calls — reset before every timed run
+# so each rep re-does the real computation. Their downstream consumers
+# (c45_predict reuses c45_train's model, argmax_per_group reuses
+# level_stats' checkpoint) deliberately do NOT reset: reuse is their
+# designed semantics, and they run after their producer in BENCH_QUERIES.
+_RESET_BEFORE = {"c45_train", "level_stats"}
+
+
+def _run(qs, name, spark, sf_dir) -> tuple[float, int]:
+    if name in _RESET_BEFORE:
+        registry.reset_caches()
+    t0 = time.perf_counter()
+    n = qs[name](spark, sf_dir).count()
+    return time.perf_counter() - t0, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
     spark = get_spark(app_name="c45-bench")
     spark.range(1000).count()  # JVM warm-up, exclude startup from timings
 
     qs = registry.queries()
-    times: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        t, n = _run(qs, name, spark, sf_dir)
+        cold[name] = round(t, 3)
+        samples = sorted(_run(qs, name, spark, sf_dir)[0] for _ in range(reps))
+        warm[name] = round(samples[len(samples) // 2], 3)
+        print(
+            f"# {name}: warm-median {warm[name]:.3f}s"
+            f" cold {cold[name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": warm,
+                "queries_cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
+                "reps": reps,
                 "sf": sf,
             }
         )
