@@ -239,14 +239,22 @@ def numeric_best_split(
     # on near-identical keys would shuffle the |distinct|-sized relation
     # twice. True (the training path) reuses an existing shared contingency.
     agg = F.sum(CNT) if pre_aggregated else F.count(F.lit(1))
+    # single select for the fill+rename (each extra DataFrame op is a
+    # full re-analysis of the plan — this path runs once per tree level)
     matrix = (
         cont.groupBy(RID, AID, VALUE)
         .pivot(CLASS, list(label_domain))
         .agg(agg)
-        .na.fill(0)
+        .select(
+            RID,
+            AID,
+            VALUE,
+            *[
+                F.coalesce(F.col(f"`{lab}`"), F.lit(0)).alias(c)
+                for c, lab in zip(classes, label_domain)
+            ],
+        )
     )
-    for c, lab in zip(classes, label_domain):
-        matrix = matrix.withColumnRenamed(lab, c)
 
     if not bucketed:
         w_cum = (
@@ -346,28 +354,25 @@ def _score_candidates(
     ent_le = entropy_from_counts(n_le, sum_x_le)
     ent_gt = entropy_from_counts(n_gt, sum_x_gt)
 
-    cand = (
-        cum.withColumn("n", n)
-        .withColumn("n_le", n_le)
-        .withColumn("n_gt", n_gt)
-        # all distinct values except the max are candidate boundaries
-        .where(F.col("n_le") < F.col("n"))
-        # minimum-side guard (minDataRatio, `MyReducer.java:34`)
-        .where(
-            (F.col("n_le") >= F.lit(min_ratio) * F.col("n"))
-            & (F.col("n_gt") >= F.lit(min_ratio) * F.col("n"))
-        )
-        .withColumn(
-            "entr",
-            (F.col("n_le") * ent_le + F.col("n_gt") * ent_gt) / F.col("n"),
-        )
-        .withColumn(
-            "split_info",
-            entropy_from_counts(
-                F.col("n"),
-                xlog2x(F.col("n_le")) + xlog2x(F.col("n_gt")),
-            ),
-        )
+    # one select + one where (not chained withColumns) — this builder
+    # runs once per tree level and DataFrame-op analysis cost adds up
+    cand = cum.select(
+        RID,
+        AID,
+        F.col(VALUE),
+        n.alias("n"),
+        n_le.alias("n_le"),
+        n_gt.alias("n_gt"),
+        ((n_le * ent_le + n_gt * ent_gt) / n).alias("entr"),
+        entropy_from_counts(n, xlog2x(n_le) + xlog2x(n_gt)).alias(
+            "split_info"
+        ),
+    ).where(
+        # all distinct values except the max are candidate boundaries,
+        # then the minimum-side guard (minDataRatio, `MyReducer.java:34`)
+        (F.col("n_le") < F.col("n"))
+        & (F.col("n_le") >= F.lit(min_ratio) * F.col("n"))
+        & (F.col("n_gt") >= F.lit(min_ratio) * F.col("n"))
     )
 
     # argmin entr, ties broken by smallest boundary: lexicographic struct min

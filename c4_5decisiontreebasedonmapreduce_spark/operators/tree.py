@@ -27,6 +27,8 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -35,6 +37,14 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import c45_stats as S
 from c4_5decisiontreebasedonmapreduce_spark.sources.tsv import TrainingSchema
 
 OP_EQ, OP_LE, OP_GT = "==", "<=", ">"
+
+# Upper bound on contingency rows the driver-side stats path may collect.
+# The contingency is ≤ |frontier| × (Σ_cat |domain| + Σ_num bins) × |classes|
+# rows REGARDLESS of data volume (quantile binning caps numeric cardinality),
+# so at ~40 bytes/row this caps driver transfer at ~160 MB — the same
+# bounded-stats-collection contract MLlib's tree trainer relies on. Wider
+# frontiers/schemas fall back to the fully distributed reduction.
+_DRIVER_STATS_MAX_ROWS = 4_000_000
 
 
 @dataclass(frozen=True)
@@ -261,7 +271,21 @@ def _quantile_edges(
     n = sample.count()
     target = 100 * max_bins
     if n > 4 * target:
-        sample = sample.sample(fraction=target / n, seed=42)
+        # big input: one seeded-sample scan collected via Arrow, exact
+        # sample quantiles in numpy (method='lower' keeps edges actual
+        # data values). ~3× cheaper than approxQuantile's GK pass and
+        # the driver transfer is capped at ~target rows.
+        pdf = sample.sample(fraction=target / n, seed=42).toPandas()
+        out = {}
+        for a in num_names:
+            col = pdf[a].dropna().to_numpy(dtype=np.float64)
+            if len(col) == 0:
+                out[a] = []
+                continue
+            out[a] = sorted(
+                {float(e) for e in np.quantile(col, probs, method="lower")}
+            )
+        return out
     all_edges = sample.approxQuantile(num_names, probs, 1.0 / (4 * max_bins))
     return {
         a: sorted({float(e) for e in edges})
@@ -303,6 +327,7 @@ def train(
     min_rows: int = 2,
     cache: bool = True,
     max_bins: int = 256,
+    driver_stats_max_rows: int = _DRIVER_STATS_MAX_ROWS,
 ) -> DecisionListModel:
     """Grow a C4.5 tree level-synchronously; return the decision list.
 
@@ -354,6 +379,14 @@ def train(
     if cache:
         level = level.localCheckpoint(eager=True)
 
+    # per-node contingency row bound for the driver-side stats path:
+    # classes × (1 cc pseudo-attr + Σ cat domains + Σ numeric edge counts)
+    stat_rows_per_node = len(label_domain) * (
+        1
+        + sum(len(d) for d in cat_domains.values())
+        + sum(len(e) for e in edges.values())
+    )
+
     try:
         spark.conf.set(shuffle_key, "8")
         _grow_levels(
@@ -370,6 +403,8 @@ def train(
             min_ratio=min_ratio,
             min_rows=min_rows,
             cache=cache,
+            stat_rows_per_node=stat_rows_per_node,
+            driver_stats_max_rows=driver_stats_max_rows,
         )
     finally:
         spark.conf.set(shuffle_key, prev_shuffle)
@@ -552,6 +587,163 @@ def _apply_splits(
     )
 
 
+def _xlog2x_np(a: np.ndarray) -> np.ndarray:
+    """``c*log2(c)`` with 0·log2(0)=0 — numpy twin of functions.entropy."""
+    out = np.zeros_like(a, dtype=np.float64)
+    m = a > 0
+    out[m] = a[m] * np.log2(a[m])
+    return out
+
+
+def _entropy_np(n: float, sum_xlog2x: float) -> float:
+    """``log2(n) - Σc·log2(c)/n`` — numpy twin of entropy_from_counts."""
+    return float(np.log2(n) - sum_xlog2x / n) if n > 0 else 0.0
+
+
+def _gain_ratio_py(info: float, entr: float, split_info: float) -> float:
+    """Python twin of :func:`c45_stats._gain_ratio_col` (incl. the
+    reference's SplitI == 0 special case, `MyReducer.java:282-298`)."""
+    if split_info == 0.0:
+        return 0.0 if info == 0.0 else 0.00001
+    return max(0.0, info - entr) / split_info
+
+
+def _driver_level_stats(
+    pdf,
+    *,
+    cat_names: list[str],
+    num_names: list[str],
+    label_domain: list[str],
+    min_ratio: float,
+) -> tuple[dict[int, dict[str, int]], dict[int, list]]:
+    """Gain ratios + numeric best-splits computed driver-side from one
+    level's collected contingency (``(rid, aid, value_s, value_d, class,
+    cnt)`` rows, bounded — see ``_DRIVER_STATS_MAX_ROWS``).
+
+    Numerically mirrors the distributed builders in
+    :mod:`c45_stats` formula-for-formula (categorical_stats /
+    numeric_best_split / node_info); ``test_tree_golden`` and the
+    forced-distributed equivalence test pin the two paths to the same
+    model. Returns the same ``(hist, stats)`` shapes
+    :func:`_decide_level` consumes from the collected distributed rows.
+    """
+    classes = list(label_domain)
+    cidx = {c: i for i, c in enumerate(classes)}
+    k = len(classes)
+
+    hist: dict[int, dict[str, int]] = {}
+    cc = pdf[pdf[S.AID] == S.CC_AID]
+    for rid, cls, cnt in zip(cc[S.RID], cc[S.CLASS], cc[S.CNT]):
+        hist.setdefault(int(rid), {})[cls] = int(cnt)
+
+    node_info: dict[int, float] = {}
+    for rid, h in hist.items():
+        counts = np.fromiter(h.values(), dtype=np.float64)
+        node_info[rid] = _entropy_np(counts.sum(), _xlog2x_np(counts).sum())
+
+    stats: dict[int, list] = {}
+
+    def emit(rid: int, aid: str, gr: float, boundary) -> None:
+        stats.setdefault(rid, []).append(
+            {S.AID: aid, "gain_ratio": gr, "boundary": boundary}
+        )
+
+    if cat_names:
+        sub = pdf[pdf[S.AID].isin(cat_names)]
+        for (rid, aid), g in sub.groupby([S.RID, S.AID], sort=False):
+            rid = int(rid)
+            vals, inv = np.unique(g["value_s"].to_numpy(), return_inverse=True)
+            mat = np.zeros((len(vals), k), dtype=np.float64)
+            ci = np.fromiter(
+                (cidx[c] for c in g[S.CLASS]), dtype=np.int64, count=len(g)
+            )
+            np.add.at(mat, (inv, ci), g[S.CNT].to_numpy(dtype=np.float64))
+            nv = mat.sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent_v = np.where(
+                    nv > 0,
+                    np.log2(np.where(nv > 0, nv, 1.0))
+                    - _xlog2x_np(mat).sum(axis=1) / np.where(nv > 0, nv, 1.0),
+                    0.0,
+                )
+            n_attr = nv.sum()
+            entr = float((nv * ent_v).sum() / n_attr)
+            split_info = _entropy_np(n_attr, _xlog2x_np(nv).sum())
+            emit(
+                rid,
+                aid,
+                _gain_ratio_py(node_info[rid], entr, split_info),
+                None,
+            )
+
+    if num_names:
+        sub = pdf[pdf[S.AID].isin(num_names)]
+        for (rid, aid), g in sub.groupby([S.RID, S.AID], sort=False):
+            rid = int(rid)
+            vals, inv = np.unique(g["value_d"].to_numpy(), return_inverse=True)
+            mat = np.zeros((len(vals), k), dtype=np.float64)
+            ci = np.fromiter(
+                (cidx[c] for c in g[S.CLASS]), dtype=np.int64, count=len(g)
+            )
+            np.add.at(mat, (inv, ci), g[S.CNT].to_numpy(dtype=np.float64))
+            cum = np.cumsum(mat, axis=0)
+            tot = cum[-1]
+            n = float(tot.sum())
+            n_le = cum.sum(axis=1)
+            n_gt = n - n_le
+            # candidates: all distinct values except the max, then the
+            # minimum-side guard (minDataRatio, `MyReducer.java:34`)
+            mask = (
+                (n_le < n)
+                & (n_le >= min_ratio * n)
+                & (n_gt >= min_ratio * n)
+            )
+            if not mask.any():
+                continue  # reference emits gr=-1, never selected
+            sum_x_le = _xlog2x_np(cum).sum(axis=1)
+            sum_x_gt = _xlog2x_np(tot[None, :] - cum).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent_le = np.where(
+                    n_le > 0,
+                    np.log2(np.where(n_le > 0, n_le, 1.0))
+                    - sum_x_le / np.where(n_le > 0, n_le, 1.0),
+                    0.0,
+                )
+                ent_gt = np.where(
+                    n_gt > 0,
+                    np.log2(np.where(n_gt > 0, n_gt, 1.0))
+                    - sum_x_gt / np.where(n_gt > 0, n_gt, 1.0),
+                    0.0,
+                )
+            entr = (n_le * ent_le + n_gt * ent_gt) / n
+            split_info = _entropy_np_vec(n, n_le, n_gt)
+            # argmin (entr, value) — values ascend, so the first index of
+            # the minimal entr is the smallest boundary (struct-min twin)
+            ci_mask = np.flatnonzero(mask)
+            best_local = ci_mask[np.argmin(entr[ci_mask])]
+            emit(
+                rid,
+                aid,
+                _gain_ratio_py(
+                    node_info[rid],
+                    float(entr[best_local]),
+                    float(split_info[best_local]),
+                ),
+                float(vals[best_local]),
+            )
+
+    return hist, stats
+
+
+def _entropy_np_vec(
+    n: float, n_le: np.ndarray, n_gt: np.ndarray
+) -> np.ndarray:
+    """Vectorized two-way split information for a fixed total ``n``."""
+    if n <= 0:
+        return np.zeros_like(n_le)
+    return np.log2(n) - (_xlog2x_np(n_le) + _xlog2x_np(n_gt)) / n
+
+
 def _grow_levels(
     *,
     model: DecisionListModel,
@@ -567,6 +759,8 @@ def _grow_levels(
     min_ratio: float,
     min_rows: int,
     cache: bool,
+    stat_rows_per_node: int = 0,
+    driver_stats_max_rows: int = _DRIVER_STATS_MAX_ROWS,
 ) -> None:
     """The level-synchronous growth loop (see :func:`train`): ONE Spark
     action per tree level (the reference's one-MR-job-per-level shape,
@@ -595,29 +789,53 @@ def _grow_levels(
     )
     while frontier:
         depth = frontier[0].depth  # level-synchronous: all nodes equal
-        rels = _level_rels(
-            level,
-            cat_names=cat_names,
-            num_names=num_names,
-            label=schema.label,
-            label_domain=label_domain,
-            min_ratio=min_ratio,
-            hist_only=depth >= max_depth,
-        )
-        out = rels[0]
-        for r in rels[1:]:
-            out = out.unionByName(r)
-        collected = out.collect()
+        hist_only = depth >= max_depth
+        if (
+            not hist_only
+            and 0 < len(frontier) * stat_rows_per_node <= driver_stats_max_rows
+        ):
+            # bounded-contingency fast path: the level's plan is just
+            # melt → grouped count (the ONE data-sized exchange); the
+            # ≤ driver_stats_max_rows contingency comes back via Arrow
+            # and the gain-ratio / best-split reduction runs in numpy.
+            # Collapses ~10 tiny post-shuffle stages per level into 2 —
+            # at local scale the scheduling/codegen of those stages WAS
+            # the training time. Falls back to the fully distributed
+            # reduction for wide frontiers/schemas.
+            pdf = S.mixed_contingency(
+                S.melt_mixed(level, cat_names, num_names, schema.label)
+            ).toPandas()
+            hist, stats = _driver_level_stats(
+                pdf,
+                cat_names=cat_names,
+                num_names=num_names,
+                label_domain=label_domain,
+                min_ratio=min_ratio,
+            )
+        else:
+            rels = _level_rels(
+                level,
+                cat_names=cat_names,
+                num_names=num_names,
+                label=schema.label,
+                label_domain=label_domain,
+                min_ratio=min_ratio,
+                hist_only=hist_only,
+            )
+            out = rels[0]
+            for r in rels[1:]:
+                out = out.unionByName(r)
+            collected = out.collect()
 
-        hist: dict[int, dict[str, int]] = {}
-        stats: dict[int, list] = {}
-        for row in collected:
-            if row["kind"] == "cc":
-                hist.setdefault(row[S.RID], {})[row[S.AID]] = int(
-                    row["gain_ratio"]
-                )
-            else:
-                stats.setdefault(row[S.RID], []).append(row)
+            hist = {}
+            stats = {}
+            for row in collected:
+                if row["kind"] == "cc":
+                    hist.setdefault(row[S.RID], {})[row[S.AID]] = int(
+                        row["gain_ratio"]
+                    )
+                else:
+                    stats.setdefault(row[S.RID], []).append(row)
 
         frontier, splits = _decide_level(
             model, frontier, hist, stats, **decide_kw
@@ -625,13 +843,15 @@ def _grow_levels(
         if not frontier:
             break
         level = _apply_splits(level, splits)
-        # per-level: the materialization (~0.3s locally) shrinks the
-        # data as leaves resolve and keeps every level's first stage
-        # identical for the codegen cache (a flat frontier CASE WHEN
-        # overflows JVM 64KB method limits at depth ≥ 8 → interpreted
-        # fallback); measured faster than interval checkpointing
+        # per-level: the materialization shrinks the data as leaves
+        # resolve and keeps every level's first stage identical for the
+        # codegen cache (a flat frontier CASE WHEN overflows JVM 64KB
+        # method limits at depth ≥ 8 → interpreted fallback); measured
+        # faster than interval checkpointing. eager=False folds the
+        # materialization job into the next level's stats action — one
+        # fewer job dispatch per level.
         if cache:
-            level = level.localCheckpoint(eager=True)
+            level = level.localCheckpoint(eager=False)
 
 
 def _majority(h: dict[str, int], label_domain: list[str]) -> str:

@@ -228,3 +228,60 @@ def test_tsv_tab_runs_collapse_like_reference(tmp_path, spark, schema):
         == (85.0, 85.0, "false", "no")
     assert (good["temperature"], good["humidity"], good["play"]) \
         == (70.0, 96.0, "yes")
+
+
+def _rule_tuples(model):
+    return [
+        (
+            tuple((c.attr, c.op, str(c.value)) for c in r.conditions),
+            r.label,
+            r.n,
+            r.depth,
+        )
+        for r in model.rules
+    ]
+
+
+def test_driver_stats_path_equals_distributed(spark, weather, schema):
+    """The size-guarded driver-side stats path (collect the bounded
+    contingency, reduce in numpy) must produce the exact same model as
+    the fully distributed reduction it replaces — same splits, same
+    boundaries, same leaf labels and counts."""
+    fast = Tr.train(weather, schema, max_depth=5)  # driver path (tiny)
+    dist = Tr.train(
+        weather, schema, max_depth=5, driver_stats_max_rows=0
+    )  # forced distributed
+    assert _rule_tuples(fast) == _rule_tuples(dist)
+
+
+def test_driver_stats_path_equals_distributed_lineitem(spark, sf_small):
+    """Same equivalence on real parquet with mixed cat/num attributes."""
+    from c4_5decisiontreebasedonmapreduce_spark.registry import (
+        LINEITEM_TRAINING_SCHEMA,
+        lineitem_training,
+    )
+
+    df = lineitem_training(spark, sf_small)
+    fast = Tr.train(df, LINEITEM_TRAINING_SCHEMA, max_depth=3, min_rows=50)
+    dist = Tr.train(
+        df,
+        LINEITEM_TRAINING_SCHEMA,
+        max_depth=3,
+        min_rows=50,
+        driver_stats_max_rows=0,
+    )
+    assert _rule_tuples(fast) == _rule_tuples(dist)
+
+
+def test_model_cache_keyed_by_application(spark, sf_small):
+    """_MODEL_CACHE entries from another Spark application are evicted on
+    insert: a stale model can never grade after the data under a path
+    changes across sessions (VERDICT r4 nit #2)."""
+    from c4_5decisiontreebasedonmapreduce_spark import registry
+
+    stale_key = ("app-from-a-previous-life", sf_small)
+    registry._MODEL_CACHE[stale_key] = "stale-sentinel"
+    model = registry._train_model(spark, sf_small)
+    assert stale_key not in registry._MODEL_CACHE
+    app_id = spark.sparkContext.applicationId
+    assert registry._MODEL_CACHE[(app_id, sf_small)] is model
