@@ -180,9 +180,40 @@ def test_dedup_cluster_converges_on_long_chain(spark, sf_small, monkeypatch):
         [(i, i + 1, 1.0) for i in range(40)], "doc_a long, doc_b long, jaccard double"
     )
     monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda s, sf: chain)
-    out = dd.dedup_cluster(spark, sf_small, max_rounds=9).collect()
+    out = dd.dedup_cluster(
+        spark, sf_small, max_rounds=9, driver_max_edges=0
+    ).collect()
     assert len(out) == 41
     assert {r["cluster_rep"] for r in out} == {0}
+
+
+def test_dedup_cluster_driver_path_equals_distributed(
+    spark, sf_small, monkeypatch
+):
+    """The size-guarded driver union-find and the distributed
+    pointer-jumping loop must label every component identically —
+    including on a graph with several components and unordered edges."""
+    import c4_5decisiontreebasedonmapreduce_spark.operators.dedup as dd
+
+    edges = [(5, 2, 1.0), (9, 5, 1.0), (3, 7, 1.0), (11, 11, 1.0),
+             (20, 15, 1.0), (15, 14, 1.0), (14, 21, 1.0)]
+    pairs = spark.createDataFrame(
+        edges, "doc_a long, doc_b long, jaccard double"
+    )
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda s, sf: pairs)
+    fast = sorted(
+        map(tuple, dd.dedup_cluster(spark, sf_small).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            dd.dedup_cluster(
+                spark, sf_small, driver_max_edges=0
+            ).collect(),
+        )
+    )
+    assert fast == dist
+    assert fast  # non-empty
 
 
 def test_jaccard_df_cap_kills_hot_shingle_blowup(spark, monkeypatch):
