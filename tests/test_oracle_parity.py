@@ -48,3 +48,38 @@ def test_c45_golden_oracles_at_driver_scale(spark, sf_oracle):
             compare(QUERIES[name](spark, sf_oracle), con, ORACLES[name], name)
     finally:
         con.close()
+
+
+def test_c45_accuracy_pinned_at_driver_scale(spark, sf_oracle):
+    """Train-set accuracy of the deterministic sf0.01 model, verified two
+    ways (VERDICT r4 item 6): (a) against DuckDB ground truth — for each
+    rule of the trained model, DuckDB counts rows matching the rule's
+    conjunction whose label equals the rule's label, over the raw
+    parquet; accuracy = Σ correct / Σ rows; (b) pinned to the known
+    scalar so a silent model drift fails loudly."""
+    from c4_5decisiontreebasedonmapreduce_spark import registry
+
+    model = registry._train_model(spark, sf_oracle)
+    con = duck_connection(sf_oracle)
+    try:
+        correct = total = 0
+        for r in model.rules:
+            where = " AND ".join(c.sql() for c in r.conditions) or "TRUE"
+            row = con.execute(
+                f"""SELECT COUNT(*) AS n,
+                       COUNT(*) FILTER (
+                         WHERE {registry.LABEL} = '{r.label}'
+                       ) AS ok
+                FROM lineitem WHERE {where}"""
+            ).fetchone()
+            total += row[0]
+            correct += row[1]
+    finally:
+        con.close()
+    assert total > 0
+    expected = correct / total
+
+    got = registry.queries()["c45_accuracy"](spark, sf_oracle).collect()[0]
+    assert got["n_rules"] == len(model.rules)
+    assert abs(got["train_accuracy"] - expected) < 1e-6
+    assert got["train_accuracy"] == pytest.approx(0.343033, abs=1e-6)

@@ -279,6 +279,8 @@ def test_model_cache_keyed_by_application(spark, sf_small):
     changes across sessions (VERDICT r4 nit #2)."""
     from c4_5decisiontreebasedonmapreduce_spark import registry
 
+    registry._MODEL_CACHE.clear()  # force a fresh insert (the dead-app
+    # sweep runs on insert; a suite-order cache hit would skip it)
     stale_key = ("app-from-a-previous-life", sf_small)
     registry._MODEL_CACHE[stale_key] = "stale-sentinel"
     model = registry._train_model(spark, sf_small)
