@@ -112,11 +112,10 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     shingle is ubiquitous — at threshold ≥ 0.5 that means both documents
     are pure boilerplate; standard MinHash-era practice (df-capped
     shingling) accepts this."""
-    # the shingle relation feeds five plan branches (sizes, the df cap,
-    # both candidate sides, both verify sides); materialize it once
+    # the shingle relation feeds four plan branches (the df cap, both
+    # candidate sides, the per-doc set table); materialize it once
     # instead of re-running the tokenize/explode pipeline per branch
     sh = sh.localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     rare = sh.join(
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -131,18 +130,35 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    common = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
+    # verify via per-document shingle SETS + array_intersect: one row per
+    # candidate pair, instead of re-joining each pair against its ~k
+    # exploded shingles per side (which materializes |pairs| × k rows —
+    # measured 59M intermediate rows for 1.1M candidates at sf0.1).
+    # Shingles are distinct per document, so intersect size == exact
+    # common count over the FULL sets; sizes ride the same arrays.
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs")
     )
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        cand.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            F.size("sh_a").alias("sz_a"),
+            F.size("sh_b").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
