@@ -653,11 +653,12 @@ def _driver_level_stats(
         for (rid, aid), g in sub.groupby([S.RID, S.AID], sort=False):
             rid = int(rid)
             vals, inv = np.unique(g["value_s"].to_numpy(), return_inverse=True)
-            mat = np.zeros((len(vals), k), dtype=np.float64)
-            ci = np.fromiter(
-                (cidx[c] for c in g[S.CLASS]), dtype=np.int64, count=len(g)
-            )
-            np.add.at(mat, (inv, ci), g[S.CNT].to_numpy(dtype=np.float64))
+            # the distributed categorical path aggregates over every
+            # class PRESENT (no pivot over label_domain) — mirror by
+            # indexing the group's own class values, not the domain
+            g_classes, gci = np.unique(g[S.CLASS].to_numpy(), return_inverse=True)
+            mat = np.zeros((len(vals), len(g_classes)), dtype=np.float64)
+            np.add.at(mat, (inv, gci), g[S.CNT].to_numpy(dtype=np.float64))
             nv = mat.sum(axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 ent_v = np.where(
@@ -677,7 +678,9 @@ def _driver_level_stats(
             )
 
     if num_names:
-        sub = pdf[pdf[S.AID].isin(num_names)]
+        # the distributed numeric path pivots on label_domain, silently
+        # dropping out-of-domain classes — mirror with the same filter
+        sub = pdf[pdf[S.AID].isin(num_names) & pdf[S.CLASS].isin(cidx)]
         for (rid, aid), g in sub.groupby([S.RID, S.AID], sort=False):
             rid = int(rid)
             vals, inv = np.unique(g["value_d"].to_numpy(), return_inverse=True)

@@ -287,3 +287,18 @@ def test_model_cache_keyed_by_application(spark, sf_small):
     assert stale_key not in registry._MODEL_CACHE
     app_id = spark.sparkContext.applicationId
     assert registry._MODEL_CACHE[(app_id, sf_small)] is model
+
+
+def test_driver_stats_path_out_of_domain_labels(spark, schema):
+    """Rows whose label falls outside the declared domain: the
+    distributed numeric path drops them at the pivot while the
+    categorical path aggregates every class present. The driver-side
+    mirror must reproduce both behaviors, not crash."""
+    rows = ROWS + [
+        ("sunny", 77.0, 88.0, "false", "maybe"),
+        ("rainy", 66.0, 77.0, "true", "maybe"),
+    ]
+    df = spark.createDataFrame(rows, schema.spark_schema())
+    fast = Tr.train(df, schema, max_depth=3)
+    dist = Tr.train(df, schema, max_depth=3, driver_stats_max_rows=0)
+    assert _rule_tuples(fast) == _rule_tuples(dist)
