@@ -540,6 +540,11 @@ def _dot(a: Column, b: Column) -> Column:
 
 def embeddings_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # same spread-if-narrow guard as _shingles_df: a single-file scan
+    # would run every downstream decimal dot product on one core
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
     dec = _emb_decimal(F.col("embedding"))
     return e.select(
         "vec_id",
@@ -570,7 +575,10 @@ def dedup_embedding(
 
     ``exact=True`` keeps the all-pairs cross join — the oracle twin used
     to quantify pruning recall, NOT a 100 TB path."""
-    e = embeddings_with_norm(spark, sf_dir)
+    # the normed corpus feeds the codebook filter, the assignment
+    # crossJoin and both verify sides — materialize once (the cluster
+    # analog is writing the normed table bucketed by centroid)
+    e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
     a_cols = (
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
@@ -599,12 +607,16 @@ def dedup_embedding(
         w = Window.partitionBy("vec_id").orderBy(
             F.desc("c_cos"), F.asc("centroid_id")
         )
+        # materialized: both sides of the bucket self-join read it, and
+        # without this the N×C assignment crossJoin runs twice. Tiny —
+        # N × EMB_PROBES ids regardless of dimension.
         assign = (
             e.crossJoin(F.broadcast(cents))
             .withColumn("c_cos", c_cos)
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= EMB_PROBES)
             .select("vec_id", "centroid_id")
+            .localCheckpoint()
         )
         cand = (
             assign.select(F.col("vec_id").alias("vec_a"), "centroid_id")
