@@ -242,6 +242,11 @@ SELECT rid, aid, gain_ratio, boundary FROM ranked WHERE rn = 1"""
 
 
 def _frontier_level(spark: SparkSession, sf_dir: str, root: bool):
+    # NOTE: deliberately NOT repartitioned before the melt: the
+    # map-side partial aggregation collapses the melted rows, so a
+    # pre-spread (measured) costs a full raw-row shuffle for nothing —
+    # unlike the HOF/decimal-heavy shingle and embedding pipelines,
+    # where per-row compute dominates and spreading a narrow scan wins.
     df = lineitem_training(spark, sf_dir)
     if root:
         level = df.withColumn(S.RID, F.lit(0))
