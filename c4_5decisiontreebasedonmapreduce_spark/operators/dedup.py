@@ -397,6 +397,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-way bit crossJoin multiplying the token rows through the
     shuffle."""
     d = load_table(spark, sf_dir, "documents")
+    # spread-if-narrow, same reason as _shingles_df: the tokenize/
+    # explode/md5 pipeline is compute-heavy per row and a single-file
+    # scan would run it on one core
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("token"),
@@ -456,7 +462,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d < SIMHASH_BANDS, probabilistic above. Never an all-pairs
     cross join; the bucket join is what survives 100 TB (band key →
     shuffle-partitioned equi-join, candidates ∝ collisions)."""
-    sig = simhash_signatures(spark, sf_dir)
+    # materialized: the 4 per-band self-joins reference the signature
+    # relation on both sides (8 plan branches) — without this the whole
+    # tokenize/vote pipeline re-runs per branch
+    sig = simhash_signatures(spark, sf_dir).localCheckpoint()
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = sig.select(
         "doc_id",
