@@ -377,6 +377,9 @@ def train(
     # resolve, so later levels scan strictly less data.
     level = base.withColumn(S.RID, F.lit(0).cast("int"))
     if cache:
+        # eager: folding this materialization into level 0's action was
+        # measured neutral-to-worse; the separate job keeps the first
+        # level's timing observable
         level = level.localCheckpoint(eager=True)
 
     # per-node contingency row bound for the driver-side stats path:
