@@ -272,6 +272,11 @@ def numeric_best_split(
         )
         return _score_candidates(cum, info_df, classes, min_ratio)
 
+    # NOTE: the matrix feeds three branches (totals, the bucketed main
+    # pass, per-bucket offsets) but is deliberately NOT checkpointed:
+    # AQE's runtime exchange reuse already dedups the shared pivot
+    # exchange, and materializing the |distinct-values|-sized matrix
+    # was measured ~35% slower at sf0.1
     # per-(rid, aid) totals + value range: one parallel hash aggregate
     totals = matrix.groupBy(RID, AID).agg(
         *[F.sum(c).alias(f"tot_{c}") for c in classes],
