@@ -84,12 +84,17 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 WHERE rank <= {TOP_K}"""
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """Assign every vector to its nearest pseudo-centroid (vectors with
     vec_id % CENTROID_STRIDE == 0 serve as a deterministic codebook; a
     real deployment would drop in k-means centroids, the plumbing is
-    identical). One broadcast join — the corpus is scanned once."""
-    e = embeddings_with_norm(spark, sf_dir)
+    identical). One broadcast join — the corpus is scanned once. Pass a
+    materialized ``e`` (normed corpus) to share the scan with a caller's
+    other branches."""
+    if e is None:
+        e = embeddings_with_norm(spark, sf_dir)
     cents = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("emb").alias("c_emb"),
@@ -117,8 +122,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets per query, exact-rank only inside them. Candidates per
     query ≈ N_PROBES/n_centroids of the corpus — the scale path for
     ANN."""
-    e = embeddings_with_norm(spark, sf_dir)
-    assign = ivf_assignments(spark, sf_dir)
+    # normed corpus feeds the codebook, the query set, the assignment
+    # crossJoin and the final candidate join — materialize once
+    e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
+    assign = ivf_assignments(spark, sf_dir, e=e)
     cents = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("emb").alias("c_emb"),
