@@ -251,6 +251,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the candidate verify; materialize it once instead of
     # letting each consumer re-derive it from the documents scan.
     sh = sh.localCheckpoint()
+    # materialized: both sides of the band self-join melt from the same
+    # signature table; tiny (N × MINHASH_SEEDS ints) at any scale
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(
@@ -258,7 +260,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i, (a, b) in ((j, _mh_params(j)) for j in range(MINHASH_SEEDS))
         ]
-    )
+    ).localCheckpoint()
     # melt band signatures to (doc_id, band, sig) rows so ALL bands share
     # ONE self-join on (band, sig) — one exchange instead of a union of
     # per-band joins that each copy the signature subplan
