@@ -82,12 +82,20 @@ def main() -> None:
     med: dict[str, float] = {}
     best: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        t, n = _run(qs, name, spark, sf_dir)
-        cold[name] = round(t, 3)
-        samples = sorted(_run(qs, name, spark, sf_dir)[0] for _ in range(reps))
+        try:
+            t, n = _run(qs, name, spark, sf_dir)
+            cold[name] = round(t, 3)
+            samples = sorted(
+                _run(qs, name, spark, sf_dir)[0] for _ in range(reps)
+            )
+        except Exception as exc:  # one broken query must not kill the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         med[name] = round(samples[len(samples) // 2], 3)
         best[name] = round(samples[0], 3)
         print(
@@ -110,6 +118,7 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "reps": reps,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
