@@ -287,13 +287,44 @@ def _spark_num_best(level) -> DataFrame:
 
 
 def _spark_level_stats(level, exclude: list[tuple[int, str]]) -> DataFrame:
-    cat = _spark_cat_stats(level).select(
+    """Cat ∪ num stats for the fixed frontier in ONE data-sized pass:
+    the training loop's mixed-melt shape (melt_mixed → shared map-side-
+    combined contingency; the class-histogram, categorical and numeric
+    consumers share the exchange) instead of four independent scans of
+    the source. Numeric keeps the bucketed two-phase prefix sum — this
+    relation is unbinned, so per-group windows would serialize onto one
+    task per (node, attribute). Values are identical to the per-branch
+    builders (same formulas over the same integer counts)."""
+    cont = S.mixed_contingency(
+        S.melt_mixed(level, CAT_FEATS, NUM_FEATS, LABEL)
+    )
+    info = S.node_info(
+        cont.where(F.col(S.AID) == S.CC_AID).select(S.RID, S.CLASS, S.CNT)
+    )
+    cat = S.categorical_stats(
+        cont.where(F.col(S.AID).isin(CAT_FEATS)).select(
+            S.RID, S.AID, F.col("value_s").alias(S.VALUE), S.CLASS, S.CNT
+        ),
+        info,
+    ).select(
         S.RID,
         S.AID,
-        "gain_ratio",
+        F.round("gain_ratio", 6).alias("gain_ratio"),
         F.lit(None).cast("double").alias("boundary"),
     )
-    num = _spark_num_best(level).select(S.RID, S.AID, "gain_ratio", "boundary")
+    num = S.numeric_best_split(
+        cont.where(F.col(S.AID).isin(NUM_FEATS)).select(
+            S.RID, S.AID, F.col("value_d").alias(S.VALUE), S.CLASS, S.CNT
+        ),
+        info,
+        CLASSES,
+        0.1,
+    ).select(
+        S.RID,
+        S.AID,
+        F.round("gain_ratio", 6).alias("gain_ratio"),
+        "boundary",
+    )
     out = cat.unionByName(num)
     for r, a in exclude:
         out = out.where(~((F.col(S.RID) == r) & (F.col(S.AID) == a)))
