@@ -333,8 +333,12 @@ def train(
 
     One Spark action and ONE data-sized exchange per level: the mixed
     melt + grouped count; class histograms, categorical gain ratios and
-    numeric best-splits are all derived from that contingency. Collected
-    results are ≤ |frontier|×|attrs| rows per level.
+    numeric best-splits all derive from that contingency. When the
+    contingency's size bound (|frontier| × Σ domains/bins × |classes| ≤
+    ``driver_stats_max_rows`` — data-volume-independent thanks to
+    binning) permits, it is collected via Arrow and reduced in numpy
+    (see :func:`_driver_level_stats`); otherwise the reduction runs
+    distributed and the collected result is ≤ |frontier|×|attrs| rows.
     """
     attr_order = [a.name for a in schema.features]
     cat_names = [a.name for a in schema.categorical]
