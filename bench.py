@@ -73,7 +73,9 @@ def _run(qs, name, spark, sf_dir) -> tuple[float, int]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # clamp: reps <= 0 would leave `samples` empty and crash the whole
+    # run on the median index instead of recording a per-query error
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
     spark = get_spark(app_name="c45-bench")
     spark.range(1000).count()  # JVM warm-up, exclude startup from timings
@@ -82,6 +84,8 @@ def main() -> None:
     med: dict[str, float] = {}
     best: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    noisy: list[str] = []
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
@@ -98,9 +102,14 @@ def main() -> None:
             continue
         med[name] = round(samples[len(samples) // 2], 3)
         best[name] = round(samples[0], 3)
+        # dispersion = warm max/min; >1.5x flags a machine load spike so
+        # the artifact labels the noise instead of relitigating it later
+        spread[name] = round(samples[-1] / max(samples[0], 1e-9), 2)
+        if spread[name] > 1.5:
+            noisy.append(name)
         print(
             f"# {name}: warm-min {best[name]:.3f}s median {med[name]:.3f}s"
-            f" cold {cold[name]:.3f}s ({n} rows)",
+            f" cold {cold[name]:.3f}s spread {spread[name]:.2f}x ({n} rows)",
             file=sys.stderr,
         )
 
@@ -116,6 +125,8 @@ def main() -> None:
                 "queries_cold": cold,
                 "median_total": round(sum(med.values()), 3),
                 "cold_total": round(sum(cold.values()), 3),
+                "queries_spread": spread,
+                "load_noise_flagged": noisy,
                 "reps": reps,
                 "sf": sf,
                 **({"errors": errors} if errors else {}),

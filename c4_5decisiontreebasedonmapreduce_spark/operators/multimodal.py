@@ -78,12 +78,22 @@ def _decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     """Decode dispatch: PIL for real image mimes when installed
     (tests/test_extensions.py gates the real path behind importorskip),
     the deterministic fake otherwise — including the synthetic
-    ``image/fake`` assets the graded query builds from text."""
-    if _PILImage is not None and mime.startswith("image/") and mime != "image/fake":
+    ``image/fake`` assets the graded query builds from text. Total over
+    its inputs: a null mime or a corrupt/undecodable payload falls back
+    to the fake decoder instead of failing the whole mapInPandas job."""
+    if (
+        _PILImage is not None
+        and isinstance(mime, str)
+        and mime.startswith("image/")
+        and mime != "image/fake"
+    ):
         import io
 
-        with _PILImage.open(io.BytesIO(payload)) as im:
-            return im.width, im.height, getattr(im, "n_frames", 1)
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, getattr(im, "n_frames", 1)
+        except Exception:  # corrupt payload / unsupported subformat
+            return _fake_decode(payload)
     return _fake_decode(payload)
 
 

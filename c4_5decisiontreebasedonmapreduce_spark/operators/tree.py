@@ -387,7 +387,14 @@ def train(
         level = level.localCheckpoint(eager=True)
 
     # per-node contingency row bound for the driver-side stats path:
-    # classes × (1 cc pseudo-attr + Σ cat domains + Σ numeric edge counts)
+    # classes × (1 cc pseudo-attr + Σ cat domains + Σ numeric edge
+    # counts). Uses the DECLARED label domain: when data carries labels
+    # outside it (possible only with a hand-written attributes file —
+    # inferred schemas derive the domain from the data), the categorical
+    # contingency still keeps those rows, so the realized transfer is
+    # this same product with the TRUE class count — still
+    # frontier × domain-sized, never data-sized; the guard's purpose
+    # (bounding the Arrow collect) holds either way.
     stat_rows_per_node = len(label_domain) * (
         1
         + sum(len(d) for d in cat_domains.values())
@@ -540,15 +547,21 @@ def _decide_level(
             len(h) == 1 or total < min_rows or rule.depth >= max_depth
         ):
             used = rule.used_attrs()
+            # quantize before the argmax: the driver (numpy) and
+            # distributed (JVM) stats paths agree formula-for-formula
+            # but can differ in the last ulp; a raw float compare could
+            # flip the winner on a near-tie depending on which path the
+            # frontier-size guard picked. 1e-10 is far above ulp noise
+            # and far below any genuine gain-ratio difference.
             cands = [
-                r
+                (round(r["gain_ratio"], 10), r)
                 for r in stats.get(i, [])
-                if r["gain_ratio"] > 0 and r[S.AID] not in used
+                if round(r["gain_ratio"], 10) > 0 and r[S.AID] not in used
             ]
             if cands:
-                bst = max(
+                _, bst = max(
                     cands,
-                    key=lambda r: (r["gain_ratio"], -attr_rank[r[S.AID]]),
+                    key=lambda t: (t[0], -attr_rank[t[1][S.AID]]),
                 )
                 choice = (bst[S.AID], bst["boundary"])
         if choice is None:
