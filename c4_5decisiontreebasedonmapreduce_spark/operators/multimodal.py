@@ -45,6 +45,20 @@ SELECT doc_id,
 FROM documents"""
 
 
+# the stub decoder is MD5-derived (bytes 0/1/2 of md5(payload) — see
+# _fake_decode), so DuckDB can recompute width/height/n_frames exactly:
+# byte k of the digest is hex chars 2k+1..2k+2 of DuckDB's MD5() string.
+# This value-pins the whole mapInPandas decode stage, not just its shape.
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       'image/fake' AS mime,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+       CAST(16 + CAST(('0x' || substr(MD5(text), 1, 2)) AS INT) % 64 AS INT) AS width,
+       CAST(16 + CAST(('0x' || substr(MD5(text), 3, 2)) AS INT) % 64 AS INT) AS height,
+       CAST(1 + CAST(('0x' || substr(MD5(text), 5, 2)) AS INT) % 8 AS INT) AS n_frames
+FROM documents"""
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

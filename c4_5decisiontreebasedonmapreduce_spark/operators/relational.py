@@ -678,28 +678,50 @@ FROM events GROUP BY event_type"""
 N_SALTS = 8
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_src,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Hand-salted equi-join core: the skew-mitigation pattern for a hot
+    join key that AQE's runtime skew-split cannot always save (e.g. one
+    customer owning 10% of all orders). ``salt_src`` is a fact-side
+    integer Column spreading each key's rows across ``n_salts`` (e.g.
+    ``pmod`` of a row-unique id); the dim side is replicated across all
+    salts via a broadcast cross join (n_salts × |dim| rows — dim must be
+    the small side); joining on (key, salt) splits each hot key's rows
+    over n_salts shuffle partitions. Result rows are identical to the
+    unsalted join (pinned by the skew stress test in test_scale_plans
+    and the registry entry's DuckDB oracle)."""
+    spark = fact.sparkSession
+    salts = spark.range(n_salts).select(
+        F.col("id").cast("int").alias("salt")
+    )
+    dim_rep = dim.crossJoin(F.broadcast(salts))
+    f = fact.withColumn("salt", salt_src.cast("int"))
+    return f.join(
+        dim_rep,
+        (f[fact_key] == dim_rep[dim_key]) & (f["salt"] == dim_rep["salt"]),
+    )
+
+
 def join_salted_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hand-salted equi-join: the skew-mitigation pattern for a hot join
-    key that AQE's runtime skew-split cannot always save (e.g. a single
-    customer owning 10% of all orders). The fact side derives a
-    deterministic salt from its rows; the dim side is replicated across
-    all salts; joining on (key, salt) splits each hot key's rows over
-    N_SALTS tasks. Result is identical to the unsalted join — which is
-    the oracle."""
+    """Registry entry: salted orders ⋈ customer revenue rollup (see
+    :func:`salted_join`); the oracle is the plain unsalted join."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    salts = spark.range(N_SALTS).select(F.col("id").cast("int").alias("salt"))
-    cust_rep = cust.crossJoin(F.broadcast(salts))
-    fact = orders.withColumn(
-        "salt", F.pmod(F.col("o_orderkey"), F.lit(N_SALTS)).cast("int")
-    )
     return (
-        fact.join(
-            cust_rep,
-            (fact["o_custkey"] == cust_rep["c_custkey"])
-            & (fact["salt"] == cust_rep["salt"]),
+        salted_join(
+            orders,
+            cust,
+            "o_custkey",
+            "c_custkey",
+            F.pmod(F.col("o_orderkey"), F.lit(N_SALTS)),
         )
         .groupBy("c_mktsegment")
         .agg(

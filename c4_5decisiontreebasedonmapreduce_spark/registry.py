@@ -1017,7 +1017,10 @@ from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table  #
 _register("c45_accuracy", _c45_accuracy_query)  # iterative: rows-only
 _register("mllib_train", _mllib_train_query)  # MLlib internals: rows-only
 _register("mllib_kmeans", _mllib_kmeans_query)  # MLlib internals: rows-only
-_register("multimodal_decode", M.multimodal_decode)  # pandas-UDF stage: rows-only
+# the stub decode is MD5-derived, so the mapInPandas stage is fully
+# value-pinned by a DuckDB oracle (past the driver's 50-entry grading
+# window, but hash-graded by tests/test_oracle_parity.py)
+_register("multimodal_decode", M.multimodal_decode, M.MULTIMODAL_DECODE_SQL)
 _register("approx_sketches", R.approx_sketches)  # sketch internals: rows-only
 _register("sort_limit", R.sort_limit_lineitems)  # graded via q3 / rank
 _register("doc_fingerprint", TX.doc_fingerprint)  # graded via text_stats
