@@ -117,6 +117,35 @@ def ivf_assignments(
     )
 
 
+def write_ivf_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "ivf_corpus",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Cluster-scale IVF layout: materialize the assignment-joined corpus
+    as a table BUCKETED BY ``centroid_id``. A probe join on centroid_id
+    then reads the corpus side pre-partitioned — no Exchange on the big
+    (bucketed) side — and an IN-list of probed centroids prunes whole
+    buckets at scan time. This is the persisted analog of the
+    ``localCheckpoint`` the in-session queries use; at 100 TB the
+    assignment pass runs once and every subsequent probe batch joins
+    against this table shuffle-free (plan-asserted in
+    test_scale_plans.py::test_ivf_bucketed_probe_join_no_shuffle)."""
+    e = embeddings_with_norm(spark, sf_dir)
+    corpus = ivf_assignments(spark, sf_dir, e=e).join(e, "vec_id")
+    writer = (
+        corpus.write.mode("overwrite")
+        .bucketBy(n_buckets, "centroid_id")
+        .sortBy("centroid_id")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: probe the N_PROBES nearest centroid
     buckets per query, exact-rank only inside them. Candidates per

@@ -83,6 +83,52 @@ def test_scan_training_prunes_columns(spark, sf_small):
     assert "l_orderkey" not in sch and "l_shipdate" not in sch
 
 
+def test_ivf_bucketed_probe_join_no_shuffle(spark, sf_small, tmp_path):
+    """The persisted IVF layout (VERDICT r5 item 4): the assignment-
+    joined corpus written bucketed by centroid_id must join against a
+    probe relation with NO Exchange on the corpus side (the bucketed
+    scan already satisfies the join's distribution), and an IN-filter of
+    probed centroids must prune whole buckets at scan time."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        similarity as SIM,
+    )
+
+    table = "ivf_corpus_plan_test"
+    corpus = SIM.write_ivf_bucketed(
+        spark, sf_small, table=table, n_buckets=8,
+        path=str(tmp_path / "ivf"),
+    )
+    probes = spark.range(4).select(
+        (F.col("id") * 50).alias("centroid_id"),
+        F.col("id").alias("query_id"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force SMJ: a broadcast join would trivially have no shuffle and
+    # prove nothing about the bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(corpus.join(probes, "centroid_id"))
+        assert "SortMergeJoin" in p, p
+        assert "Bucketed: true" in p, p
+        # exactly one Exchange node (formatted explain prints each node
+        # as "(n) Exchange") — the probe side; the bucketed corpus side
+        # reads pre-partitioned on the join key
+        assert p.count(") Exchange") == 1, p
+        scan = p[p.index("Scan parquet") :]
+        assert "SelectedBucketsCount: 8 out of 8" in scan
+
+        # bucket pruning: restricting the corpus to the probed centroids
+        # skips non-matching bucket files entirely at scan time
+        pruned = corpus.where(F.col("centroid_id").isin(0, 50)).join(
+            probes, "centroid_id"
+        )
+        p2 = plan_of(pruned)
+        assert "SelectedBucketsCount: 2 out of 8" in p2, p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_salted_join_bounds_skewed_partitions(spark):
     """The graded join_salted entry runs on uniform orders data, so the
     salting was never exercised against real skew (VERDICT r5 item 5).
