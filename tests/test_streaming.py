@@ -81,8 +81,41 @@ def test_watermark_bounds_state(spark, staged_events):
     # only the horizon's worth
     assert final_state_rows <= 3, (final_state_rows, total_windows)
     assert total_windows > 100
-    # closed windows were emitted on eviction (append-mode contract)
-    assert spark.table(name).count() > 0
+
+    # deterministic eviction pin (VERDICT r5 item 7). Observed Spark 4.1
+    # microbatch semantics: the late-event FILTER uses the watermark from
+    # one batch behind (batch N filters with batch N-1's input watermark)
+    # while EVICTION uses the current one — so the late batch, arriving
+    # immediately after the watermark-advancing batch, is aggregated and
+    # evicted-with-emission in the same microbatch rather than dropped
+    # (a third, later-arriving batch WOULD be dropped). The emitted set
+    # is therefore EXACTLY every touched window with end <= wm carrying
+    # its complete cross-batch count, and the retained state exactly the
+    # windows still above wm — both computable from the fixture.
+    from datetime import timedelta
+
+    allrows = ontime.unionByName(late)
+    wm = ontime.agg(F.max("ts")).collect()[0][0] - timedelta(hours=1)
+    expected = (
+        allrows.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("w.end") <= F.lit(wm))
+    )
+    got = sorted(
+        (r["w"]["start"], r["w"]["end"], r["n"])
+        for r in spark.table(name).collect()
+    )
+    want = sorted(
+        (r["w"]["start"], r["w"]["end"], r["n"])
+        for r in expected.collect()
+    )
+    assert got == want
+    assert final_state_rows == (
+        allrows.select(F.window("ts", "1 hour").alias("w"))
+        .where(F.col("w.end") > F.lit(wm))
+        .distinct()
+        .count()
+    )
 
 
 def test_streaming_two_batches_incremental(spark, staged_events):
