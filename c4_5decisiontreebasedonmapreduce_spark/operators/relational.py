@@ -260,57 +260,6 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 # windows / sorts / grouping sets / set ops
 
 
-def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer by total price (deterministic ties)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        o.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
-    )
-
-
-WINDOW_TOPK_SQL = """
-SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
-  FROM orders)
-WHERE rank <= 3"""
-
-
-def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative customer spend over time — ordered running aggregate."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .over(w)
-            .cast("double"),
-            2,
-        ).alias("running_spend"),
-    )
-
-
-WINDOW_RUNNING_SQL = """
-SELECT o_custkey, o_orderkey, o_orderdate,
-  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend
-FROM orders"""
-
-
 N_RANK_BUCKETS = 64
 
 
