@@ -97,6 +97,27 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_DF_CAP = 1000  # max document-frequency of a candidate-gen shingle
 
 
+def _jaccard_candidates(sh: DataFrame) -> DataFrame:
+    """Rare-shingle candidate pairs (doc_a < doc_b, distinct): the
+    equi-join half of :func:`_jaccard_pairs`, factored out so the
+    scaling probe/tests can measure candidate growth directly. ``sh``
+    should be materialized by the caller — it feeds three branches."""
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle"),
+        "shingle",
+    )
+    return (
+        rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Shingle-sharing candidate pairs → exact Jaccard ≥ threshold.
     The join key is the shingle, so only documents that share content
@@ -116,20 +137,7 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     # candidate sides, the per-doc set table); materialize it once
     # instead of re-running the tokenize/explode pipeline per branch
     sh = sh.localCheckpoint()
-    rare = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= SHINGLE_DF_CAP)
-        .select("shingle"),
-        "shingle",
-    )
-    cand = (
-        rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(rare.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _jaccard_candidates(sh)
     # verify via per-document shingle SETS + array_intersect: one row per
     # candidate pair, instead of re-joining each pair against its ~k
     # exploded shingles per side (which materializes |pairs| × k rows —
@@ -233,24 +241,11 @@ def _mh_params(i: int) -> tuple[int, int]:
 _N_BANDS = MINHASH_SEEDS // MINHASH_BAND_ROWS
 
 
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: 32 affine hash functions over a shared
-    60-bit base hash (8 bands × 4 rows); documents colliding on any band
-    signature become candidates, then exact Jaccard verifies.
-
-    All 32 minima fold into ONE grouped aggregation — the shuffle
-    carries 32 numbers per document, not 32× the shingle rows (the naive
-    seed crossJoin) — and each shingle is MD5-hashed once, the affine
-    family being integer arithmetic. The band equi-join replaces the
-    all-pairs comparison — what makes near-dedup feasible at 100 TB
-    (candidates scale with collisions, not corpus²)."""
-    sh = _shingles_df(spark, sf_dir).withColumn(
-        "h", md5_long(F.col("shingle")) % MINHASH_P
-    )
-    # The shingle explode + MD5 scan feeds the signature aggregation AND
-    # both sides of the candidate verify; materialize it once instead of
-    # letting each consumer re-derive it from the documents scan.
-    sh = sh.localCheckpoint()
+def _minhash_candidates(sh: DataFrame) -> DataFrame:
+    """LSH band-collision candidate pairs (doc_a < doc_b, distinct) from
+    a materialized ``(doc_id, shingle, h)`` relation — the signature +
+    band-join half of :func:`dedup_minhash`, factored out so the scaling
+    probe/tests can measure candidate growth directly."""
     # materialized: both sides of the band self-join melt from the same
     # signature table; tiny (N × MINHASH_SEEDS ints) at any scale
     mins = sh.groupBy("doc_id").agg(
@@ -286,7 +281,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
-    cand = (
+    return (
         banded_long.select(F.col("doc_id").alias("doc_a"), "band", "sig")
         .join(
             banded_long.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
@@ -296,6 +291,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: 32 affine hash functions over a shared
+    60-bit base hash (8 bands × 4 rows); documents colliding on any band
+    signature become candidates, then exact Jaccard verifies.
+
+    All 32 minima fold into ONE grouped aggregation — the shuffle
+    carries 32 numbers per document, not 32× the shingle rows (the naive
+    seed crossJoin) — and each shingle is MD5-hashed once, the affine
+    family being integer arithmetic. The band equi-join replaces the
+    all-pairs comparison — what makes near-dedup feasible at 100 TB
+    (candidates scale with collisions, not corpus²)."""
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "h", md5_long(F.col("shingle")) % MINHASH_P
+    )
+    # The shingle explode + MD5 scan feeds the signature aggregation AND
+    # both sides of the candidate verify; materialize it once instead of
+    # letting each consumer re-derive it from the documents scan.
+    sh = sh.localCheckpoint()
+    cand = _minhash_candidates(sh)
     # verify ONLY the candidates (the whole point of LSH): count common
     # shingles along the candidate pairs, never via the all-pairs
     # shingle self-join

@@ -1,0 +1,113 @@
+"""Scaling probe for the dedup pipeline: candidate counts + wall time
+as the corpus multiplies.
+
+Builds K-times-multiplied copies of $SPARK_GRAFT_SF_DIR/documents.parquet.
+Every copy beyond the first gets each token prefixed with a copy tag
+(`c3the c3quick ...`), so copies are mutually non-duplicate in shingle
+space while each copy preserves the original near-dup structure exactly —
+i.e. the TRUE duplicate workload (clusters, verified pairs) scales
+linearly with K, and any superlinear growth in candidate pairs or wall
+time is the pipeline bending, not the data. This is the multiplied-corpus
+analog of the c45_train 10x probe (SURVEY §7).
+
+Measured per K, each in a fresh timing (cold within one session):
+  - n_docs, shingle rows
+  - jaccard candidate pairs (rare-shingle equi-join, SHINGLE_DF_CAP)
+  - minhash candidate pairs (LSH band collisions)
+  - wall time of dedup_ngram_jaccard / dedup_minhash / dedup_cluster
+
+Usage: python scripts/probe_dedup_scaling.py [K ...]   (default: 1 3 10)
+Prints one JSON line per K.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from c4_5decisiontreebasedonmapreduce_spark import get_spark  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (  # noqa: E402
+    load_table,
+)
+
+
+def build_multiplied(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    """K disjoint near-copies of the documents table: copy i offsets
+    doc_id and prefixes every token with ``c{i}`` (copy 0 is verbatim)."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = d.columns
+    parts = [d]
+    for i in range(1, k):
+        parts.append(
+            d.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 100_000_000)
+            )
+            .withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"c{i}$1")
+            )
+            .select(cols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def probe(spark, sf_dir: str, k: int) -> dict:
+    tmp = tempfile.mkdtemp(prefix=f"dedup_probe_x{k}_")
+    try:
+        build_multiplied(spark, sf_dir, k, tmp)
+        rec: dict = {"k": k}
+        rec["n_docs"] = load_table(spark, tmp, "documents").count()
+
+        sh = D._shingles_df(spark, tmp).localCheckpoint()
+        rec["shingle_rows"] = sh.count()
+        t0 = time.perf_counter()
+        rec["jaccard_candidates"] = D._jaccard_candidates(sh).count()
+        rec["jaccard_cand_sec"] = round(time.perf_counter() - t0, 2)
+        shh = sh.withColumn(
+            "h", D.md5_long(F.col("shingle")) % D.MINHASH_P
+        ).localCheckpoint()
+        t0 = time.perf_counter()
+        rec["minhash_candidates"] = D._minhash_candidates(shh).count()
+        rec["minhash_cand_sec"] = round(time.perf_counter() - t0, 2)
+
+        for name, fn in (
+            ("ngram_jaccard", D.dedup_ngram_jaccard),
+            ("minhash", D.dedup_minhash),
+            ("cluster", D.dedup_cluster),
+        ):
+            t0 = time.perf_counter()
+            rec[f"{name}_rows"] = fn(spark, tmp).count()
+            rec[f"{name}_sec"] = round(time.perf_counter() - t0, 2)
+        return rec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    spark = get_spark(app_name="dedup-scaling-probe")
+    spark.range(1000).count()
+    for k in ks:
+        print(json.dumps({"sf_dir": sf_dir, **probe(spark, sf_dir, k)}))
+        sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
