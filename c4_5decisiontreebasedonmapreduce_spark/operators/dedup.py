@@ -825,10 +825,18 @@ def dedup_cluster(
     union-find over the collected (bounded) edge list is exact and
     costs less than one distributed round's scheduling. The
     equivalence of the two paths is pinned by a test."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # materialize the edge list ONCE: every propagation round joins
-    # against it, and without this each round's job would re-run the
-    # entire shingle/candidate/verify pipeline upstream of the pairs
+    # materialize the PAIRS before symmetrizing: the union references
+    # the pairs relation twice (forward + swapped), and without this
+    # both branches re-run the entire shingle/candidate/verify pipeline
+    # (measured 72s → 42s for the 10×-corpus probe). Tiny: one row per
+    # verified near-dup pair.
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    # materialize the edge list too: every propagation round joins
+    # against it, and without this each round's job would re-derive it
     # (measured 80s → 12s at sf0.1). Bounded by the near-dup pair count.
     edges = (
         pairs.union(
