@@ -316,3 +316,28 @@ def test_dedup_candidate_growth_is_linear(spark, sf_small, tmp_path):
         D.dedup_ngram_jaccard(spark, d3).count()
         == 3 * D.dedup_ngram_jaccard(spark, d1).count()
     )
+
+
+def test_pil_decode_falls_back_on_corrupt_payload(spark):
+    """ADVICE r5: with PIL installed, a corrupt payload under a real
+    image mime (or a null mime) must fall back to the deterministic fake
+    decoder instead of failing the whole mapInPandas job."""
+    pytest.importorskip("PIL.Image")
+    from c4_5decisiontreebasedonmapreduce_spark.operators.multimodal import (
+        _fake_decode,
+        decode_assets,
+    )
+
+    junk = b"not an image at all"
+    assets = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(junk)),  # corrupt under real mime
+            (2, None, bytearray(junk)),  # null mime
+        ],
+        "doc_id long, mime string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_assets(assets).collect()}
+    w, h, nf = _fake_decode(junk)
+    for doc_id in (1, 2):
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)

@@ -83,6 +83,20 @@ def test_scan_training_prunes_columns(spark, sf_small):
     assert "l_orderkey" not in sch and "l_shipdate" not in sch
 
 
+def test_jaccard_verify_reuses_docset_exchange(spark, sf_small):
+    """The per-doc shingle-set aggregation feeds BOTH sides of the
+    candidate verify join. The static plan carries it twice, but at
+    runtime AQE must dedup the identical exchange (ReusedExchange) so
+    the shingle table is shuffled into doc-sets once, not twice — at
+    cluster scale the duplicate would be a full second shuffle of the
+    corpus's shingle data."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, sf_small)
+    df.collect()
+    p = plan_of(df)
+    assert "isFinalPlan=true" in p
+    assert p.count(") ReusedExchange") >= 1, p
+
+
 def test_ivf_bucketed_probe_join_no_shuffle(spark, sf_small, tmp_path):
     """The persisted IVF layout (VERDICT r5 item 4): the assignment-
     joined corpus written bucketed by centroid_id must join against a
