@@ -1022,8 +1022,11 @@ _register("mllib_kmeans", _mllib_kmeans_query)  # MLlib internals: rows-only
 # window, but hash-graded by tests/test_oracle_parity.py)
 _register("multimodal_decode", M.multimodal_decode, M.MULTIMODAL_DECODE_SQL)
 _register("approx_sketches", R.approx_sketches)  # sketch internals: rows-only
-_register("sort_limit", R.sort_limit_lineitems)  # graded via q3 / rank
-_register("doc_fingerprint", TX.doc_fingerprint)  # graded via text_stats
+# both past the driver's 50-entry grading window, but their SQL twins
+# make them hash-graded by tests/test_oracle_parity.py (like
+# multimodal_decode) rather than rows-only
+_register("sort_limit", R.sort_limit_lineitems, R.SORT_LIMIT_SQL)
+_register("doc_fingerprint", TX.doc_fingerprint, TX.DOC_FINGERPRINT_SQL)
 
 
 def queries() -> dict[str, QueryFn]:
