@@ -295,9 +295,17 @@ def _spark_level_stats(level, exclude: list[tuple[int, str]]) -> DataFrame:
     relation is unbinned, so per-group windows would serialize onto one
     task per (node, attribute). Values are identical to the per-branch
     builders (same formulas over the same integer counts)."""
+    # materialize the shared contingency ONCE: its three consumers (the
+    # class histogram, categorical stats, numeric best-split) filter it
+    # differently, which defeats static/AQE exchange reuse — the
+    # un-checkpointed plan re-ran the scan+melt+count up to 7 times
+    # (7 parquet scans observed in the AQE final plan; ~10s → ~5s at
+    # sf0.1). Bounded: ≤ |frontier| × (Σ domains + Σ distinct numeric
+    # values) × |classes| rows — the same relation the bucketed prefix
+    # sum processes anyway.
     cont = S.mixed_contingency(
         S.melt_mixed(level, CAT_FEATS, NUM_FEATS, LABEL)
-    )
+    ).localCheckpoint()
     info = S.node_info(
         cont.where(F.col(S.AID) == S.CC_AID).select(S.RID, S.CLASS, S.CNT)
     )
