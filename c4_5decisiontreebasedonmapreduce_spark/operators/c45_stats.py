@@ -272,11 +272,16 @@ def numeric_best_split(
         )
         return _score_candidates(cum, info_df, classes, min_ratio)
 
-    # NOTE: the matrix feeds three branches (totals, the bucketed main
-    # pass, per-bucket offsets) but is deliberately NOT checkpointed:
-    # AQE's runtime exchange reuse already dedups the shared pivot
-    # exchange, and materializing the |distinct-values|-sized matrix
-    # was measured ~35% slower at sf0.1
+    # the matrix feeds three branches (totals, the bucketed main pass,
+    # per-bucket offsets); materialize it once. AQE exchange reuse only
+    # partially dedups the copies — the un-checkpointed AQE final plan
+    # still carried 5 parquet scans (scan+melt replayed per non-reused
+    # branch). Locally the two are timing-equivalent (r6 interleaved A/B:
+    # warm-min 3.49s vs 3.42s at sf0.1 — the replays read page-cached
+    # parquet; the r5 "35% slower" reading was load noise), but at
+    # cluster scale replaying a cold 100 TB scan+melt 4 extra times is
+    # the real cost and the |distinct-values|-row checkpoint is not.
+    matrix = matrix.localCheckpoint()
     # per-(rid, aid) totals + value range: one parallel hash aggregate
     totals = matrix.groupBy(RID, AID).agg(
         *[F.sum(c).alias(f"tot_{c}") for c in classes],
