@@ -202,10 +202,16 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     are already hash-partitioned by token from their aggregations, so the
     sort-merge join reuses the exchange."""
     d = load_table(spark, sf_dir, "documents")
+    # materialize tf once: it is both the join's left side and the input
+    # to the document-frequency rollup, and exchange reuse does not cover
+    # the two copies — un-checkpointed, the corpus explode+count ran
+    # twice (3 parquet scans in the AQE final plan; now 1 + the
+    # column-less count scan for N)
     tf = (
         d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = d.select(F.count("*").alias("n_docs"))
