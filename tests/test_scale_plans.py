@@ -83,6 +83,36 @@ def test_scan_training_prunes_columns(spark, sf_small):
     assert "l_orderkey" not in sch and "l_shipdate" not in sch
 
 
+# max parquet-scan nodes allowed in each query's AQE FINAL plan: one per
+# source table / deliberate branch. A count above budget means a shared
+# relation stopped being materialized (or exchange-reused) and the
+# engine is re-reading the source — locally invisible (page cache), at
+# 100 TB a repeated cold scan. Budgets reflect the audited shapes:
+# multi-table joins get one scan per table; asof/event_windows/gain_ratio
+# deliberately read two branches; checkpointed pipelines read zero.
+_SCAN_BUDGET = {
+    "scan_training": 1,
+    "groupby_contingency_numeric": 1,
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 3,  # customer + orders + lineitem
+    "window_funcs": 1,
+    "sessionize": 1,
+    "tokenize": 1,
+    "dedup_exact": 1,
+    "tfidf": 2,  # tf (checkpoint-fed) + column-less COUNT(*) scan for N
+    "gain_ratio": 2,  # narrow-scan design: node_info + melt
+    "dedup_minhash": 0,  # whole pipeline feeds off the shingle checkpoint
+}
+
+
+def test_final_plan_scan_budget(spark, sf_small):
+    for name, budget in _SCAN_BUDGET.items():
+        df = QUERIES[name](spark, sf_small)
+        df.collect()  # AQE: the final plan is the honest one
+        n = plan_of(df).count(") Scan parquet")
+        assert n <= budget, (name, n, budget)
+
+
 def test_jaccard_verify_reuses_docset_exchange(spark, sf_small):
     """The per-doc shingle-set aggregation feeds BOTH sides of the
     candidate verify join. The static plan carries it twice, but at
