@@ -173,6 +173,67 @@ def test_ivf_bucketed_probe_join_no_shuffle(spark, sf_small, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_partitioned_scan_prunes(spark, sf_small, tmp_path):
+    """The 100 TB layout contract (sources/layout.py): events written
+    hive-partitioned by day must (a) produce one data file per day (the
+    repartition-before-partitionBy small-files guard), (b) answer a
+    day-scoped query from THAT DAY'S files only — the partition filter
+    resolves at file listing, never reaching the parquet readers — and
+    (c) keep each day's file clustered by the sort key so row-group
+    min/max stats can skip pages within the day."""
+    import glob
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.sources import layout
+
+    path = str(tmp_path / "events_by_day")
+    layout.write_events_partitioned(spark, sf_small, path)
+
+    day_dirs = sorted(glob.glob(os.path.join(path, "event_date=*")))
+    assert len(day_dirs) > 1  # the fixture spans multiple days
+    for d in day_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, (d, files)  # one file per day
+
+    day = os.path.basename(day_dirs[1]).split("=", 1)[1]
+    scan = layout.scan_events_day(spark, path, day)
+
+    # (b) every file ACTUALLY READ comes from the selected day's
+    # directory (inputFiles() reports the pre-pruning file index, so the
+    # runtime-true evidence is input_file_name() on the executed scan)
+    assert scan.count() > 0
+    in_files = [
+        r[0]
+        for r in scan.select(F.input_file_name()).distinct().collect()
+    ]
+    assert in_files and all(f"event_date={day}" in f for f in in_files)
+    p = plan_of(scan)
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "event_date" in pf, pf
+    # the day predicate is fully consumed by partition pruning — it must
+    # NOT appear as a pushed data filter (with no other predicates the
+    # scan prints no PushedFilters line at all)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert all("event_date" not in l for l in pushed), pushed
+
+    # values identical to filtering the unpartitioned source
+    from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
+        load_table,
+    )
+
+    expect = (
+        load_table(spark, sf_small, "events")
+        .where(F.to_date("ts") == F.lit(day))
+        .count()
+    )
+    assert scan.count() == expect
+
+    # (c) rows within the day's single file arrive clustered by user_id
+    one = spark.read.parquet(in_files[0]).select("user_id").collect()
+    vals = [r["user_id"] for r in one]
+    assert vals == sorted(vals)
+
+
 def test_salted_join_bounds_skewed_partitions(spark):
     """The graded join_salted entry runs on uniform orders data, so the
     salting was never exercised against real skew (VERDICT r5 item 5).
