@@ -1,0 +1,157 @@
+"""End-to-end training-data curation pipeline: dedup → quality filter →
+language rollup, as ONE composed query.
+
+The individual operators (`dedup.dedup_exact`, `text.text_stats`,
+`text.lang_id`) are each oracle-graded standalone; a real corpus
+curation run composes them. Joining their three DataFrames would scan
+`documents` three times and shuffle twice just to reunite per-row
+columns that all derive from the same row — so the pipeline instead
+FUSES the per-row formulas into a single scan (identical expressions,
+imported from the same builders), then needs exactly two exchanges
+regardless of corpus size:
+
+1. one window over ``fingerprint`` for the deterministic min-doc_id
+   dedup survivor (the same survivor rule `dedup.dedup_exact` grades);
+2. one tiny grouped aggregate over (language, quality-gate) cells.
+
+At 100 TB that is: one cold scan, one hash-partitioned exchange of
+(fingerprint-grouped) rows, one combiner-backed rollup of a handful of
+cells. No reference analog (the reference is training-only); the fused
+formulas are pinned per-operator by the standalone oracle entries and
+end-to-end by this query's own oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+    _STOP_LIST_SQL,
+    STOPWORDS,
+    tokens_col,
+)
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
+
+QUALITY_GATE = 0.5
+
+
+def curation_pipeline(
+    spark: SparkSession, sf_dir: str, quality_gate: float = QUALITY_GATE
+) -> DataFrame:
+    """Per (predicted language, quality-gate outcome): surviving-doc
+    count, total regex tokens, and mean quality score after exact
+    dedup. ``passed`` rows are what a tokenizer run would consume."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[.,;:!?'\"()-]", "")
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    # text.text_stats' quality formula, verbatim
+    quality = F.round(
+        F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * F.greatest(F.lit(1.0) - punct_ratio * 10, F.lit(0.0)),
+        6,
+    )
+    # text.lang_id's heuristic, verbatim
+    is_ascii = F.octet_length("text") == F.length("text")
+    lang_pred = F.when(
+        is_ascii & (n_tokens > 0) & (n_stop / n_tokens >= 0.05), "en"
+    ).otherwise("und")
+
+    enriched = d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+    )
+    # dedup.dedup_exact's survivor rule: min doc_id per content hash
+    # (window column first, then filter — Spark disallows window fns
+    # directly inside WHERE)
+    keep_id = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return (
+        enriched.withColumn("keep_id", keep_id)
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select(
+            "lang_pred",
+            (F.col("quality_score") >= quality_gate).alias("passed"),
+            "n_tokens",
+            "quality_score",
+        )
+        .groupBy("lang_pred", "passed")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            # quality is rounded to 6 decimals, so summing the 1e6-scaled
+            # integers is EXACT — a double SUM's result depends on
+            # accumulation order and flips the rounded mean's last digit
+            # between engines when it lands on a rounding boundary
+            F.round(
+                F.sum(F.round(F.col("quality_score") * 1e6, 0).cast("long"))
+                / F.lit(1e6)
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def _tokens_sql(expr: str) -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        _tokens_sql as t,
+    )
+
+    return t(expr)
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH enriched AS (
+  SELECT doc_id,
+         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+             AS fingerprint,
+         LEN({_tokens_sql('text')}) AS n_tokens,
+         LEN(LIST_FILTER({_tokens_sql('text')},
+                         t -> LIST_CONTAINS({_STOP_LIST_SQL}, t))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?''"()-]', '', 'g'))
+             AS n_punct,
+         OCTET_LENGTH(ENCODE(text)) = LENGTH(text) AS is_ascii
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, fingerprint, n_tokens,
+         ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
+             + 0.3 * LEAST(CASE WHEN n_tokens > 0
+                                THEN n_stop / CAST(n_tokens AS DOUBLE)
+                                ELSE 0.0 END * 5, 1.0)
+             + 0.2 * GREATEST(1.0 - CASE WHEN n_chars > 0
+                                         THEN n_punct / CAST(n_chars AS DOUBLE)
+                                         ELSE 0.0 END * 10, 0.0), 6)
+             AS quality_score,
+         CASE WHEN is_ascii AND n_tokens > 0
+                   AND n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM enriched
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT s.*, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+    FROM scored s
+  ) WHERE doc_id = keep_id
+)
+SELECT lang_pred,
+       quality_score >= {QUALITY_GATE} AS passed,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(SUM(CAST(ROUND(quality_score * 1e6, 0) AS BIGINT)) / 1e6
+             / COUNT(*), 6) AS avg_quality
+FROM survivors
+GROUP BY lang_pred, passed"""

@@ -1036,6 +1036,15 @@ _register("approx_sketches", R.approx_sketches)  # sketch internals: rows-only
 _register("sort_limit", R.sort_limit_lineitems, R.SORT_LIMIT_SQL)
 _register("doc_fingerprint", TX.doc_fingerprint, TX.DOC_FINGERPRINT_SQL)
 
+# the composed curation run (dedup → quality gate → language rollup):
+# per-row formulas fused into one scan + two exchanges (see
+# operators/pipeline.py). Hash-graded via its SQL twin in
+# tests/test_oracle_parity.py; past the 50-entry window because every
+# constituent formula is already graded standalone inside it.
+from c4_5decisiontreebasedonmapreduce_spark.operators import pipeline as PL  # noqa: E402
+
+_register("pipeline_curation", PL.curation_pipeline, PL.CURATION_PIPELINE_SQL)
+
 
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)

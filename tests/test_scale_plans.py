@@ -102,6 +102,7 @@ _SCAN_BUDGET = {
     "tfidf": 2,  # tf (checkpoint-fed) + column-less COUNT(*) scan for N
     "gain_ratio": 2,  # narrow-scan design: node_info + melt
     "dedup_minhash": 0,  # whole pipeline feeds off the shingle checkpoint
+    "pipeline_curation": 1,  # fused curation run: ONE scan of documents
 }
 
 
