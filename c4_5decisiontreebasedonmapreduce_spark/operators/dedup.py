@@ -25,6 +25,7 @@ from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
     md5_long,
     md5_long_sql,
 )
+from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX
 from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
     TOKEN_SPLIT_RE,
     tokens_col,
@@ -74,13 +75,13 @@ sh AS (
            GENERATE_SERIES(1, GREATEST(LEN({toks}) - {SHINGLE_K - 1}, 0)),
            i -> ARRAY_TO_STRING(LIST_SLICE({toks}, i, i + {SHINGLE_K - 1}), ' '))))
          AS shingle
-  FROM documents
+  FROM {TX.DOCS_SQL}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)"""
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = TX.docs(spark, sf_dir)
     # a small documents scan (single parquet file → 1 partition) would
     # run the whole tokenize/shingle/hash pipeline on that many cores;
     # spread it once — the pre-explode rows are cheap to shuffle. At
@@ -184,7 +185,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: one survivor (min doc_id) per
     distinct content hash — `dropDuplicates` semantics made explicit so
     the survivor choice is deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    d = TX.docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
         d.select(F.md5(norm).alias("fingerprint"), "doc_id")
@@ -196,11 +197,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EXACT_SQL = """
+DEDUP_EXACT_SQL = f"""
 SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) - 1 AS n_dupes
-FROM documents GROUP BY 1"""
+FROM {TX.DOCS_SQL} GROUP BY 1"""
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +415,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``2·bit − count``, so per bit we only sum the bit itself) — no
     60-way bit crossJoin multiplying the token rows through the
     shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = TX.docs(spark, sf_dir)
     # spread-if-narrow, same reason as _shingles_df: the tokenize/
     # explode/md5 pipeline is compute-heavy per row and a single-file
     # scan would run it on one core
@@ -459,7 +460,7 @@ WITH tok AS (
          UNNEST(LIST_DISTINCT(LIST_FILTER(
            REGEXP_SPLIT_TO_ARRAY(LOWER(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')))
          AS token
-  FROM documents
+  FROM {TX.DOCS_SQL}
 ),
 hashed AS (SELECT doc_id, {md5_long_sql('token')} AS h FROM tok),
 votes AS (
@@ -628,8 +629,12 @@ def dedup_embedding(
             F.col("emb").alias("c_emb"),
             F.col("norm").alias("c_norm"),
         )
-        c_cos = _dot(F.col("emb"), F.col("c_emb")).cast("double") / (
-            F.col("norm") * F.col("c_norm")
+        # try_divide: ANSI mode is on by default in Spark 4, so a plain
+        # `/` ABORTS THE JOB on the first zero-norm vector; NULL cosine
+        # instead sorts last and the degenerate vector just never wins
+        c_cos = F.try_divide(
+            _dot(F.col("emb"), F.col("c_emb")).cast("double"),
+            F.col("norm") * F.col("c_norm"),
         )
         w = Window.partitionBy("vec_id").orderBy(
             F.desc("c_cos"), F.asc("centroid_id")
@@ -659,8 +664,10 @@ def dedup_embedding(
             e.select(*b_cols), "vec_b"
         )
     cos = F.round(
-        _dot(F.col("emb_a"), F.col("emb_b")).cast("double")
-        / (F.col("norm_a") * F.col("norm_b")),
+        F.try_divide(
+            _dot(F.col("emb_a"), F.col("emb_b")).cast("double"),
+            F.col("norm_a") * F.col("norm_b"),
+        ),
         6,
     )
     return (

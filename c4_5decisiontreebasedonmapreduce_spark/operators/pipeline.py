@@ -28,10 +28,11 @@ from pyspark.sql import functions as F
 
 from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
     _STOP_LIST_SQL,
+    DOCS_SQL,
     STOPWORDS,
+    docs,
     tokens_col,
 )
-from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
 
 QUALITY_GATE = 0.5
 
@@ -42,7 +43,7 @@ def curation_pipeline(
     """Per (predicted language, quality-gate outcome): surviving-doc
     count, total regex tokens, and mean quality score after exact
     dedup. ``passed`` rows are what a tokenizer run would consume."""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = tokens_col(F.col("text"))
     n_tokens = F.size(toks)
@@ -124,7 +125,7 @@ WITH enriched AS (
          LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?''"()-]', '', 'g'))
              AS n_punct,
          OCTET_LENGTH(ENCODE(text)) = LENGTH(text) AS is_ascii
-  FROM documents
+  FROM {DOCS_SQL}
 ),
 scored AS (
   SELECT doc_id, fingerprint, n_tokens,

