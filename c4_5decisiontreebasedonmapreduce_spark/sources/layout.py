@@ -61,3 +61,50 @@ def scan_events_day(spark: SparkSession, path: str, day: str) -> DataFrame:
     predicate on the partition column resolves at file listing — no
     other day's files are opened (pinned by the layout plan test)."""
     return spark.read.parquet(path).where(F.col("event_date") == F.lit(day))
+
+
+def write_facts_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    path_prefix: str,
+    n_buckets: int = 8,
+    orders_table: str = "orders_by_orderkey",
+    lineitem_table: str = "lineitem_by_orderkey",
+) -> tuple[DataFrame, DataFrame]:
+    """Fact-to-fact co-location: ``orders`` and ``lineitem`` written
+    BUCKETED BY their orderkey into the SAME bucket count.
+
+    The orders⋈lineitem join is the one join in the schema where
+    NEITHER side is broadcastable at 100 TB — executed naively it
+    shuffles both full fact tables on every query. Bucketing both
+    tables by the join key once at ingest makes every subsequent
+    orderkey equi-join between them shuffle-free: each side's scan
+    already satisfies the join's required hash distribution, so the
+    plan carries ZERO Exchange nodes (pinned by
+    ``test_scale_plans.py::test_bucketed_fact_join_no_shuffle``).
+
+    ``repartition(n_buckets, key)`` before the write uses the same
+    murmur3-mod hashing as the bucket assignment, so each task holds
+    exactly one bucket → ONE file per bucket (the bucketed-write analog
+    of the partitioned-write small-files guard above), and ``sortBy``
+    keeps each bucket file ordered by the key for merge-join reads and
+    row-group stats pruning on key predicates.
+    """
+    from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
+        load_table as _load,
+    )
+
+    for name, key, table in (
+        ("orders", "o_orderkey", orders_table),
+        ("lineitem", "l_orderkey", lineitem_table),
+    ):
+        (
+            _load(spark, sf_dir, name)
+            .repartition(n_buckets, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", f"{path_prefix}/{table}")
+            .saveAsTable(table)
+        )
+    return spark.table(orders_table), spark.table(lineitem_table)

@@ -174,6 +174,52 @@ def test_ivf_bucketed_probe_join_no_shuffle(spark, sf_small, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_bucketed_fact_join_no_shuffle(spark, sf_small, tmp_path):
+    """Fact-to-fact co-location (sources/layout.py): orders and lineitem
+    written bucketed by orderkey into the same bucket count must join
+    with ZERO Exchange nodes — at 100 TB this is the one join where
+    neither side broadcasts, so without the bucketed layout every query
+    re-shuffles both full fact tables. Also pins the one-file-per-bucket
+    write guard (repartition by the bucket key pre-write)."""
+    import glob
+
+    from c4_5decisiontreebasedonmapreduce_spark.sources import layout
+
+    orders, lineitem = layout.write_facts_bucketed(
+        spark, sf_small, path_prefix=str(tmp_path / "bkt"), n_buckets=8,
+        orders_table="orders_bkt_test", lineitem_table="lineitem_bkt_test",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).select("l_orderkey", "o_orderdate", "l_extendedprice")
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p, p
+        assert p.count(") Exchange") == 0, p
+        assert p.count("Bucketed: true") == 2, p
+        # one file per bucket per table: murmur3-mod repartition pre-write
+        # aligns task partitions with bucket ids
+        for t in ("orders_bkt_test", "lineitem_bkt_test"):
+            files = glob.glob(str(tmp_path / "bkt" / t / "*.parquet"))
+            assert len(files) == 8, (t, len(files))
+        # results equal the unbucketed join
+        expect = (
+            spark.read.parquet(f"{sf_small}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{sf_small}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt_test")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt_test")
+
+
 def test_partitioned_scan_prunes(spark, sf_small, tmp_path):
     """The 100 TB layout contract (sources/layout.py): events written
     hive-partitioned by day must (a) produce one data file per day (the
