@@ -329,3 +329,155 @@ SELECT doc_id,
                                          t -> t <> '')) AS DOUBLE)
              ELSE 0.0 END, 6) AS bpe_per_word
 FROM {DOCS_SQL}"""
+
+
+def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document, plus the
+    resulting keep/drop gate — the filter pass a pre-training curation
+    pipeline runs after dedup (Rae et al. 2021 repetition rules,
+    re-expressed as grouped counts over exploded tokens/bigrams).
+
+    Signals (all token-level, under the shared tokenizer convention):
+    ``distinct_ratio`` (type/token ratio — low = repetitive),
+    ``frac_alpha_words`` (words containing a letter — low = symbol soup),
+    ``top_word_frac`` (most frequent word's share of all words),
+    ``top_bigram_frac`` (most frequent adjacent bigram's share).
+
+    Scale shape: two grouped counts over the exploded token/bigram
+    relations (map-side combined; never a per-doc collect) joined back to
+    the per-doc array stats — the same explode→count→argmax pattern as
+    the reference's contingency+argmax core (MyReducer.java:51-92,
+    Main.java:258-261), applied to text curation.
+    """
+    d = docs(spark, sf_dir)
+    base = (
+        d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        # feeds the per-doc stats AND both exploded counts — one scan
+        .localCheckpoint()
+    )
+    n = F.size("toks")
+    # adjacent-bigram array; NULL when n < 2 (explode of NULL = no rows,
+    # same as DuckDB's UNNEST(NULL))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.get("toks", i), F.get("toks", i + 1)
+            ),
+        ),
+    )
+    word_top = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_word_n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    bigram_top = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    stats = (
+        base.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.size(
+                F.filter("toks", lambda t: t.rlike("[a-z]"))
+            ).alias("n_alpha"),
+        )
+        .join(word_top, "doc_id", "left")
+        .join(bigram_top, "doc_id", "left")
+    )
+    nt = F.col("n_tokens")
+    distinct_ratio = F.when(
+        nt > 0, F.coalesce(F.col("n_distinct"), F.lit(0)) / nt
+    ).otherwise(F.lit(0.0))
+    frac_alpha = F.when(nt > 0, F.col("n_alpha") / nt).otherwise(F.lit(0.0))
+    top_word_frac = F.when(
+        nt > 0, F.coalesce(F.col("top_word_n"), F.lit(0)) / nt
+    ).otherwise(F.lit(0.0))
+    top_bigram_frac = F.when(
+        nt >= 2, F.coalesce(F.col("top_bigram_n"), F.lit(0)) / (nt - 1)
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (nt >= 10)
+        & (frac_alpha >= F.lit(0.8))
+        & (distinct_ratio >= F.lit(0.3))
+        & (top_word_frac <= F.lit(0.12))
+        & (top_bigram_frac <= F.lit(0.08))
+    )
+    return stats.select(
+        "doc_id",
+        nt.cast("int").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        keep.alias("keep"),
+    )
+
+
+QUALITY_SIGNALS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM {DOCS_SQL}
+),
+b AS (
+  SELECT doc_id, toks, LEN(toks) AS n,
+         LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '[a-z]'))) AS n_alpha,
+         CASE WHEN LEN(toks) >= 2
+              THEN LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              END AS bgs
+  FROM base
+),
+wc AS (
+  SELECT doc_id, token, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(toks) AS token FROM base)
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT doc_id, MAX(c) AS top_word_n, COUNT(*) AS n_distinct
+  FROM wc GROUP BY 1
+),
+bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(bgs) AS bigram FROM b)
+  GROUP BY 1, 2
+),
+bm AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY 1),
+j AS (
+  SELECT b.doc_id, b.n, b.n_alpha,
+         COALESCE(w.top_word_n, 0) AS top_word_n,
+         COALESCE(w.n_distinct, 0) AS n_distinct,
+         COALESCE(bm.top_bigram_n, 0) AS top_bigram_n
+  FROM b LEFT JOIN w ON b.doc_id = w.doc_id
+         LEFT JOIN bm ON b.doc_id = bm.doc_id
+),
+r AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0 THEN n_distinct / CAST(n AS DOUBLE) ELSE 0.0 END
+        AS distinct_ratio,
+    CASE WHEN n > 0 THEN n_alpha / CAST(n AS DOUBLE) ELSE 0.0 END
+        AS frac_alpha,
+    CASE WHEN n > 0 THEN top_word_n / CAST(n AS DOUBLE) ELSE 0.0 END
+        AS top_word_frac,
+    CASE WHEN n >= 2 THEN top_bigram_n / CAST(n - 1 AS DOUBLE) ELSE 0.0 END
+        AS top_bigram_frac
+  FROM j
+)
+SELECT doc_id,
+  CAST(n AS INT) AS n_tokens,
+  ROUND(distinct_ratio, 6) AS distinct_ratio,
+  ROUND(frac_alpha, 6) AS frac_alpha_words,
+  ROUND(top_word_frac, 6) AS top_word_frac,
+  ROUND(top_bigram_frac, 6) AS top_bigram_frac,
+  (n >= 10 AND frac_alpha >= 0.8 AND distinct_ratio >= 0.3
+     AND top_word_frac <= 0.12 AND top_bigram_frac <= 0.08) AS keep
+FROM r"""

@@ -1045,6 +1045,18 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import pipeline as PL  # n
 
 _register("pipeline_curation", PL.curation_pipeline, PL.CURATION_PIPELINE_SQL)
 
+# Gopher-style repetition/quality gate + deterministic stratified
+# sampling (operators/text.py, operators/sampling.py): the filter and
+# rebalance passes of a pre-training curation pipeline. Hash-graded via
+# their SQL twins in tests/test_oracle_parity.py (past the 50-entry
+# driver window).
+from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
+    sampling as SMP,
+)
+
+_register("quality_signals", TX.quality_signals, TX.QUALITY_SIGNALS_SQL)
+_register("sample_stratified", SMP.sample_stratified, SMP.SAMPLE_STRATIFIED_SQL)
+
 
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)

@@ -103,6 +103,11 @@ _SCAN_BUDGET = {
     "gain_ratio": 2,  # narrow-scan design: node_info + melt
     "dedup_minhash": 0,  # whole pipeline feeds off the shingle checkpoint
     "pipeline_curation": 1,  # fused curation run: ONE scan of documents
+    # token/bigram counts + per-doc stats all read the ONE materialized
+    # token-array relation; the parquet scan happens once at checkpoint
+    # creation, so the query's own final plan re-reads no parquet at all
+    "quality_signals": 0,
+    "sample_stratified": 1,  # scan → broadcast rate dim → pushable filter
 }
 
 
@@ -172,6 +177,15 @@ def test_ivf_bucketed_probe_join_no_shuffle(spark, sf_small, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_sample_stratified_broadcasts_rates(spark, sf_small):
+    """The per-stratum rate table must broadcast: the corpus side of the
+    sampler is never exchanged (the keep predicate is a scalar function
+    of the row, so the whole op is scan → broadcast join → filter)."""
+    p = plan_of(QUERIES["sample_stratified"](spark, sf_small))
+    assert "BroadcastHashJoin" in p, p
+    assert p.count(") Exchange") == 0, p
 
 
 def test_bucketed_fact_join_no_shuffle(spark, sf_small, tmp_path):
