@@ -1056,6 +1056,13 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
 
 _register("quality_signals", TX.quality_signals, TX.QUALITY_SIGNALS_SQL)
 _register("sample_stratified", SMP.sample_stratified, SMP.SAMPLE_STRATIFIED_SQL)
+# watermarked stream-stream join (bounded-state contract in the
+# docstring); the oracle is the equivalent batch range join
+_register(
+    "streaming_join",
+    SW.streaming_click_purchase_join,
+    SW.STREAMING_JOIN_SQL,
+)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -215,3 +215,82 @@ numbered AS (
 )
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
 FROM numbered GROUP BY user_id, session_id"""
+
+
+def streaming_click_purchase_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each click joined to the
+    same user's purchases within the following 30 minutes.
+
+    The scale contract of a stream-stream join is BOUNDED STATE: both
+    sides carry a watermark and the join condition carries a time range,
+    so each side's buffered state spans only watermark + range horizon
+    (here ≤ 1.5 h of events), hash-partitioned by the user_id equi-key —
+    never an unbounded buffer of either stream. Inner-join rows emit as
+    soon as both inputs arrive; the watermark only governs state
+    eviction, so draining the sources synchronously yields exactly the
+    batch range-join (the DuckDB oracle).
+
+    The lag is reported in integer microseconds (no float drift across
+    engines)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lag_us"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAMING_JOIN_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       EPOCH_US(p.ts) - EPOCH_US(c.ts) AS lag_us,
+       ROUND(p.value, 6) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
