@@ -174,3 +174,53 @@ def test_zero_norm_embedding_ranks_last(spark, tmp_path):
         (F.col("neighbor_id") == 1) & (F.col("cosine").isNotNull())
     )
     assert zero_as_neighbor.count() == 0
+
+
+def test_quality_signals_degenerate(spark, edge_corpus):
+    """Token-free documents (empty/whitespace/NULL/punctuation-only) get
+    all-zero repetition signals and keep=False — never NULL ratios or a
+    divide-by-zero — and a healthy doc's signals equal the hand-computed
+    fractions."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        quality_signals,
+    )
+
+    rows = {r.doc_id: r for r in quality_signals(spark, edge_corpus).collect()}
+    for d in (1, 2, 3, 4):  # doc 4 is punctuation-only: zero tokens too
+        r = rows[d]
+        assert r.n_tokens == 0 and r.keep is False
+        assert (
+            r.distinct_ratio
+            == r.frac_alpha_words
+            == r.top_word_frac
+            == r.top_bigram_frac
+            == 0.0
+        )
+    # doc 5: 13 tokens, "the" twice, all bigrams distinct, all alphabetic
+    r = rows[5]
+    assert r.n_tokens == 13
+    assert r.frac_alpha_words == 1.0
+    assert r.distinct_ratio == round(12 / 13, 6)
+    assert r.top_word_frac == round(2 / 13, 6)
+    assert r.top_bigram_frac == round(1 / 12, 6)
+
+
+def test_sample_stratified_deterministic_and_monotone(
+    spark, sf_small, monkeypatch
+):
+    """The hash-sample contract: re-running selects the SAME rows, and
+    raising a stratum's rate only ADDS rows (nested samples — the
+    property that makes backfills and rate retuning reproducible)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import sampling as SMP
+
+    first = {r.doc_id for r in SMP.sample_stratified(spark, sf_small).collect()}
+    again = {r.doc_id for r in SMP.sample_stratified(spark, sf_small).collect()}
+    assert first == again
+    monkeypatch.setattr(
+        SMP, "STRATA_RATES", {k: 1.0 for k in SMP.STRATA_RATES}
+    )
+    full = {r.doc_id for r in SMP.sample_stratified(spark, sf_small).collect()}
+    assert first < full  # strict: rates < 1.0 drop something
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    assert len(full) == docs(spark, sf_small).count()  # rate 1.0 keeps all
