@@ -1063,6 +1063,8 @@ _register(
     SW.streaming_click_purchase_join,
     SW.STREAMING_JOIN_SQL,
 )
+# sliding-window streaming twin; oracle = the batch sliding aggregate
+_register("streaming_sliding", SW.streaming_sliding, R.EVENT_SLIDING_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

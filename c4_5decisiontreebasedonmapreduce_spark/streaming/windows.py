@@ -294,3 +294,33 @@ FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
+
+
+def streaming_sliding(
+    spark: SparkSession, sf_dir: str, watermark: str | None = None
+) -> DataFrame:
+    """1-hour windows sliding every 15 minutes as a streaming query (each
+    event contributes to 4 overlapping windows), drained synchronously —
+    matches the batch `event_windows_sliding` / DuckDB oracle. State per
+    key is 4× the tumbling variant's (overlap factor), still bounded by
+    the watermark horizon when one is set."""
+    ev = _events_stream(spark, sf_dir)
+    if watermark:
+        ev = ev.withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
