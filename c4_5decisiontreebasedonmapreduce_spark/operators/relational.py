@@ -129,6 +129,66 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10"""
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the deepest join in the schema — region → nation →
+    (customer, supplier) → orders → lineitem, with the local-supplier
+    correlation ``c_nationkey = s_nationkey`` — per-nation revenue.
+
+    Scale shape: every dimension (region, nation, supplier, and the
+    region-filtered customer slice) is broadcast-sized, so Catalyst/AQE
+    plan the whole query as one pass over lineitem⋈orders with broadcast
+    hash joins hanging off it; the only data-sized exchange is the final
+    per-nation aggregation (25 groups). The date filter pushes down to
+    the orders scan."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,6)")
+        - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            r.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+      AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name"""
+
+
 # ---------------------------------------------------------------------------
 # join family
 

@@ -1065,6 +1065,9 @@ _register(
 )
 # sliding-window streaming twin; oracle = the batch sliding aggregate
 _register("streaming_sliding", SW.streaming_sliding, R.EVENT_SLIDING_SQL)
+# TPC-H Q5 shape: the deepest multi-join (6 tables + correlated
+# nationkey condition) — broadcast-dim plan pinned in test_scale_plans
+_register("q5_local_supplier", R.q5_local_supplier_volume, R.Q5_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

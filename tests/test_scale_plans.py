@@ -36,6 +36,18 @@ def test_dim_joins_broadcast(spark, sf_small):
         assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, name
 
 
+def test_q5_all_dims_broadcast_one_fact_pass(spark, sf_small):
+    """The 6-table Q5 join must hang every dimension off the fact side
+    as broadcast hash joins — no SortMergeJoin, no fact-side shuffle
+    except the final 25-group aggregation; the orderdate range reaches
+    the orders scan as pushed filters."""
+    p = plan_of(QUERIES["q5_local_supplier"](spark, sf_small))
+    assert p.count("BroadcastHashJoin") >= 5, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" in p, p
+
+
 def test_no_cartesian_in_scalable_dedup(spark, sf_small):
     """Candidate generation must be an equi-join on a derived key; a
     CartesianProduct in these plans means the 100 TB path regressed.
