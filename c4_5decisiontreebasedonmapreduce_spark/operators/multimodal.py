@@ -216,3 +216,50 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
         )
         .where(F.col("frame_idx") % every_n == 0)
     )
+
+
+def multimodal_frames(
+    spark: SparkSession, sf_dir: str, max_side: int = 32, every_n: int = 2
+) -> DataFrame:
+    """Composed multimodal pipeline: decode → aspect-preserving resize
+    targets → every-n-th frame sampling, one row per kept frame.
+
+    The decode stage (the expensive Arrow/Python hop) is materialized
+    ONCE (`localCheckpoint`; cluster analog: the decoded-metadata table)
+    and both consumers — the resize-geometry projection and the frame
+    explode — read the materialized relation, so payload bytes cross the
+    Python boundary exactly once no matter how many downstream stages
+    compose. The stub decode is MD5-derived, so the whole pipeline stays
+    SQL-expressible and hash-graded (oracle below)."""
+    decoded = multimodal_decode(spark, sf_dir).localCheckpoint()
+    targets = resize_meta(decoded, max_side=max_side).select(
+        "doc_id", "target_width", "target_height"
+    )
+    return (
+        frame_sample(decoded, every_n=every_n)
+        .join(targets, "doc_id")
+        .select("doc_id", "frame_idx", "target_width", "target_height")
+    )
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH decoded AS ({MULTIMODAL_DECODE_SQL}),
+sized AS (
+  SELECT doc_id,
+    CAST(GREATEST(1, ROUND(width * LEAST(1.0,
+        32 / CAST(GREATEST(width, height) AS DOUBLE)))) AS INT)
+      AS target_width,
+    CAST(GREATEST(1, ROUND(height * LEAST(1.0,
+        32 / CAST(GREATEST(width, height) AS DOUBLE)))) AS INT)
+      AS target_height
+  FROM decoded
+),
+frames AS (
+  SELECT doc_id,
+         UNNEST(GENERATE_SERIES(0, n_frames - 1)) AS frame_idx
+  FROM decoded
+)
+SELECT f.doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+       s.target_width, s.target_height
+FROM frames f JOIN sized s ON f.doc_id = s.doc_id
+WHERE f.frame_idx % 2 = 0"""

@@ -233,6 +233,66 @@ class DecisionListModel:
         ]
         return cls(rules=rules, label_col=label_col)
 
+    def to_reference_text(self, attr_order: list[str]) -> list[str]:
+        """Render the model in the reference's exact wire format, one
+        rule per line: ``aid1,val1&aid2,val2&...:label``
+        (`Rule.java:22-33`). Attribute ids are indices into
+        ``attr_order`` (the attributes-file order, `Main.java:137-152`);
+        numeric conditions render as the synthetic ``<=b`` / ``>b``
+        domain values the reference's driver substitutes
+        (`Main.java:244-245`). One documented divergence: the
+        reference's ``Rule.toString`` crashes on a condition-less rule
+        (root-is-leaf, quirk Q4 in SURVEY.md) — ours renders it as
+        ``:label``."""
+        aid = {a: i for i, a in enumerate(attr_order)}
+        lines = []
+        for r in self.rules:
+            conds = "&".join(
+                f"{aid[c.attr]},"
+                + (
+                    str(c.value)
+                    if c.op == OP_EQ
+                    else f"{c.op}{float(c.value)!r}"
+                )
+                for c in r.conditions
+            )
+            lines.append(f"{conds}:{r.label or ''}")
+        return lines
+
+    @classmethod
+    def from_reference_text(
+        cls,
+        lines: list[str],
+        attr_order: list[str],
+        label_col: str = "label",
+    ) -> "DecisionListModel":
+        """Parse the reference wire format back into a model
+        (`Rule.java:37-56`). Numeric synthetic values ``<=b`` / ``>b``
+        become proper half-space conditions, parsing the FULL boundary —
+        the reference's own re-parse truncates its last character
+        (quirk Q1, `MyMapper.java:97-100`), which we deliberately do
+        not replicate."""
+        rules = []
+        for line in lines:
+            conds_s, _, label = line.rpartition(":")
+            conditions = []
+            if conds_s:
+                for item in conds_s.split("&"):
+                    i, _, val = item.partition(",")
+                    attr = attr_order[int(i)]
+                    if val.startswith(OP_LE):
+                        conditions.append(
+                            Condition(attr, OP_LE, float(val[len(OP_LE):]))
+                        )
+                    elif val.startswith(OP_GT):
+                        conditions.append(
+                            Condition(attr, OP_GT, float(val[len(OP_GT):]))
+                        )
+                    else:
+                        conditions.append(Condition(attr, OP_EQ, val))
+            rules.append(Rule(tuple(conditions), label or None))
+        return cls(rules=rules, label_col=label_col)
+
     def save(self, path: str) -> None:
         """Persist the model — the reference only prints it to stdout
         (`Main.java:128-131`)."""

@@ -1068,6 +1068,9 @@ _register("streaming_sliding", SW.streaming_sliding, R.EVENT_SLIDING_SQL)
 # TPC-H Q5 shape: the deepest multi-join (6 tables + correlated
 # nationkey condition) — broadcast-dim plan pinned in test_scale_plans
 _register("q5_local_supplier", R.q5_local_supplier_volume, R.Q5_SQL)
+# composed multimodal pipeline: decode materialized once, resize +
+# frame-sample consumers read the checkpoint (decode crosses Python once)
+_register("multimodal_frames", M.multimodal_frames, M.MULTIMODAL_FRAMES_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -81,3 +81,27 @@ def test_majority_label_is_weighted_mode(model):
         assert model.majority_label == min(
             k for k, v in totals.items() if v == top
         )
+
+
+@given(models)
+@settings(max_examples=200, deadline=None)
+def test_reference_wire_format_roundtrip(m):
+    """to_reference_text renders `Rule.java:22-33`'s exact shape
+    (`aid,val&...:label`) and from_reference_text recovers every
+    condition and label — including full-precision numeric boundaries
+    (the reference's own re-parse truncates the last character,
+    quirk Q1, deliberately not replicated)."""
+    order = ["a", "b", "c", "d"]
+    lines = m.to_reference_text(order)
+    assert all(":" in ln for ln in lines)
+    back = Tr.DecisionListModel.from_reference_text(lines, order)
+    assert len(back.rules) == len(m.rules)
+    for orig, rt in zip(m.rules, back.rules):
+        assert rt.label == orig.label
+        assert len(rt.conditions) == len(orig.conditions)
+        for c0, c1 in zip(orig.conditions, rt.conditions):
+            assert (c1.attr, c1.op) == (c0.attr, c0.op)
+            if c0.op == Tr.OP_EQ:
+                assert c1.value == c0.value
+            else:
+                assert float(c1.value) == float(c0.value)
