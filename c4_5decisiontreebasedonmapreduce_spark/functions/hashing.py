@@ -26,12 +26,3 @@ def md5_long(col: Column) -> Column:
 def md5_long_sql(expr: str) -> str:
     """DuckDB twin of :func:`md5_long`."""
     return f"CAST(CONCAT('0x', SUBSTR(MD5({expr}), 1, 15)) AS BIGINT)"
-
-
-def seeded(col: Column, seed: int) -> Column:
-    """Family of independent hash functions h_seed(x) via seed prefixing."""
-    return md5_long(F.concat(F.lit(f"{seed}|"), col))
-
-
-def seeded_sql(expr: str, seed: int) -> str:
-    return md5_long_sql(f"CONCAT('{seed}|', {expr})")

@@ -6,7 +6,6 @@ import math
 import random
 
 import pytest
-from pyspark.sql import functions as F
 
 from c4_5decisiontreebasedonmapreduce_spark.operators import c45_stats as S
 

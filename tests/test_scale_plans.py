@@ -6,7 +6,6 @@ dedup path) fails CI rather than only showing up at cluster scale."""
 import contextlib
 import io
 
-import pytest
 from pyspark.sql import functions as F
 
 from c4_5decisiontreebasedonmapreduce_spark import registry
