@@ -119,6 +119,8 @@ _SCAN_BUDGET = {
     # creation, so the query's own final plan re-reads no parquet at all
     "quality_signals": 0,
     "sample_stratified": 1,  # scan → broadcast rate dim → pushable filter
+    "q5_local_supplier": 6,  # one scan per joined table
+    "multimodal_frames": 0,  # both consumers read the decode checkpoint
 }
 
 
