@@ -247,7 +247,28 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
     a materialized ``(doc_id, shingle, h)`` relation — the signature +
     band-join half of :func:`dedup_minhash`, factored out so the scaling
     probe/tests can measure candidate growth directly."""
-    # materialized: both sides of the band self-join melt from the same
+    banded_long = _banded_signatures(sh)
+    return (
+        banded_long.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(
+            banded_long.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _banded_signatures(sh: DataFrame) -> DataFrame:
+    """Melted LSH band signatures ``(doc_id, band, sig)`` from a
+    materialized ``(doc_id, shingle, h)`` relation: one grouped
+    aggregation folds all MINHASH_SEEDS minima (the shuffle carries
+    MINHASH_SEEDS ints per doc, never shingle rows), then the band
+    signatures melt to long form so every band shares ONE join
+    exchange. Shared by the batch self-join (:func:`_minhash_candidates`)
+    and the incremental batch-vs-corpus join (:func:`dedup_incremental`)."""
+    # materialized: both sides of the band join melt from the same
     # signature table; tiny (N × MINHASH_SEEDS ints) at any scale
     mins = sh.groupBy("doc_id").agg(
         *[
@@ -282,16 +303,7 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
-    return (
-        banded_long.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-        .join(
-            banded_long.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
-            ["band", "sig"],
-        )
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return banded_long
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +416,126 @@ FROM common c
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}"""
+
+
+# which documents play the "newly ingested batch" in the incremental
+# demo: a deterministic doc_id slice (~10% of the corpus)
+INCR_BATCH_MOD = 10
+INCR_BATCH_REM = 7
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: match a NEWLY INGESTED batch against the
+    EXISTING corpus without ever re-comparing corpus × corpus.
+
+    The continuous-ingest shape of :func:`dedup_minhash`: signatures are
+    computed once for everybody (at cluster scale the corpus side is a
+    PERSISTED signature table — the same amortization as the bucketed
+    IVF corpus, `similarity.write_ivf_bucketed`), and the band join is
+    ASYMMETRIC — batch band rows against corpus band rows — so candidate
+    work scales with |batch| × collision rate, not |corpus|². Exact
+    Jaccard then verifies only those candidates. Emits one row per
+    (new doc, corpus near-dup) pair; new docs with no row are novel and
+    would be admitted. The batch here is the deterministic doc_id slice
+    ``doc_id % {INCR_BATCH_MOD} == {INCR_BATCH_REM}`` (~10%), which
+    keeps the whole operator SQL-expressible for the oracle."""
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "h", md5_long(F.col("shingle")) % MINHASH_P
+    ).localCheckpoint()
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    banded = _banded_signatures(sh)
+    cand = (
+        banded.where(is_batch)
+        .select(F.col("doc_id").alias("doc_new"), "band", "sig")
+        .join(
+            banded.where(~is_batch).select(
+                F.col("doc_id").alias("dup_of"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .select("doc_new", "dup_of")
+        .distinct()
+    )
+    sh_only = sh.select("doc_id", "shingle")
+    sizes = sh_only.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    common = (
+        cand.join(
+            sh_only.select(F.col("doc_id").alias("doc_new"), "shingle"),
+            "doc_new",
+        )
+        .join(
+            sh_only.select(F.col("doc_id").alias("dup_of"), "shingle"),
+            ["dup_of", "shingle"],
+        )
+        .groupBy("doc_new", "dup_of")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_new"), F.col("sz").alias("sz_n")
+            ),
+            "doc_new",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("dup_of"), F.col("sz").alias("sz_c")
+            ),
+            "dup_of",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_n") + F.col("sz_c") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_new", "dup_of", "jaccard")
+    )
+
+
+_INCR_BAND_CAND_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT a.doc_id doc_new, b.doc_id dup_of
+    FROM mins a JOIN mins b
+      ON {_band_sig_sql('a', band)} = {_band_sig_sql('b', band)}
+     AND a.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+     AND b.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"""
+    for band in range(_N_BANDS)
+)
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_shingles_sql().lstrip()},
+hashed AS (
+  SELECT doc_id, shingle,
+         {md5_long_sql('shingle')} % {MINHASH_P} AS h
+  FROM sh
+),
+mins AS (
+  SELECT doc_id,
+         {_mh_min_cols_sql()}
+  FROM hashed GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT doc_new, dup_of FROM (
+{_INCR_BAND_CAND_SQL}
+  )
+),
+common AS (
+  SELECT c.doc_new, c.dup_of, COUNT(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_new
+  JOIN sh b ON b.doc_id = c.dup_of AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_new, c.dup_of,
+       ROUND(common / CAST(sn.sz + sc.sz - common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN sizes sn ON sn.doc_id = c.doc_new
+JOIN sizes sc ON sc.doc_id = c.dup_of
+WHERE ROUND(common / CAST(sn.sz + sc.sz - common AS DOUBLE), 6)
       >= {JACCARD_THRESHOLD}"""
 
 

@@ -1071,6 +1071,8 @@ _register("q5_local_supplier", R.q5_local_supplier_volume, R.Q5_SQL)
 # composed multimodal pipeline: decode materialized once, resize +
 # frame-sample consumers read the checkpoint (decode crosses Python once)
 _register("multimodal_frames", M.multimodal_frames, M.MULTIMODAL_FRAMES_SQL)
+# incremental batch-vs-corpus near-dedup (asymmetric LSH band join)
+_register("dedup_incremental", D.dedup_incremental, D.DEDUP_INCREMENTAL_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -52,7 +52,12 @@ def test_no_cartesian_in_scalable_dedup(spark, sf_small):
     CartesianProduct in these plans means the 100 TB path regressed.
     (similarity_topk is the *declared* brute-force baseline and is
     exempt.)"""
-    for name in ("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard"):
+    for name in (
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_incremental",
+    ):
         p = plan_of(QUERIES[name](spark, sf_small))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
