@@ -341,3 +341,25 @@ def test_pil_decode_falls_back_on_corrupt_payload(spark):
     for doc_id in (1, 2):
         r = rows[doc_id]
         assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+
+
+def test_incremental_dedup_equals_cross_slice_of_full(spark, sf_small):
+    """Consistency contract: the incremental batch-vs-corpus pass must
+    find EXACTLY the full batch run's pairs that cross the batch/corpus
+    boundary — same signatures, same bands, same verify — so switching a
+    pipeline from periodic full dedup to incremental ingest changes
+    nothing about which duplicates are caught."""
+    full = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.jaccard)
+        for r in D.dedup_minhash(spark, sf_small).collect()
+    }
+    is_batch = lambda d: d % D.INCR_BATCH_MOD == D.INCR_BATCH_REM  # noqa: E731
+    full_cross = {
+        t for t in full if is_batch(t[0]) != is_batch(t[1])
+    }
+    incr = {
+        (min(r.doc_new, r.dup_of), max(r.doc_new, r.dup_of), r.jaccard)
+        for r in D.dedup_incremental(spark, sf_small).collect()
+    }
+    assert incr == full_cross
+    assert incr  # non-vacuous: the fixture seeds cross-boundary near-dups
