@@ -1075,6 +1075,38 @@ _register("multimodal_frames", M.multimodal_frames, M.MULTIMODAL_FRAMES_SQL)
 _register("dedup_incremental", D.dedup_incremental, D.DEDUP_INCREMENTAL_SQL)
 
 
+def _c45_holdout_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout evaluation the reference entirely lacks (no prediction
+    path, SURVEY §2.D): train on the deterministic 80% hash split,
+    score the held-out 20%. Iterative training → rows-only for the
+    driver; the sf0.01 values are deterministic and exact-pinned in
+    tests/test_oracle_parity.py."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.training import (
+        lineitem_holdout_split,
+    )
+
+    train_df, test_df = lineitem_holdout_split(spark, sf_dir)
+    model = Tr.train(
+        train_df, LINEITEM_TRAINING_SCHEMA, max_depth=4, min_rows=50
+    )
+    return spark.createDataFrame(
+        [
+            (
+                train_df.count(),
+                test_df.count(),
+                round(Tr.accuracy(model, train_df, LABEL), 6),
+                round(Tr.accuracy(model, test_df, LABEL), 6),
+                len(model.rules),
+            )
+        ],
+        "n_train long, n_test long, train_accuracy double,"
+        " holdout_accuracy double, n_rules int",
+    )
+
+
+_register("c45_holdout_eval", _c45_holdout_eval_query)  # iterative: rows-only
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

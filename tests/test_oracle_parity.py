@@ -83,3 +83,34 @@ def test_c45_accuracy_pinned_at_driver_scale(spark, sf_oracle):
     assert got["n_rules"] == len(model.rules)
     assert abs(got["train_accuracy"] - expected) < 1e-6
     assert got["train_accuracy"] == pytest.approx(0.343033, abs=1e-6)
+
+
+def test_c45_holdout_eval_pinned_at_driver_scale(spark, sf_oracle):
+    """The holdout harness at the driver's grading scale: the hash split
+    is verified against DuckDB computing the SAME portable-MD5 predicate
+    over the raw parquet (so both the split fractions and determinism are
+    oracle-checked), and the deterministic sf0.01 accuracies are pinned
+    so silent model/split drift fails loudly."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.training import (
+        HOLDOUT_MOD,
+    )
+
+    got = QUERIES["c45_holdout_eval"](spark, sf_oracle).collect()[0]
+    con = duck_connection(sf_oracle)
+    try:
+        n_hold, n_total = con.execute(
+            f"""SELECT COUNT(*) FILTER (WHERE
+                  CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS('|', 'split',
+                      CAST(l_orderkey AS VARCHAR),
+                      CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT)
+                  % {HOLDOUT_MOD} = 0),
+                COUNT(*)
+            FROM lineitem"""
+        ).fetchone()
+    finally:
+        con.close()
+    assert got["n_test"] == n_hold
+    assert got["n_train"] == n_total - n_hold
+    assert got["n_rules"] == 16
+    assert got["train_accuracy"] == pytest.approx(0.341135, abs=1e-6)
+    assert got["holdout_accuracy"] == pytest.approx(0.32615, abs=1e-6)
