@@ -126,6 +126,8 @@ _SCAN_BUDGET = {
     "sample_stratified": 1,  # scan → broadcast rate dim → pushable filter
     "q5_local_supplier": 6,  # one scan per joined table
     "multimodal_frames": 0,  # both consumers read the decode checkpoint
+    "c45_predict": 1,  # trie CASE WHEN evaluates in the scan's one pass
+    "dedup_incremental": 0,  # feeds off the shingle checkpoint end-to-end
 }
 
 
