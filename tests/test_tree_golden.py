@@ -302,3 +302,19 @@ def test_driver_stats_path_out_of_domain_labels(spark, schema):
     fast = Tr.train(df, schema, max_depth=3)
     dist = Tr.train(df, schema, max_depth=3, driver_stats_max_rows=0)
     assert _rule_tuples(fast) == _rule_tuples(dist)
+
+
+def test_reference_wire_format_preserves_predictions(spark, schema, weather):
+    """End-to-end serde parity on the golden model: render the trained
+    weather tree in the reference's exact wire format (`Rule.java:22-33`,
+    attribute ids in attributes-file order), parse it back, and the
+    reconstructed model must predict identically on every row."""
+    model = Tr.train(weather, schema, max_depth=5, cache=False)
+    order = [a.name for a in schema.features]
+    lines = model.to_reference_text(order)
+    assert lines and all(":" in ln for ln in lines)
+    back = Tr.DecisionListModel.from_reference_text(lines, order)
+    cols = order + ["play", "prediction"]
+    a = sorted(map(tuple, model.transform(weather).select(cols).collect()))
+    b = sorted(map(tuple, back.transform(weather).select(cols).collect()))
+    assert a == b
