@@ -114,3 +114,31 @@ def test_c45_holdout_eval_pinned_at_driver_scale(spark, sf_oracle):
     assert got["n_rules"] == 16
     assert got["train_accuracy"] == pytest.approx(0.341135, abs=1e-6)
     assert got["holdout_accuracy"] == pytest.approx(0.32615, abs=1e-6)
+
+
+def test_sql_entrypoint_equals_dataframe_path(spark, sf_small):
+    """The SQL layer is a first-class entry point: `register_views` +
+    `spark.sql` running the SAME ANSI query text the DuckDB oracle uses
+    must produce exactly the DataFrame API's result — Catalyst plans
+    both, so a user of the engine can freely mix the two. (Only the
+    ANSI-dialect oracles run here; the DuckDB-specific ones — LIST_*,
+    TIME_BUCKET — are oracle-side only by design.)"""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        relational as R,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
+        register_views,
+    )
+
+    register_views(spark, sf_small)
+    for name, sql in (
+        ("q3_shipping_priority", R.Q3_SQL),
+        ("q5_local_supplier", R.Q5_SQL),
+        ("q6_forecast_revenue", R.Q6_SQL),
+    ):
+        via_sql = spark.sql(sql)
+        via_df = QUERIES[name](spark, sf_small)
+        assert via_sql.columns == via_df.columns, name
+        assert sorted(map(tuple, via_sql.collect())) == sorted(
+            map(tuple, via_df.collect())
+        ), name
