@@ -89,6 +89,7 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("ngram_jaccard", D.dedup_ngram_jaccard),
             ("minhash", D.dedup_minhash),
             ("cluster", D.dedup_cluster),
+            ("incremental", D.dedup_incremental),
         ):
             t0 = time.perf_counter()
             rec[f"{name}_rows"] = fn(spark, tmp).count()
