@@ -425,36 +425,88 @@ INCR_BATCH_MOD = 10
 INCR_BATCH_REM = 7
 
 
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dedup: match a NEWLY INGESTED batch against the
-    EXISTING corpus without ever re-comparing corpus × corpus.
+def write_incremental_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "incr_corpus_sigs",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the EXISTING corpus's LSH band signatures ``(doc_id,
+    band, sig)`` as a table BUCKETED BY (band, sig) — the join key of
+    :func:`dedup_incremental`'s batch-vs-corpus band join.
 
-    The continuous-ingest shape of :func:`dedup_minhash`: signatures are
-    computed once for everybody (at cluster scale the corpus side is a
-    PERSISTED signature table — the same amortization as the bucketed
-    IVF corpus, `similarity.write_ivf_bucketed`), and the band join is
+    This is the amortization that makes continuous ingest cheap at
+    100 TB: the signature pass over the corpus runs ONCE at write time
+    (and appends as new batches are admitted), and every subsequent
+    batch joins against this table with NO Exchange on the corpus side
+    (the bucketed scan already satisfies the join's distribution) —
+    the persisted analog of the in-session ``localCheckpoint``,
+    mirroring :func:`similarity.write_ivf_bucketed`. Plan-asserted by
+    test_scale_plans.py::test_incremental_persisted_corpus_join_no_shuffle."""
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "h", md5_long(F.col("shingle")) % MINHASH_P
+    )
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    sigs = _banded_signatures(sh.where(~is_batch))
+    writer = (
+        sigs.write.mode("overwrite")
+        .bucketBy(n_buckets, "band", "sig")
+        .sortBy("band", "sig")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
+def dedup_incremental(
+    spark: SparkSession, sf_dir: str, corpus_sigs: DataFrame | None = None
+) -> DataFrame:
+    """Incremental near-dedup: match a NEWLY INGESTED batch against the
+    EXISTING corpus — and against itself — without ever re-comparing
+    corpus × corpus.
+
+    The continuous-ingest shape of :func:`dedup_minhash`. The corpus
+    side's band signatures are computed ONCE: pass ``corpus_sigs`` (the
+    PERSISTED ``(doc_id, band, sig)`` table written bucketed-by-(band,
+    sig) by :func:`write_incremental_corpus`) and the band join reads
+    the corpus pre-partitioned on the join key — no Exchange on the
+    corpus side, asserted by test_scale_plans.py::
+    test_incremental_persisted_corpus_join_no_shuffle. The band join is
     ASYMMETRIC — batch band rows against corpus band rows — so candidate
-    work scales with |batch| × collision rate, not |corpus|². Exact
-    Jaccard then verifies only those candidates. Emits one row per
-    (new doc, corpus near-dup) pair; new docs with no row are novel and
-    would be admitted. The batch here is the deterministic doc_id slice
+    work scales with |batch| × collision rate, never |corpus|². A second
+    band self-join over the batch ALONE catches duplicates WITHIN the
+    ingested batch (|batch|² collision work — cheap, the batch is ~10%
+    of the corpus), which the cross join by construction cannot see.
+    Exact Jaccard then verifies only the candidates. Emits one row per
+    (new doc, near-dup it duplicates) pair — ``dup_of`` is a corpus doc
+    for cross-boundary pairs and the EARLIER (lower doc_id) batch doc
+    for intra-batch pairs; new docs with no row are novel and would be
+    admitted. The batch here is the deterministic doc_id slice
     ``doc_id % {INCR_BATCH_MOD} == {INCR_BATCH_REM}`` (~10%), which
     keeps the whole operator SQL-expressible for the oracle."""
     sh = _shingles_df(spark, sf_dir).withColumn(
         "h", md5_long(F.col("shingle")) % MINHASH_P
     ).localCheckpoint()
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
-    banded = _banded_signatures(sh)
+    batch_sigs = _banded_signatures(sh.where(is_batch))
+    if corpus_sigs is None:
+        corpus_sigs = _banded_signatures(sh.where(~is_batch))
+    new_side = batch_sigs.select(
+        F.col("doc_id").alias("doc_new"), "band", "sig"
+    )
+    cross = new_side.join(
+        corpus_sigs.select(F.col("doc_id").alias("dup_of"), "band", "sig"),
+        ["band", "sig"],
+    )
+    intra = new_side.join(
+        batch_sigs.select(F.col("doc_id").alias("dup_of"), "band", "sig"),
+        ["band", "sig"],
+    ).where(F.col("doc_new") > F.col("dup_of"))
     cand = (
-        banded.where(is_batch)
-        .select(F.col("doc_id").alias("doc_new"), "band", "sig")
-        .join(
-            banded.where(~is_batch).select(
-                F.col("doc_id").alias("dup_of"), "band", "sig"
-            ),
-            ["band", "sig"],
-        )
-        .select("doc_new", "dup_of")
+        cross.select("doc_new", "dup_of")
+        .unionByName(intra.select("doc_new", "dup_of"))
         .distinct()
     )
     sh_only = sh.select("doc_id", "shingle")
@@ -498,12 +550,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INCR_BAND_CAND_SQL = "\n    UNION ALL\n".join(
-    f"""    SELECT a.doc_id doc_new, b.doc_id dup_of
+    [
+        f"""    SELECT a.doc_id doc_new, b.doc_id dup_of
     FROM mins a JOIN mins b
       ON {_band_sig_sql('a', band)} = {_band_sig_sql('b', band)}
      AND a.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
      AND b.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}"""
-    for band in range(_N_BANDS)
+        for band in range(_N_BANDS)
+    ]
+    + [
+        # intra-batch arm: later batch doc duplicates the earlier one
+        f"""    SELECT a.doc_id doc_new, b.doc_id dup_of
+    FROM mins a JOIN mins b
+      ON {_band_sig_sql('a', band)} = {_band_sig_sql('b', band)}
+     AND a.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+     AND b.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+     AND a.doc_id > b.doc_id"""
+        for band in range(_N_BANDS)
+    ]
 )
 
 DEDUP_INCREMENTAL_SQL = f"""

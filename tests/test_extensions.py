@@ -343,23 +343,60 @@ def test_pil_decode_falls_back_on_corrupt_payload(spark):
         assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
 
 
-def test_incremental_dedup_equals_cross_slice_of_full(spark, sf_small):
-    """Consistency contract: the incremental batch-vs-corpus pass must
-    find EXACTLY the full batch run's pairs that cross the batch/corpus
-    boundary — same signatures, same bands, same verify — so switching a
-    pipeline from periodic full dedup to incremental ingest changes
-    nothing about which duplicates are caught."""
+def test_incremental_dedup_equals_batch_touching_slice_of_full(
+    spark, sf_small
+):
+    """Consistency contract: the incremental pass (batch-vs-corpus band
+    join + the batch self-join, ADVICE r6) must find EXACTLY the full
+    batch run's pairs that TOUCH the batch — cross-boundary pairs AND
+    intra-batch pairs — same signatures, same bands, same verify. So
+    switching a pipeline from periodic full dedup to incremental ingest
+    changes nothing about which duplicates are caught, and an
+    intra-batch duplicate can no longer be admitted twice."""
     full = {
         (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.jaccard)
         for r in D.dedup_minhash(spark, sf_small).collect()
     }
     is_batch = lambda d: d % D.INCR_BATCH_MOD == D.INCR_BATCH_REM  # noqa: E731
-    full_cross = {
-        t for t in full if is_batch(t[0]) != is_batch(t[1])
+    full_touching = {
+        t for t in full if is_batch(t[0]) or is_batch(t[1])
     }
+    rows = D.dedup_incremental(spark, sf_small).collect()
     incr = {
         (min(r.doc_new, r.dup_of), max(r.doc_new, r.dup_of), r.jaccard)
-        for r in D.dedup_incremental(spark, sf_small).collect()
+        for r in rows
     }
-    assert incr == full_cross
+    assert incr == full_touching
     assert incr  # non-vacuous: the fixture seeds cross-boundary near-dups
+    # orientation: doc_new is always a batch doc; intra-batch pairs point
+    # the later doc at the earlier one (the survivor)
+    for r in rows:
+        assert is_batch(r.doc_new)
+        if is_batch(r.dup_of):
+            assert r.doc_new > r.dup_of
+
+
+def test_incremental_persisted_matches_inmemory(spark, sf_small, tmp_path):
+    """VERDICT r6 item 1: joining the batch against the PERSISTED
+    bucketed corpus signature table yields byte-identical pairs to the
+    in-memory corpus side — the persistence is pure amortization, not a
+    semantic fork."""
+    corpus = D.write_incremental_corpus(
+        spark,
+        sf_small,
+        table="incr_corpus_eq_test",
+        path=str(tmp_path / "incr_corpus"),
+    )
+    try:
+        got = sorted(
+            tuple(r)
+            for r in D.dedup_incremental(
+                spark, sf_small, corpus_sigs=corpus
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in D.dedup_incremental(spark, sf_small).collect()
+        )
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS incr_corpus_eq_test")

@@ -199,6 +199,57 @@ def test_ivf_bucketed_probe_join_no_shuffle(spark, sf_small, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_incremental_persisted_corpus_join_no_shuffle(
+    spark, sf_small, tmp_path
+):
+    """VERDICT r6 item 1: the persisted incremental-dedup corpus
+    signature table (bucketed by the band-join key) must join against a
+    batch-signature relation with NO Exchange on the corpus side — at
+    100 TB the corpus is the overwhelming side of the continuous-ingest
+    join, and re-shuffling it per batch would erase the amortization the
+    persisted table exists for. Mirrors
+    test_ivf_bucketed_probe_join_no_shuffle."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long,
+    )
+
+    table = "incr_corpus_plan_test"
+    corpus = D.write_incremental_corpus(
+        spark, sf_small, table=table, n_buckets=8,
+        path=str(tmp_path / "incr_corpus"),
+    )
+    sh = D._shingles_df(spark, sf_small).withColumn(
+        "h", md5_long(F.col("shingle")) % D.MINHASH_P
+    )
+    is_batch = (F.col("doc_id") % D.INCR_BATCH_MOD) == D.INCR_BATCH_REM
+    # localCheckpoint so the batch subplan's own aggregation exchange is
+    # materialized away and the asserted count isolates the JOIN's
+    # exchanges, exactly as dedup_incremental's checkpointed `sh` does
+    batch = D._banded_signatures(sh.where(is_batch)).localCheckpoint()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force SMJ: a broadcast join would trivially have no shuffle and
+    # prove nothing about the bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = batch.select(
+            F.col("doc_id").alias("doc_new"), "band", "sig"
+        ).join(
+            corpus.select(F.col("doc_id").alias("dup_of"), "band", "sig"),
+            ["band", "sig"],
+        )
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Bucketed: true" in p, p
+        # exactly one Exchange — the batch side; the bucketed corpus
+        # side reads pre-partitioned on (band, sig)
+        assert p.count(") Exchange") == 1, p
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_sample_stratified_broadcasts_rates(spark, sf_small):
     """The per-stratum rate table must broadcast: the corpus side of the
     sampler is never exchanged (the keep predicate is a scalar function
