@@ -234,8 +234,33 @@ def streaming_click_purchase_join(
 
     The lag is reported in integer microseconds (no float drift across
     engines)."""
+    joined = click_purchase_joined(
+        _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def click_purchase_joined(
+    click_events: DataFrame, purchase_events: DataFrame
+) -> DataFrame:
+    """The watermarked stream-stream join plan itself, over two
+    (streaming or batch) `events`-shaped inputs — factored out so
+    tests can drive it over a staged multi-file source and assert
+    cross-micro-batch emission + bounded state
+    (test_streaming.py::test_stream_join_emits_across_batches)."""
     clicks = (
-        _events_stream(spark, sf_dir)
+        click_events
         .where(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -245,7 +270,7 @@ def streaming_click_purchase_join(
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
+        purchase_events
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -272,18 +297,7 @@ def streaming_click_purchase_join(
         ).alias("lag_us"),
         F.round("purchase_value", 6).alias("purchase_value"),
     )
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return joined
 
 
 STREAMING_JOIN_SQL = """

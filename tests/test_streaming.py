@@ -149,3 +149,98 @@ def test_streaming_two_batches_incremental(spark, staged_events):
         .collect()
     }
     assert got == want
+
+
+def test_stream_join_emits_across_batches(spark, sf_oracle, tmp_path):
+    """VERDICT r6 item 4: the stream-stream click→purchase join across
+    MULTIPLE micro-batches. Staging every click in file 1 and every
+    purchase in file 2 forces each match to straddle a micro-batch
+    boundary: batch 0 may only BUFFER clicks into join state, batch 1
+    delivers the purchases, so every emitted row proves cross-batch
+    state lookup. Then the watermark contract: the trailing no-data
+    batch must evict both sides down to exactly the horizon — clicks
+    still able to match a future purchase (click_ts + 30 min ≥ wm) and
+    purchases still able to match a future click (purchase_ts ≥ wm),
+    with wm = min(max click_ts, max purchase_ts) − 1 h (the global
+    min-policy watermark over both sides' 1-hour delays)."""
+    import time
+    from datetime import timedelta
+
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW
+
+    ev = load_table(spark, sf_oracle, "events")
+    d = tmp_path / "join_stream"
+    os.makedirs(d)
+    ev.where(F.col("event_type") != "purchase").coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    ev.where(F.col("event_type") == "purchase").coalesce(1).write.parquet(
+        str(d / "b2")
+    )
+    now = time.time()
+    for i, sub in enumerate(("b1", "b2")):
+        for f in sorted(os.listdir(d / sub)):
+            if f.endswith(".parquet"):
+                dst = d / f"{sub}.parquet"
+                os.rename(d / sub / f, dst)
+                os.utime(dst, (now - 3600 + i * 1800,) * 2)
+
+    def src():
+        return (
+            spark.readStream.format("parquet")
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+
+    name = "join_batches_out"
+    q = (
+        SW.click_purchase_joined(src(), src())
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    # every match emitted exactly once, equal to the batch plan over the
+    # union of all files (click_purchase_joined runs unchanged on batch
+    # inputs — watermarks are a no-op there)
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    want = sorted(tuple(r) for r in SW.click_purchase_joined(ev, ev).collect())
+    assert got == want and len(got) > 0
+
+    # emission is genuinely cross-batch: the clicks-only first batch
+    # emits nothing; a later batch emits every row
+    outs = [p["sink"]["numOutputRows"] for p in progress]
+    assert outs[0] == 0
+    assert sum(outs[1:]) == len(got)
+
+    # bounded state: the final (no-data) batch evicts both sides down to
+    # exactly the watermark horizon, computed from the fixture
+    wm = min(
+        ev.where(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0],
+        ev.where(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0],
+    ) - timedelta(hours=1)
+    clicks_live = (
+        ev.where(F.col("event_type") == "click")
+        .where(F.col("ts") + F.expr("INTERVAL 30 MINUTES") >= F.lit(wm))
+        .count()
+    )
+    purchases_live = (
+        ev.where(F.col("event_type") == "purchase")
+        .where(F.col("ts") >= F.lit(wm))
+        .count()
+    )
+    final_state = [p for p in progress if p.get("stateOperators")][-1][
+        "stateOperators"
+    ][0]["numRowsTotal"]
+    assert final_state == clicks_live + purchases_live
+    # non-vacuous: far less than the buffered peak (every click+purchase)
+    assert final_state < 0.01 * (
+        ev.where(F.col("event_type").isin("click", "purchase")).count()
+    )
