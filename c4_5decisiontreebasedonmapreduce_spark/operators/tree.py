@@ -167,8 +167,13 @@ class DecisionListModel:
         return df.withColumn(out_col, self.prediction_column())
 
     def to_df(self, spark) -> DataFrame:
+        """The model as a relation — one row per rule, ``rule_id``
+        carrying the list position so a columnar roundtrip
+        (:meth:`save_parquet` / :meth:`load_parquet`) reconstructs the
+        decision list deterministically regardless of file/row order."""
         schema = T.StructType(
             [
+                T.StructField("rule_id", T.IntegerType()),
                 T.StructField(
                     "conditions",
                     T.ArrayType(
@@ -188,14 +193,50 @@ class DecisionListModel:
         )
         rows = [
             (
+                i,
                 [(c.attr, c.op, str(c.value)) for c in r.conditions],
                 r.label,
                 r.n,
                 r.depth,
             )
-            for r in self.rules
+            for i, r in enumerate(self.rules)
         ]
         return spark.createDataFrame(rows, schema)
+
+    def save_parquet(self, spark, path: str) -> None:
+        """Columnar model sink (VERDICT r6 item 6): persist the decision
+        list as a parquet relation via :meth:`to_df`, matching the
+        engine's own sink story (`sink_model`, SURVEY §2.A #20 — the
+        reference only prints rules to stdout, `Main.java:128-131`).
+        One file: a model is rules-count-sized, never data-sized."""
+        self.to_df(spark).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load_parquet(
+        cls, spark, path: str, label_col: str = "label"
+    ) -> "DecisionListModel":
+        """Rebuild the model from the parquet relation, restoring list
+        order from ``rule_id`` and re-typing numeric half-space
+        condition values (stored as strings, same convention as the
+        JSON serde)."""
+        rows = spark.read.parquet(path).orderBy("rule_id").collect()
+        rules = [
+            Rule(
+                tuple(
+                    Condition(
+                        c["attr"],
+                        c["op"],
+                        c["value"] if c["op"] == OP_EQ else float(c["value"]),
+                    )
+                    for c in r["conditions"]
+                ),
+                r["label"],
+                r["n"],
+                r["depth"],
+            )
+            for r in rows
+        ]
+        return cls(rules=rules, label_col=label_col)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -243,10 +284,39 @@ class DecisionListModel:
         (`Main.java:244-245`). One documented divergence: the
         reference's ``Rule.toString`` crashes on a condition-less rule
         (root-is-leaf, quirk Q4 in SURVEY.md) — ours renders it as
-        ``:label``."""
+        ``:label``.
+
+        FORMAT CONSTRAINT (shared with the reference, which never
+        validates it): ``,``/``&``/``:`` are structural delimiters, so a
+        categorical value or label containing one — or an OP_EQ value
+        beginning with ``<=`` / ``>``, which re-parses as a numeric
+        half-space — would render a line that silently mis-parses.
+        Such models raise ValueError here instead of corrupting the
+        wire text (ADVICE r6)."""
         aid = {a: i for i, a in enumerate(attr_order)}
         lines = []
         for r in self.rules:
+            for c in r.conditions:
+                if c.op == OP_EQ:
+                    v = str(c.value)
+                    if any(d in v for d in ",&:"):
+                        raise ValueError(
+                            f"categorical value {v!r} contains a wire-"
+                            "format delimiter (one of ',', '&', ':') and"
+                            " cannot be rendered unambiguously"
+                        )
+                    if v.startswith(OP_LE) or v.startswith(OP_GT):
+                        raise ValueError(
+                            f"categorical value {v!r} starts with a "
+                            "numeric half-space marker ('<=' or '>') and"
+                            " would re-parse as a numeric condition"
+                        )
+            if r.label and any(d in r.label for d in ",&:"):
+                raise ValueError(
+                    f"label {r.label!r} contains a wire-format delimiter"
+                    " (one of ',', '&', ':') and cannot be rendered"
+                    " unambiguously"
+                )
             conds = "&".join(
                 f"{aid[c.attr]},"
                 + (

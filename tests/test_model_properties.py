@@ -105,3 +105,31 @@ def test_reference_wire_format_roundtrip(m):
                 assert c1.value == c0.value
             else:
                 assert float(c1.value) == float(c0.value)
+
+
+def test_wire_format_rejects_delimiter_values():
+    """ADVICE r6: a condition value or label containing a structural
+    delimiter (',', '&', ':'), or an OP_EQ value starting with a
+    numeric half-space marker, must raise instead of rendering a line
+    that silently mis-parses (the reference shares the constraint but
+    never checks it)."""
+    import pytest
+
+    order = ["a"]
+
+    def model(cond_value=None, label="R"):
+        conds = (
+            (Tr.Condition("a", Tr.OP_EQ, cond_value),) if cond_value else ()
+        )
+        return Tr.DecisionListModel([Tr.Rule(conds, label, 1, 1)])
+
+    for bad in ("x,y", "x&y", "x:y", "<=5", ">cloudy"):
+        with pytest.raises(ValueError):
+            model(cond_value=bad).to_reference_text(order)
+    for bad_label in ("R,S", "R&S", "R:S"):
+        with pytest.raises(ValueError):
+            model(cond_value="x", label=bad_label).to_reference_text(order)
+    # clean values still render and roundtrip
+    lines = model(cond_value="x").to_reference_text(order)
+    back = Tr.DecisionListModel.from_reference_text(lines, order)
+    assert back.rules[0].conditions[0].value == "x"
