@@ -63,9 +63,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_coverage(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
+    """Stratum-coverage audit for :func:`sample_stratified` (ADVICE r6):
+    one row per language with the corpus count, whether a keep rate is
+    configured, and how many documents the sampler keeps. An
+    UNCONFIGURED stratum — which the sampler's inner join silently drops
+    — surfaces here as ``configured = false, n_kept = 0``, so a missing
+    rate fails LOUDLY (alert on any unconfigured row) instead of
+    shrinking the corpus unnoticed. Same scale shape as the sampler:
+    one corpus scan, broadcast rate dim (left join), one per-language
+    aggregation. Pass ``d`` to audit an arbitrary documents relation
+    (tests inject an unconfigured stratum)."""
+    rates = spark.createDataFrame(
+        sorted(STRATA_RATES.items()), "lang string, rate double"
+    )
+    if d is None:
+        d = docs(spark, sf_dir)
+    u = md5_long(F.concat(F.lit(_SEED), F.col("doc_id").cast("string"))) % _MOD
+    return (
+        d.join(F.broadcast(rates), "lang", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.bool_or(F.col("rate").isNotNull()).alias("configured"),
+            F.count(
+                F.when(
+                    F.col("rate").isNotNull()
+                    & (u < (F.col("rate") * _MOD).cast("long")),
+                    1,
+                )
+            ).alias("n_kept"),
+        )
+    )
+
+
 _RATES_VALUES = ", ".join(
     f"('{k}', {v})" for k, v in sorted(STRATA_RATES.items())
 )
+
+SAMPLE_COVERAGE_SQL = f"""
+WITH rates(lang, rate) AS (VALUES {_RATES_VALUES})
+SELECT documents.lang, COUNT(*) AS n_docs,
+       BOOL_OR(rates.rate IS NOT NULL) AS configured,
+       COUNT(CASE WHEN rates.rate IS NOT NULL
+                   AND {md5_long_sql("CONCAT('" + _SEED + "', CAST(documents.doc_id AS VARCHAR))")}
+                       % {_MOD} < CAST(rates.rate * {_MOD} AS BIGINT)
+                  THEN 1 END) AS n_kept
+FROM {DOCS_SQL} LEFT JOIN rates ON documents.lang = rates.lang
+GROUP BY documents.lang"""
 
 SAMPLE_STRATIFIED_SQL = f"""
 WITH rates(lang, rate) AS (VALUES {_RATES_VALUES})

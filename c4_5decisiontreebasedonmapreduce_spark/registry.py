@@ -1142,6 +1142,7 @@ _register(
     _dedup_incremental_persisted_query,
     D.DEDUP_INCREMENTAL_SQL,
 )
+_register("sample_coverage", SMP.sample_coverage, SMP.SAMPLE_COVERAGE_SQL)
 
 
 def queries() -> dict[str, QueryFn]:

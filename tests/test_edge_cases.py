@@ -224,3 +224,38 @@ def test_sample_stratified_deterministic_and_monotone(
     from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
 
     assert len(full) == docs(spark, sf_small).count()  # rate 1.0 keeps all
+
+
+def test_sample_coverage_flags_unconfigured_stratum(spark, sf_small):
+    """ADVICE r6: an unconfigured language must surface loudly via the
+    coverage audit (configured=false, n_kept=0) instead of silently
+    vanishing through the sampler's inner join — and the audit's kept
+    counts must agree exactly with what the sampler actually keeps."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import sampling as SMP
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    # on the fixture every language has a rate: audit says all covered
+    cov = {r.lang: r for r in SMP.sample_coverage(spark, sf_small).collect()}
+    assert cov and all(r.configured for r in cov.values())
+    kept = (
+        SMP.sample_stratified(spark, sf_small)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    for r in kept:
+        assert cov[r.lang].n_kept == r["count"]
+
+    # inject an unconfigured stratum: it must be flagged, not dropped
+    extra = spark.createDataFrame(
+        [(10**9, "Heghlu'meH QaQ jajvam", "tlh", "synthetic", 21)],
+        docs(spark, sf_small).schema,
+    )
+    cov2 = {
+        r.lang: r
+        for r in SMP.sample_coverage(
+            spark, sf_small, d=docs(spark, sf_small).unionByName(extra)
+        ).collect()
+    }
+    assert not cov2["tlh"].configured
+    assert cov2["tlh"].n_kept == 0 and cov2["tlh"].n_docs == 1
