@@ -8,11 +8,19 @@ timed WARM runs. The headline `value` is the sum of per-query warm
 MINIMA — the least-contended observation, reproducible run-to-run to
 ~±10% on this machine, whose background load spikes inflated the r4
 single-cold-run figure 1.5× on byte-identical code (and can poison even
-a median when a spike spans all reps of one query). Warm medians
-("queries" — also the per-query display numbers) and cold times
-("queries_cold") are recorded alongside for diagnosis. Queries that
+a median when a spike spans all reps of one query). Queries that
 memoize across calls (c45_train's model cache, level_stats' checkpoint)
-reset their caches before every timed rep so each rep does real work.
+reset their caches before every timed rep so each rep does real work;
+dedup_incremental_persisted deliberately does NOT reset — reusing the
+persisted corpus signature table across batches IS its semantics (its
+cold rep pays the one-time table write).
+
+Output contract: stdout carries EXACTLY ONE compact JSON line (the
+driver parses only the last ~2 KB of stdout — r6's artifact failed to
+parse because the line outgrew that window); "queries" are the per-query
+warm minima, summing to "value". The full diagnostic artifact (medians,
+cold times, spreads) goes to bench_full.json and per-query lines to
+stderr.
 """
 
 from __future__ import annotations
@@ -41,6 +49,7 @@ BENCH_QUERIES = [
     # relational surface
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier",
     "join_broadcast",
     "window_funcs",
     "asof_join",
@@ -49,8 +58,15 @@ BENCH_QUERIES = [
     # LLM-pipeline extensions
     "tokenize",
     "tfidf",
+    "quality_signals",
+    "sample_stratified",
+    "pipeline_curation",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash",
+    "dedup_incremental",
+    "dedup_incremental_persisted",
+    "dedup_cluster",
     "similarity_topk",
 ]
 
@@ -113,26 +129,49 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(best.values()), 3),
-                "value_is": "sum of per-query warm minimum over reps",
-                "unit": "sec",
-                "queries": med,
-                "queries_min": best,
-                "queries_cold": cold,
-                "median_total": round(sum(med.values()), 3),
-                "cold_total": round(sum(cold.values()), 3),
-                "queries_spread": spread,
-                "load_noise_flagged": noisy,
-                "reps": reps,
-                "sf": sf,
-                **({"errors": errors} if errors else {}),
-            }
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(best.values()), 3),
+        "value_is": "sum of per-query warm minimum over reps",
+        "unit": "sec",
+        "queries": best,
+        "queries_median": med,
+        "queries_cold": cold,
+        "median_total": round(sum(med.values()), 3),
+        "cold_total": round(sum(cold.values()), 3),
+        "queries_spread": spread,
+        "load_noise_flagged": noisy,
+        "reps": reps,
+        "sf": sf,
+        **({"errors": errors} if errors else {}),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+    # the ONE stdout JSON line, kept compact: the driver parses only the
+    # tail of stdout, so the extended diagnostics live in bench_full.json
+    compact = {
+        k: full[k]
+        for k in (
+            "metric", "value", "value_is", "unit", "queries",
+            "median_total", "cold_total", "load_noise_flagged",
+            "reps", "sf",
         )
-    )
+    }
+    if errors:
+        compact["errors"] = errors
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # stay inside the driver's tail window
+        for k in ("load_noise_flagged", "cold_total", "median_total",
+                  "value_is"):
+            compact.pop(k, None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= 1800:
+                break
+    print(line)
     spark.stop()
 
 

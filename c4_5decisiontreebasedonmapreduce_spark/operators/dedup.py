@@ -490,9 +490,14 @@ def dedup_incremental(
         "h", md5_long(F.col("shingle")) % MINHASH_P
     ).localCheckpoint()
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
-    batch_sigs = _banded_signatures(sh.where(is_batch))
     if corpus_sigs is None:
-        corpus_sigs = _banded_signatures(sh.where(~is_batch))
+        # one signature aggregation serves both sides of the band join
+        banded = _banded_signatures(sh)
+        batch_sigs = banded.where(is_batch)
+        corpus_sigs = banded.where(~is_batch)
+    else:
+        # persisted corpus: only the batch's signatures are computed
+        batch_sigs = _banded_signatures(sh.where(is_batch))
     new_side = batch_sigs.select(
         F.col("doc_id").alias("doc_new"), "band", "sig"
     )

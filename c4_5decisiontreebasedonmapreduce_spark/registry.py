@@ -1127,10 +1127,19 @@ def _dedup_incremental_persisted_query(
     key = sf_dir.rstrip("/")
     table = _INCR_CORPUS_TABLES.get(key)
     if table is None or not spark.catalog.tableExists(table):
-        table = "incr_corpus_" + "".join(
-            c if c.isalnum() else "_" for c in key.strip("/")
+        # session-unique name + explicit fresh path: a managed-table
+        # name would collide with a lingering warehouse location left
+        # by a PREVIOUS session (the catalog forgets, the dir stays)
+        import tempfile
+        import uuid
+
+        table = f"incr_corpus_{uuid.uuid4().hex[:8]}"
+        D.write_incremental_corpus(
+            spark,
+            sf_dir,
+            table=table,
+            path=tempfile.mkdtemp(prefix="incr_corpus_") + "/t",
         )
-        D.write_incremental_corpus(spark, sf_dir, table=table)
         _INCR_CORPUS_TABLES[key] = table
     return D.dedup_incremental(
         spark, sf_dir, corpus_sigs=spark.table(table)
