@@ -793,8 +793,10 @@ def dedup_embedding(
 
     Default path is IVF-PRUNED: every vector is assigned to its
     EMB_PROBES nearest codebook centroids (the deterministic
-    pseudo-codebook shared with similarity.py; mllib_kmeans supplies real
-    centroids in production) and only pairs co-occurring in at least one
+    pseudo-codebook shared with similarity.py; similarity.kmeans_codebook
+    supplies real centroids, recall-pinned by
+    test_extensions.py::test_ann_ivf_kmeans_codebook_recall) and only
+    pairs co-occurring in at least one
     bucket are scored. The corpus is joined against the tiny broadcast
     codebook (N×C, C ≪ N) and then self-joined on the bucket key — never
     N² — so candidates scale with bucket occupancy. Multi-probing keeps

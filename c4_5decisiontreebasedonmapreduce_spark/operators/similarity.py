@@ -4,9 +4,13 @@ Baseline: brute-force cosine top-k (exact, oracle-checked). Scale path:
 IVF — embeddings are bucketed by nearest centroid once, queries probe only
 the few nearest buckets, so the candidate set scales with bucket size
 instead of corpus size. Centroid assignment and probing are plain
-DataFrame joins + window ranks; at cluster scale the assignment output
-would be written bucketed-by-centroid so probes become partition-pruned
-scans.
+DataFrame joins + window ranks; the persisted layout (write_ivf_bucketed)
+stores the assignment output bucketed-by-centroid, and the probe join
+against it is plan-asserted shuffle-free on the corpus side with
+bucket-pruned scans (test_scale_plans.py::
+test_ivf_bucketed_probe_join_no_shuffle). Real KMeans centroids drop in
+via kmeans_codebook (recall@5 pinned 0.91 at 6/8 probes,
+test_extensions.py::test_ann_ivf_kmeans_codebook_recall).
 
 Cosine arithmetic reuses the decimal-exact dot products from dedup.py, so
 rankings are deterministic and engine-portable.

@@ -1006,7 +1006,9 @@ _register(
 def _mllib_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib KMeans over the embeddings table — the iterative-algorithm
     path for real IVF codebooks (the ivf query uses deterministic
-    pseudo-centroids so its oracle stays static)."""
+    pseudo-centroids so its oracle stays static; the end-to-end wiring
+    is `similarity.kmeans_codebook` → `similarity_ann_ivf`, recall-pinned
+    by test_extensions.py::test_ann_ivf_kmeans_codebook_recall)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
