@@ -128,45 +128,72 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     frequency exceeds SHINGLE_DF_CAP (one ubiquitous trigram — "one of
     the" — would otherwise meet df² pairs on a single hot join key; the
     cap bounds any shingle's fan-out to df ≤ 1000, i.e. ≤ ~500k pairs,
-    one task's work). Jaccard VERIFICATION then recounts common shingles
-    over the FULL shingle sets, restricted to the candidate pairs, so
-    scores are exact. A qualifying pair is missed only if *every* shared
+    one task's work). A qualifying pair is missed only if *every* shared
     shingle is ubiquitous — at threshold ≥ 0.5 that means both documents
     are pure boilerplate; standard MinHash-era practice (df-capped
-    shingling) accepts this."""
-    # the shingle relation feeds four plan branches (the df cap, both
-    # candidate sides, the per-doc set table); materialize it once
-    # instead of re-running the tokenize/explode pipeline per branch
+    shingling) accepts this.
+
+    Common counts come DIRECTLY from the candidate-generating self-join
+    (groupBy count over its narrow two-long pair rows, replacing a
+    distinct), so verification shuffles no shingle content at all; only
+    the few CAPPED shingles (df > SHINGLE_DF_CAP — zero on the test
+    corpora, boilerplate trigrams on a real one) need the residual
+    correction join, restricted to candidate pairs, to make each pair's
+    common count exact over the FULL sets. This replaced the doc-set
+    verify that carried two ~52-element string arrays through the
+    candidate join (~110M strings at sf0.1): warm 7.4 s → see
+    BASELINE.md r7."""
+    # the shingle relation feeds four plan branches (the df counts, both
+    # candidate sides, the sizes table); materialize it once instead of
+    # re-running the tokenize/explode pipeline per branch
     sh = sh.localCheckpoint()
-    cand = _jaccard_candidates(sh)
-    # verify via per-document shingle SETS + array_intersect: one row per
-    # candidate pair, instead of re-joining each pair against its ~k
-    # exploded shingles per side (which materializes |pairs| × k rows —
-    # measured 59M intermediate rows for 1.1M candidates at sf0.1).
-    # Shingles are distinct per document, so intersect size == exact
-    # common count over the FULL sets; sizes ride the same arrays.
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shs")
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        df_counts.where(F.col("df") <= SHINGLE_DF_CAP).select("shingle"),
+        "shingle",
     )
+    pair_rare = (
+        rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common_rare"))
+    )
+    # residual: shared CAPPED shingles still count toward the exact
+    # intersection; per-pair volume is |pairs| × (capped shingles per
+    # doc) — near-zero by the cap's nature
+    freq = sh.join(
+        df_counts.where(F.col("df") > SHINGLE_DF_CAP).select("shingle"),
+        "shingle",
+    )
+    pair_freq = (
+        pair_rare.select("doc_a", "doc_b")
+        .join(freq.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            freq.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common_freq"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
-        cand.join(
-            doc_sets.select(
-                F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")
+        pair_rare.join(pair_freq, ["doc_a", "doc_b"], "left")
+        .withColumn(
+            "common",
+            F.col("common_rare") + F.coalesce(F.col("common_freq"), F.lit(0)),
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
             ),
             "doc_a",
         )
         .join(
-            doc_sets.select(
-                F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
             ),
             "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
-            F.size("sh_a").alias("sz_a"),
-            F.size("sh_b").alias("sz_b"),
         )
         .withColumn(
             "jaccard",

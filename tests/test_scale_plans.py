@@ -140,12 +140,13 @@ def test_final_plan_scan_budget(spark, sf_small):
 
 
 def test_jaccard_verify_reuses_docset_exchange(spark, sf_small):
-    """The per-doc shingle-set aggregation feeds BOTH sides of the
-    candidate verify join. The static plan carries it twice, but at
-    runtime AQE must dedup the identical exchange (ReusedExchange) so
-    the shingle table is shuffled into doc-sets once, not twice — at
-    cluster scale the duplicate would be a full second shuffle of the
-    corpus's shingle data."""
+    """Several subplans feed two consumers each (the rare-shingle
+    relation feeds both sides of the pair self-join; the pair-count
+    aggregation feeds both the result and the capped-shingle residual
+    branch; the sizes aggregation feeds both sides of the final join).
+    The static plan carries each twice, but at runtime AQE must dedup
+    the identical exchanges (ReusedExchange) — at cluster scale each
+    duplicate would be a full second shuffle of corpus-sized data."""
     df = QUERIES["dedup_ngram_jaccard"](spark, sf_small)
     df.collect()
     p = plan_of(df)
