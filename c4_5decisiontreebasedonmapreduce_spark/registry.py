@@ -1154,6 +1154,15 @@ _register(
     D.DEDUP_INCREMENTAL_SQL,
 )
 _register("sample_coverage", SMP.sample_coverage, SMP.SAMPLE_COVERAGE_SQL)
+# the streaming FILE sink (parquet + checkpoint, append mode): the
+# emitted set is the deterministic closed-window slice (end <= final
+# watermark) of the batch aggregate, so even the production sink path
+# is oracle-paired, not just the memory-sink twins
+_register(
+    "streaming_sink_parquet",
+    SW.streaming_sink_parquet,
+    SW.STREAMING_SINK_PARQUET_SQL,
+)
 
 
 def queries() -> dict[str, QueryFn]:

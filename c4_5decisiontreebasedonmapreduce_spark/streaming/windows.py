@@ -31,19 +31,26 @@ from pyspark.sql import functions as F
 from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, stage: str | None = None
+) -> DataFrame:
     # runtime conf, set at read time so sessions built without it (the
     # grading harness) can read the TIMESTAMP(NANOS) column — same guard
     # as sources/parquet.load_table
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file-stream source requires a *directory*; expose the single
-    # parquet file through a scratch dir symlink (zero-copy)
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
+    # parquet file through a scratch dir symlink (zero-copy). Pass a
+    # STABLE ``stage`` when the query checkpoints: the checkpoint's
+    # source offsets record file paths, so a restart must read the same
+    # staged path to resume instead of re-ingesting
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+    else:
+        os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     stream = (
         spark.readStream.format("parquet")
         .schema(batch.schema)
@@ -63,16 +70,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def streaming_tumbling(
-    spark: SparkSession, sf_dir: str, watermark: str | None = None
-) -> DataFrame:
-    """1-hour tumbling count/sum per event_type as a streaming query,
-    drained synchronously; returns the final result table (matches the
-    batch `event_windows_tumbling` oracle exactly)."""
-    ev = _events_stream(spark, sf_dir)
-    if watermark:
-        ev = ev.withWatermark("ts", watermark)
-    agg = (
+def _tumbling_agg(ev: DataFrame) -> DataFrame:
+    """The shared 1-hour tumbling count/sum plan, used by the memory-sink
+    twin (`streaming_tumbling`) and the parquet file sink
+    (`streaming_sink_parquet`)."""
+    return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -87,6 +89,18 @@ def streaming_tumbling(
             "sum_value",
         )
     )
+
+
+def streaming_tumbling(
+    spark: SparkSession, sf_dir: str, watermark: str | None = None
+) -> DataFrame:
+    """1-hour tumbling count/sum per event_type as a streaming query,
+    drained synchronously; returns the final result table (matches the
+    batch `event_windows_tumbling` oracle exactly)."""
+    ev = _events_stream(spark, sf_dir)
+    if watermark:
+        ev = ev.withWatermark("ts", watermark)
+    agg = _tumbling_agg(ev)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode("complete")
@@ -338,3 +352,63 @@ def streaming_sliding(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_sink_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The PRODUCTION sink story: the tumbling aggregation committed to a
+    parquet FILE sink with a checkpoint location (the memory-sink twins
+    exist for oracle comparability; a real pipeline writes files/tables).
+
+    Append output mode: a window is written once its end falls at or
+    below the advancing watermark — exactly once, via the checkpoint's
+    offset WAL plus the sink's file commit log, so restarting the query
+    against the same checkpoint with no new data commits NOTHING
+    (pinned by test_streaming.py::test_parquet_sink_exactly_once_restart).
+    With the single-file source the emitted set is deterministic: every
+    window whose end ≤ final watermark (max event time − delay) with its
+    complete aggregate — the same eviction arithmetic the memory-sink
+    watermark test pins — which makes the file sink ORACLE-PAIRABLE
+    (registry `streaming_sink_parquet`): DuckDB computes the same
+    closed-window slice of the batch aggregate. Returns the re-read of
+    the committed files."""
+    import tempfile
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+    data = os.path.join(out_dir, "data")
+    ckpt = os.path.join(out_dir, "ckpt")
+    # stable staged source per sink dir: the checkpoint's offsets name
+    # the staged file path, so a restart resumes instead of re-ingesting
+    agg = _tumbling_agg(
+        _events_stream(
+            spark, sf_dir, stage=os.path.join(out_dir, "src")
+        ).withWatermark("ts", watermark)
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", data)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(data)
+
+
+STREAMING_SINK_PARQUET_SQL = """
+WITH agg AS (
+  SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start, event_type,
+    COUNT(*) AS n_events,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+  FROM events GROUP BY 1, 2)
+SELECT * FROM agg
+WHERE window_start + INTERVAL '1 hour'
+      <= (SELECT MAX(ts) - INTERVAL '1 hour' FROM events)"""

@@ -244,3 +244,47 @@ def test_stream_join_emits_across_batches(spark, sf_oracle, tmp_path):
     assert final_state < 0.01 * (
         ev.where(F.col("event_type").isin("click", "purchase")).count()
     )
+
+
+def test_parquet_sink_exactly_once_restart(spark, sf_small, tmp_path):
+    """The production file-sink path: append-mode tumbling agg committed
+    to parquet with a checkpoint. (1) the committed set is exactly the
+    closed-window slice of the batch aggregate — every window with
+    end <= final watermark (max event time − 1 h) and its complete
+    counts; (2) RESTARTING the query against the same checkpoint and
+    source commits nothing new (offset WAL + file commit log = exactly
+    once), so the re-read is byte-identical."""
+    from datetime import timedelta
+
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW
+
+    out_dir = str(tmp_path / "sink")
+    first = SW.streaming_sink_parquet(spark, sf_small, out_dir=out_dir)
+    got = sorted(tuple(r) for r in first.collect())
+
+    ev = load_table(spark, sf_small, "events")
+    wm = ev.agg(F.max("ts")).collect()[0][0] - timedelta(hours=1)
+    want = sorted(
+        tuple(r)
+        for r in SW._tumbling_agg(ev)
+        .where(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm)
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 50
+    # some windows stay open past the watermark: append mode must NOT
+    # have flushed them (that would be emitting unfinished aggregates)
+    assert len(got) < SW._tumbling_agg(ev).count()
+
+    # restart with the same checkpoint + (stable) staged source: the
+    # offset log shows everything committed, so the restart ingests
+    # ZERO rows (no re-aggregation, no state double-count) and the
+    # re-read is byte-identical
+    import os
+
+    sources_log = os.path.join(out_dir, "ckpt", "sources", "0")
+    offsets_before = sorted(os.listdir(sources_log))
+    again = SW.streaming_sink_parquet(spark, sf_small, out_dir=out_dir)
+    assert sorted(tuple(r) for r in again.collect()) == got
+    assert sorted(os.listdir(sources_log)) == offsets_before
