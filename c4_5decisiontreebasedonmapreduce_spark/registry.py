@@ -1154,6 +1154,15 @@ _register(
     D.DEDUP_INCREMENTAL_SQL,
 )
 _register("sample_coverage", SMP.sample_coverage, SMP.SAMPLE_COVERAGE_SQL)
+# incremental cluster maintenance: corpus-only pairs ∪ batch-touching
+# pairs reproduce the full pair graph exactly, so the incremental
+# clustering shares dedup_cluster's oracle (identical output, pinned
+# also by tests/test_extensions.py::test_incremental_cluster_equals_full)
+_register(
+    "dedup_cluster_incremental",
+    D.dedup_cluster_incremental,
+    D.DEDUP_CLUSTER_SQL,
+)
 # the streaming FILE sink (parquet + checkpoint, append mode): the
 # emitted set is the deterministic closed-window slice (end <= final
 # watermark) of the batch aggregate, so even the production sink path

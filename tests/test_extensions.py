@@ -429,3 +429,22 @@ def test_incremental_persisted_matches_inmemory(spark, sf_small, tmp_path):
         assert got == want and got
     finally:
         spark.sql("DROP TABLE IF EXISTS incr_corpus_eq_test")
+
+
+def test_incremental_cluster_equals_full(spark, sf_small):
+    """Incremental cluster maintenance contract: components over
+    (corpus-only pairs) ∪ (batch-touching pairs) are IDENTICAL to the
+    full-run clustering — admitting the batch incrementally loses no
+    merge, including new docs bridging previously separate corpus
+    clusters. Non-vacuity: the batch genuinely attaches to existing
+    clusters (some component holds both corpus and batch docs)."""
+    full = sorted(
+        tuple(r) for r in D.dedup_cluster(spark, sf_small).collect()
+    )
+    incr_rows = D.dedup_cluster_incremental(spark, sf_small).collect()
+    assert sorted(tuple(r) for r in incr_rows) == full and full
+    is_batch = lambda d: d % D.INCR_BATCH_MOD == D.INCR_BATCH_REM  # noqa: E731
+    by_rep: dict = {}
+    for r in incr_rows:
+        by_rep.setdefault(r.cluster_rep, set()).add(is_batch(r.doc_id))
+    assert any(kinds == {True, False} for kinds in by_rep.values())
