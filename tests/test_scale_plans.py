@@ -57,6 +57,8 @@ def test_no_cartesian_in_scalable_dedup(spark, sf_small):
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_incremental",
+        "dedup_incremental_persisted",
+        "dedup_cluster_incremental",
     ):
         p = plan_of(QUERIES[name](spark, sf_small))
         assert "CartesianProduct" not in p, name
@@ -128,6 +130,12 @@ _SCAN_BUDGET = {
     "multimodal_frames": 0,  # both consumers read the decode checkpoint
     "c45_predict": 1,  # trie CASE WHEN evaluates in the scan's one pass
     "dedup_incremental": 0,  # feeds off the shingle checkpoint end-to-end
+    # the ONE allowed scan is the persisted bucketed signature table —
+    # the artifact the op exists to read; the documents source itself is
+    # only touched through the batch-side shingle checkpoint
+    "dedup_incremental_persisted": 1,
+    "dedup_cluster_incremental": 0,  # both pair passes share the checkpoint
+    "sample_coverage": 1,  # same single-scan shape as sample_stratified
 }
 
 
