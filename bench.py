@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_incremental_persisted",
     "dedup_cluster",
+    "dedup_cluster_incremental",
     "similarity_topk",
 ]
 

@@ -448,3 +448,57 @@ def test_incremental_cluster_equals_full(spark, sf_small):
     for r in incr_rows:
         by_rep.setdefault(r.cluster_rep, set()).add(is_batch(r.doc_id))
     assert any(kinds == {True, False} for kinds in by_rep.values())
+
+
+def test_jaccard_capped_shingle_residual_exact(spark, monkeypatch):
+    """The df-capped residual branch of _jaccard_pairs (r7): shingles
+    over SHINGLE_DF_CAP are excluded from candidate GENERATION but must
+    still count toward each candidate pair's intersection. With the cap
+    forced low, a boilerplate shingle shared by every doc exercises the
+    correction join; scores must equal brute-force python Jaccard, and a
+    pair sharing ONLY the capped shingle must not surface (the cap's
+    documented acceptance)."""
+    import c4_5decisiontreebasedonmapreduce_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "SHINGLE_DF_CAP", 3)
+    boiler = "the quick brown"  # trigram present in every doc -> df 5 > 3
+    docs = {
+        1: "the quick brown alpha beta gamma delta epsilon",
+        2: "the quick brown alpha beta gamma delta zeta",
+        3: "the quick brown omega psi chi phi upsilon",
+        4: "the quick brown omega psi chi phi tau",
+        # shares ONLY the boilerplate shingle with everyone
+        5: "the quick brown completely different words here now",
+    }
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    )
+    sh = df.select(
+        "doc_id", F.explode(dd.shingles_col(F.col("text"))).alias("shingle")
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd._jaccard_pairs(sh, 0.3).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a in docs:
+        for b in docs:
+            if a < b:
+                sa, sb = shingles(docs[a]), shingles(docs[b])
+                j = round(len(sa & sb) / len(sa | sb), 6)
+                # candidates require a shared NON-capped shingle
+                if j >= 0.3 and (sa & sb) != {boiler}:
+                    want[(a, b)] = j
+    assert got == want
+    # non-vacuous: the residual join contributed (the boilerplate
+    # shingle is part of every reported intersection)
+    assert want and all(
+        boiler in (shingles(docs[a]) & shingles(docs[b])) for a, b in want
+    )
+    # doc 5 shares only the capped shingle with everyone: absent
+    assert not any(5 in pair for pair in got)
