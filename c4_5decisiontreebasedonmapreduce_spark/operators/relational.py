@@ -409,6 +409,72 @@ JOIN customer ON n_nationkey = c_nationkey
 GROUP BY ROLLUP(r_name, n_name)"""
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    ((status, priority), (priority), ()) is expressible by NEITHER
+    rollup nor cube over the same columns. One scan, one exchange; the
+    grouping_id bitmask disambiguates which set produced each row (the
+    same Expand-based plan Spark uses for rollup/cube)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_totalprice"),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
+  COUNT(*) AS n_orders,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS sum_totalprice
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())"""
+
+
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (linear interpolation — the
+    PERCENTILE_CONT semantics) over lineitem prices: the exact
+    counterpart of the approximate sketches in `approx_sketches`.
+    Spark's `percentile` aggregate sorts within each group; at 100 TB
+    the approx sketch is the default and this is the audited-exactness
+    path for bounded groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = lambda q: F.round(  # noqa: E731
+        F.percentile("l_extendedprice", F.lit(q)), 4
+    )
+    return li.groupBy("l_returnflag").agg(
+        p(0.25).alias("p25_price"),
+        p(0.5).alias("p50_price"),
+        p(0.75).alias("p75_price"),
+        p(0.99).alias("p99_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+  ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+    AS p25_price,
+  ROUND(PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4)
+    AS p50_price,
+  ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+    AS p75_price,
+  ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+    AS p99_price,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag"""
+
+
 def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(

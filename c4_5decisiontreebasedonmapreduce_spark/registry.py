@@ -1154,6 +1154,10 @@ _register(
     D.DEDUP_INCREMENTAL_SQL,
 )
 _register("sample_coverage", SMP.sample_coverage, SMP.SAMPLE_COVERAGE_SQL)
+_register(
+    "agg_grouping_sets", R.grouping_sets_revenue, R.GROUPING_SETS_SQL
+)
+_register("agg_percentiles", R.percentiles_by_flag, R.PERCENTILES_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental
 # clustering shares dedup_cluster's oracle (identical output, pinned
