@@ -409,6 +409,67 @@ JOIN customer ON n_nationkey = c_nationkey
 GROUP BY ROLLUP(r_name, n_name)"""
 
 
+Q18_QTY_THRESHOLD = 250  # yields 25 / 204 / 2285 orders at sf 0.001/0.01/0.1
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    aggregate over the fact table drives a join back onto orders —
+    the aggregate-as-semi-join-source pipeline Q1-Q6 don't exercise.
+    One lineitem scan: the per-order quantity total is computed once and
+    carried through (no second pass to re-sum); the qualifying-order
+    relation is collision-filtered BEFORE joining orders, so the join
+    input shrinks to the selectivity of the HAVING, and the top-100 is
+    a TakeOrderedAndProject, never a global sort. Ties impossible:
+    o_orderkey is unique per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_qty")
+        )
+        .where(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias(
+                "o_totalprice"
+            ),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING total_qty > {Q18_QTY_THRESHOLD}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the general form rollup/cube specialize:
     ((status, priority), (priority), ()) is expressible by NEITHER

@@ -1157,6 +1157,7 @@ _register("sample_coverage", SMP.sample_coverage, SMP.SAMPLE_COVERAGE_SQL)
 _register(
     "agg_grouping_sets", R.grouping_sets_revenue, R.GROUPING_SETS_SQL
 )
+_register("q18_large_volume", R.q18_large_volume, R.Q18_SQL)
 _register("agg_percentiles", R.percentiles_by_flag, R.PERCENTILES_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental

@@ -136,6 +136,7 @@ _SCAN_BUDGET = {
     "dedup_incremental_persisted": 1,
     "dedup_cluster_incremental": 0,  # both pair passes share the checkpoint
     "sample_coverage": 1,  # same single-scan shape as sample_stratified
+    "q18_large_volume": 3,  # lineitem + orders + customer, one scan each
 }
 
 
