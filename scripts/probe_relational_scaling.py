@@ -41,6 +41,8 @@ PROBE_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q18_large_volume",
+    "agg_grouping_sets",
     "window_funcs",
     "event_windows",
     "sessionize",
