@@ -1180,9 +1180,22 @@ SELECT doc_id, MIN(other) AS cluster_rep
 FROM reach GROUP BY doc_id"""
 
 
+def corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTING corpus's near-dup pairs (batch docs excluded) — the
+    state a production pipeline persists between ingests and feeds back
+    into :func:`dedup_cluster_incremental` so only batch-touching pairs
+    are computed per batch."""
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    return _jaccard_pairs(sh.where(~is_batch), JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+
+
 def dedup_cluster_incremental(
     spark: SparkSession,
     sf_dir: str,
+    corpus_pairs_df: DataFrame | None = None,
     max_rounds: int = 32,
     driver_max_edges: int = _CLUSTER_DRIVER_MAX_EDGES,
 ) -> DataFrame:
@@ -1192,9 +1205,11 @@ def dedup_cluster_incremental(
     a corpus × corpus recomputation at ingest time.
 
     The edge set decomposes exactly: every pair either has both ends in
-    the corpus (already known before the batch arrived — in production
-    this is the PERSISTED pair/cluster state, here recomputed corpus-only
-    for the demo), or touches the batch (cross-boundary or intra-batch —
+    the corpus (already known before the batch arrived — pass
+    ``corpus_pairs_df``, the PERSISTED pair state from
+    :func:`corpus_pairs`, so ingest computes nothing corpus-sized; the
+    registry entry session-caches it, and the default recomputes it for
+    standalone use), or touches the batch (cross-boundary or intra-batch —
     exactly what the batch-restricted candidate join generates, same
     decomposition as `dedup_incremental`). So the incremental union
     reproduces the full-run graph, and the output is pinned IDENTICAL to
@@ -1210,13 +1225,16 @@ def dedup_cluster_incremental(
     acceptance as the cap itself)."""
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
-    corpus_pairs = _jaccard_pairs(sh.where(~is_batch), JACCARD_THRESHOLD)
+    if corpus_pairs_df is None:
+        corpus_pairs_df = _jaccard_pairs(
+            sh.where(~is_batch), JACCARD_THRESHOLD
+        )
     touching = (F.col("doc_a") % INCR_BATCH_MOD == INCR_BATCH_REM) | (
         F.col("doc_b") % INCR_BATCH_MOD == INCR_BATCH_REM
     )
     batch_pairs = _jaccard_pairs(sh, JACCARD_THRESHOLD, pair_filter=touching)
     pairs = (
-        corpus_pairs.select("doc_a", "doc_b")
+        corpus_pairs_df.select("doc_a", "doc_b")
         .unionByName(batch_pairs.select("doc_a", "doc_b"))
         .localCheckpoint(eager=True)
     )

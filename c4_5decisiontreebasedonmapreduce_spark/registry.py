@@ -1162,10 +1162,32 @@ _register("agg_percentiles", R.percentiles_by_flag, R.PERCENTILES_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental
 # clustering shares dedup_cluster's oracle (identical output, pinned
-# also by tests/test_extensions.py::test_incremental_cluster_equals_full)
+# also by tests/test_extensions.py::test_incremental_cluster_equals_full).
+# The corpus pair relation is the PERSISTED ingest state — session-cached
+# here (like c45_predict's model reuse): per ingest only batch-touching
+# pairs + the components pass run, nothing corpus-sized.
+_CORPUS_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dedup_cluster_incremental_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _CORPUS_PAIRS_CACHE:
+        for k in [k for k in _CORPUS_PAIRS_CACHE if k[0] != app_id]:
+            _CORPUS_PAIRS_CACHE.pop(k)
+        _CORPUS_PAIRS_CACHE[key] = D.corpus_pairs(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return D.dedup_cluster_incremental(
+        spark, sf_dir, corpus_pairs_df=_CORPUS_PAIRS_CACHE[key]
+    )
+
+
 _register(
     "dedup_cluster_incremental",
-    D.dedup_cluster_incremental,
+    _dedup_cluster_incremental_query,
     D.DEDUP_CLUSTER_SQL,
 )
 # the streaming FILE sink (parquet + checkpoint, append mode): the
