@@ -1158,6 +1158,45 @@ _register(
     "agg_grouping_sets", R.grouping_sets_revenue, R.GROUPING_SETS_SQL
 )
 _register("q18_large_volume", R.q18_large_volume, R.Q18_SQL)
+
+
+def _window_range_frame_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (r7): each event's rolling 1-hour per-user
+    event count and value sum — the frame is bounded by a TIME interval
+    (RANGE BETWEEN), not a row count, so gaps and bursts are handled
+    correctly. Distinct physical shape from window_funcs' ROWS frames;
+    one exchange on user_id, sort within partitions. Value sums ride
+    integer micro-units (round-half-up like the stateful oracle) so the
+    result is exact and engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum(micros).over(w) / 1_000_000.0, 6).alias(
+            "value_last_hour"
+        ),
+    )
+
+
+_WINDOW_RANGE_FRAME_SQL = """
+SELECT user_id, event_id,
+  COUNT(*) OVER w AS n_last_hour,
+  ROUND(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w
+        / 1000000.0, 6) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+_register(
+    "window_range_frame", _window_range_frame_query, _WINDOW_RANGE_FRAME_SQL
+)
 _register("agg_percentiles", R.percentiles_by_flag, R.PERCENTILES_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental
