@@ -135,6 +135,8 @@ def test_sql_entrypoint_equals_dataframe_path(spark, sf_small):
         ("q3_shipping_priority", R.Q3_SQL),
         ("q5_local_supplier", R.Q5_SQL),
         ("q6_forecast_revenue", R.Q6_SQL),
+        ("q18_large_volume", R.Q18_SQL),
+        ("agg_percentiles", R.PERCENTILES_SQL),
     ):
         via_sql = spark.sql(sql)
         via_df = QUERIES[name](spark, sf_small)
