@@ -108,3 +108,39 @@ def write_facts_bucketed(
             .saveAsTable(table)
         )
     return spark.table(orders_table), spark.table(lineitem_table)
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ~``target_file_bytes`` files. The perennial 100 TB operational task —
+    streaming sinks, per-batch ingests, and over-parallel writes leave
+    thousands of KB-sized files whose per-file open/footer/listing cost
+    dominates scans (and whose row groups are too small for stats
+    pruning to bite).
+
+    The file count comes from the SOURCE's actual on-disk bytes (driver
+    file listing — metadata only, never data), so compaction is one
+    shuffle-free-scan → repartition → write; content is preserved
+    row-for-row (pinned by test_compact_files_preserves_rows_and_bounds).
+    Returns the number of files written."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return sum(
+        1
+        for _root, _dirs, files in ((r, d, fs) for r, d, fs in os.walk(dst))
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -434,3 +434,37 @@ def test_salted_join_bounds_skewed_partitions(spark):
     # row-identical to the unsalted join
     joined = R.salted_join(fact, dim, "k", "dk", salt_src)
     assert joined.count() == fact.join(dim, fact["k"] == dim["dk"]).count()
+
+
+def test_compact_files_preserves_rows_and_bounds(spark, sf_small, tmp_path):
+    """Small-file compaction (r7): 64 tiny files rewritten to the
+    byte-target count with row-for-row identical content — the
+    streaming-sink/per-batch-ingest cleanup every long-lived 100 TB
+    table needs."""
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.sources.layout import (
+        compact_files,
+    )
+
+    li = load_table_for_compaction = (
+        spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    )
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)
+    n_src = sum(
+        1 for f in os.listdir(frag) if f.endswith(".parquet")
+    )
+    assert n_src == 64
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    target = total // 4  # expect ~4-5 output files
+    out = str(tmp_path / "compacted")
+    n_out = compact_files(spark, frag, out, target_file_bytes=target)
+    assert n_out == -(-total // target) < n_src
+    a = sorted(map(str, spark.read.parquet(frag).collect()))
+    b = sorted(map(str, spark.read.parquet(out).collect()))
+    assert a == b
