@@ -316,6 +316,77 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts"""
 
 
+ASOF_FWD_TOLERANCE_MIN = 120
+
+
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance (r7 — merge_asof parity: the
+    backward variant is `asof_join_purchase_view`): for each 'purchase',
+    the EARLIEST 'view' of the same user at-or-after its timestamp, but
+    only within {tol} minutes; matches beyond the tolerance surface as
+    NULLs (left semantics). Same scalable shape as the backward op —
+    tag, union, ONE window per user scanned in descending time order
+    (so `last(..., ignorenulls)` carries the nearest FOLLOWING view) —
+    one shuffle + one sort, no UDF. Ties (same user, same ts) cannot
+    occur in the fixture (asserted empty); view-before-purchase at the
+    exact same ts counts as 'at'.""".format(tol=ASOF_FWD_TOLERANCE_MIN)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+        F.lit(None).cast("long").alias("r_event_id"),
+        F.lit(None).cast("double").alias("r_value"),
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("is_left"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("is_left"), F.desc("r_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.col("v_ts") <= F.col("ts") + F.expr(
+        f"INTERVAL {ASOF_FWD_TOLERANCE_MIN} MINUTES"
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("v_ts", F.last("r_ts", ignorenulls=True).over(w))
+        .withColumn("v_id", F.last("r_event_id", ignorenulls=True).over(w))
+        .withColumn("v_val", F.last("r_value", ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "ts",
+            F.when(within, F.col("v_id")).alias("view_event_id"),
+            F.when(within, F.round("v_val", 6)).alias("view_value"),
+        )
+    )
+
+
+ASOF_FWD_SQL = f"""
+SELECT purchase_id, user_id, ts,
+  CASE WHEN v_ts <= ts + INTERVAL {ASOF_FWD_TOLERANCE_MIN} MINUTE
+       THEN v_id END AS view_event_id,
+  CASE WHEN v_ts <= ts + INTERVAL {ASOF_FWD_TOLERANCE_MIN} MINUTE
+       THEN ROUND(v_val, 6) END AS view_value
+FROM (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+         v.ts AS v_ts, v.event_id AS v_id, v.value AS v_val
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts <= v.ts)"""
+
+
 # ---------------------------------------------------------------------------
 # windows / sorts / grouping sets / set ops
 
