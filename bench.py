@@ -163,11 +163,18 @@ def main() -> None:
         )
     }
     if errors:
-        compact["errors"] = errors
+        # errors can dominate the line (up to 300 chars each in `full`):
+        # keep only the first 3, hard-truncated — bench_full.json holds
+        # the long form
+        compact["errors"] = {
+            k: errors[k][:60] for k in sorted(errors)[:3]
+        }
+        if len(errors) > 3:
+            compact["errors"]["..."] = f"+{len(errors) - 3} more"
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # stay inside the driver's tail window
         for k in ("load_noise_flagged", "cold_total", "median_total",
-                  "value_is"):
+                  "value_is", "errors"):
             compact.pop(k, None)
             line = json.dumps(compact, separators=(",", ":"))
             if len(line) <= 1800:

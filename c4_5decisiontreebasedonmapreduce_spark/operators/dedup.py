@@ -1184,8 +1184,9 @@ def corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXISTING corpus's near-dup pairs (batch docs excluded) — the
     state a production pipeline persists between ingests and feeds back
     into :func:`dedup_cluster_incremental` so only batch-touching pairs
-    are computed per batch."""
-    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    are computed per batch. No checkpoint here: the single consumer is
+    `_jaccard_pairs`, which materializes the shingle relation itself."""
+    sh = _shingles_df(spark, sf_dir)
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
     return _jaccard_pairs(sh.where(~is_batch), JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"
@@ -1223,9 +1224,14 @@ def dedup_cluster_incremental(
     generation would skip — impossible at the fixtures' df ≤ 25, and at
     threshold ≥ 0.5 affects only boilerplate-dominated pairs (the same
     acceptance as the cap itself)."""
-    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    sh = _shingles_df(spark, sf_dir)
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
     if corpus_pairs_df is None:
+        # standalone path: TWO _jaccard_pairs consumers ahead — one
+        # outer checkpoint spares the second its tokenize re-run (each
+        # inner checkpoint then just copies the materialized scan). The
+        # persisted path has a single consumer and skips it.
+        sh = sh.localCheckpoint()
         corpus_pairs_df = _jaccard_pairs(
             sh.where(~is_batch), JACCARD_THRESHOLD
         )

@@ -323,13 +323,15 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join with a tolerance (r7 — merge_asof parity: the
     backward variant is `asof_join_purchase_view`): for each 'purchase',
     the EARLIEST 'view' of the same user at-or-after its timestamp, but
-    only within {tol} minutes; matches beyond the tolerance surface as
-    NULLs (left semantics). Same scalable shape as the backward op —
-    tag, union, ONE window per user scanned in descending time order
-    (so `last(..., ignorenulls)` carries the nearest FOLLOWING view) —
-    one shuffle + one sort, no UDF. Ties (same user, same ts) cannot
-    occur in the fixture (asserted empty); view-before-purchase at the
-    exact same ts counts as 'at'.""".format(tol=ASOF_FWD_TOLERANCE_MIN)
+    only within ASOF_FWD_TOLERANCE_MIN (120) minutes; matches beyond the
+    tolerance surface as NULLs (left semantics). Same scalable shape as
+    the backward op — tag, union, ONE window per user scanned in
+    descending time order (so `last(..., ignorenulls)` carries the
+    nearest FOLLOWING view) — one shuffle + one sort, no UDF. Equal-ts
+    ties among views would be broken by min event_id here while DuckDB's
+    ASOF picks arbitrarily; the fixtures have none (pinned by
+    tests/test_edge_cases.py::test_asof_forward_fixture_has_no_ties),
+    and view-at-the-exact-purchase-ts counts as 'at'."""
     ev = load_table(spark, sf_dir, "events")
     left = ev.where(F.col("event_type") == "purchase").select(
         "user_id",

@@ -130,17 +130,17 @@ def compact_files(
     Returns the number of files written."""
     import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    def parquet_files(path: str) -> list[str]:
+        return [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+
+    total = sum(os.path.getsize(f) for f in parquet_files(src))
     n_files = max(1, -(-total // target_file_bytes))  # ceil
-    df = spark.read.parquet(src)
-    df.repartition(n_files).write.mode("overwrite").parquet(dst)
-    return sum(
-        1
-        for _root, _dirs, files in ((r, d, fs) for r, d, fs in os.walk(dst))
-        for f in files
-        if f.endswith(".parquet")
-    )
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return len(parquet_files(dst))

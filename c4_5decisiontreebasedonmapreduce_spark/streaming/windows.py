@@ -49,8 +49,20 @@ def _events_stream(
     else:
         os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    # lexists, not exists: a dangling symlink must fail loudly below,
+    # not fall through to a FileExistsError from os.symlink
+    if os.path.lexists(link):
+        existing = os.readlink(link) if os.path.islink(link) else link
+        if existing != target:
+            # a stable stage dir is bound to ONE source — silently
+            # re-pointing it would desynchronize the query's checkpoint
+            raise ValueError(
+                f"stage {stage} already bound to {existing}; "
+                f"refusing to re-bind to {target}"
+            )
+    else:
+        os.symlink(target, link)
     stream = (
         spark.readStream.format("parquet")
         .schema(batch.schema)
@@ -400,7 +412,9 @@ def streaming_sink_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(data)
+    # explicit schema: with a long watermark no window may have closed
+    # yet, and schema inference on a committed-but-empty sink throws
+    return spark.read.schema(agg.schema).parquet(data)
 
 
 STREAMING_SINK_PARQUET_SQL = """

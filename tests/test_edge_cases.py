@@ -259,3 +259,22 @@ def test_sample_coverage_flags_unconfigured_stratum(spark, sf_small):
     }
     assert not cov2["tlh"].configured
     assert cov2["tlh"].n_kept == 0 and cov2["tlh"].n_docs == 1
+
+
+def test_asof_forward_fixture_has_no_ties(spark, sf_small, sf_oracle):
+    """asof_join_forward's deterministic tie-break (min event_id at an
+    equal (user_id, ts)) could diverge from DuckDB's arbitrary ASOF tie
+    choice — the operator's oracle parity relies on the fixtures having
+    NO such ties, pinned here so a future fixture change fails loudly
+    instead of flaking the hash compare."""
+    from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
+        load_table,
+    )
+
+    for sf in (sf_small, sf_oracle):
+        ev = load_table(spark, sf, "events").where(
+            F.col("event_type") == "view"
+        )
+        assert (
+            ev.groupBy("user_id", "ts").count().where(F.col("count") > 1)
+        ).count() == 0
