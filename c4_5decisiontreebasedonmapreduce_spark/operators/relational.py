@@ -316,6 +316,63 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts"""
 
 
+_PROFILE_COLS = [
+    "l_returnflag",
+    "l_linestatus",
+    "l_quantity",
+    "l_extendedprice",
+]
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (r7): per column — row count, null
+    count, exact distinct count, min, max — the statistics a cost-based
+    optimizer (or a data-quality gate) runs over every ingested table.
+    ONE scan: all per-column aggregates ride a single aggregation (the
+    exact multi-column count-distincts expand map-side, still one pass
+    over the data), then melt to one row per column; min/max surface as
+    strings so mixed column types share a schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__n").alias("n_values"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+PROFILE_COLUMNS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, COUNT({c}) AS n_values,
+       COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 ASOF_FWD_TOLERANCE_MIN = 120
 
 

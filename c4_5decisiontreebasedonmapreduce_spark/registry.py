@@ -1198,6 +1198,7 @@ _register(
     "window_range_frame", _window_range_frame_query, _WINDOW_RANGE_FRAME_SQL
 )
 _register("asof_join_forward", R.asof_join_forward, R.ASOF_FWD_SQL)
+_register("profile_columns", R.profile_columns, R.PROFILE_COLUMNS_SQL)
 _register("agg_percentiles", R.percentiles_by_flag, R.PERCENTILES_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental
