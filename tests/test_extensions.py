@@ -502,3 +502,69 @@ def test_jaccard_capped_shingle_residual_exact(spark, monkeypatch):
     )
     # doc 5 shares only the capped shingle with everyone: absent
     assert not any(5 in pair for pair in got)
+
+
+def test_two_successive_ingests_cover_full_dedup(spark, sf_small):
+    """Continuous-ingest sequence contract: TWO successive batch
+    admissions (batch A = doc_id%10==7 into the initial corpus, then
+    batch B = doc_id%10==8 into corpus ∪ A), each running ONLY the
+    asymmetric batch-vs-current-corpus band join plus the batch
+    self-join, must together with the initial corpus's own pairs
+    recover EXACTLY the full one-shot run's pair set — no duplicate
+    slips through a batch boundary no matter how many boundaries there
+    are. Composed from the same signature/band/verify building blocks
+    dedup_incremental uses."""
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long,
+    )
+
+    sh = (
+        D._shingles_df(spark, sf_small)
+        .withColumn("h", md5_long(F.col("shingle")) % D.MINHASH_P)
+        .localCheckpoint()
+    )
+    in_a = (F.col("doc_id") % 10) == 7
+    in_b = (F.col("doc_id") % 10) == 8
+    banded = D._banded_signatures(sh)
+
+    def band_pairs(new_pred, old_pred):
+        new = banded.where(new_pred).select(
+            F.col("doc_id").alias("doc_a"), "band", "sig"
+        )
+        old = banded.where(old_pred).select(
+            F.col("doc_id").alias("doc_b"), "band", "sig"
+        )
+        cross = new.join(old, ["band", "sig"]).select("doc_a", "doc_b")
+        intra = (
+            new.join(
+                banded.where(new_pred).select(
+                    F.col("doc_id").alias("doc_b"), "band", "sig"
+                ),
+                ["band", "sig"],
+            )
+            .where(F.col("doc_a") > F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        return cross.unionByName(intra).distinct()
+
+    base_pred = ~in_a & ~in_b
+    # initial corpus state: its own internal pairs
+    base = band_pairs(base_pred, F.lit(False))
+    # ingest A against base, then B against base ∪ A
+    step_a = band_pairs(in_a, base_pred)
+    step_b = band_pairs(in_b, base_pred | in_a)
+
+    def norm(df):
+        return {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in df.collect()
+        }
+
+    covered = norm(base) | norm(step_a) | norm(step_b)
+    full = norm(D._minhash_candidates(sh))
+    assert covered == full
+    # non-vacuous: every stage contributed pairs (the fixture happens to
+    # seed no 7↔8 near-dup, so step B's matches are B-vs-initial-corpus;
+    # the decomposition equality above covers the A↔B slice regardless —
+    # it is empty on both sides)
+    assert norm(base) and norm(step_a) and norm(step_b)
