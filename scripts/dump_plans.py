@@ -99,6 +99,19 @@ HEADLINE = {
         "Expand-based plan: one scan, one exchange for all three "
         "grouping sets (same physical shape as rollup/cube)"
     ),
+    "q18_large_volume": (
+        "HAVING-filtered per-order aggregate joined back onto orders "
+        "(total carried through, no second lineitem pass); top-100 via "
+        "TakeOrderedAndProject, never a global sort"
+    ),
+    "profile_columns": (
+        "all per-column stats (count/nulls/exact distincts/min/max) in "
+        "ONE aggregation pass over one scan, melted to a row per column"
+    ),
+    "asof_join_forward": (
+        "union + one per-user window scanned in descending time order; "
+        "one shuffle + one sort, tolerance as a post-mask"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);
