@@ -41,6 +41,10 @@ SIMHASH_BANDS = 4  # 4 bands x 15 bits: the Manku-style block-permute join
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 SIMHASH_MAX_HAMMING = 8
 COSINE_THRESHOLD = 0.45
+# which documents play the "newly ingested batch" in the incremental
+# demos: a deterministic doc_id slice (~10% of the corpus)
+INCR_BATCH_MOD = 10
+INCR_BATCH_REM = 7
 
 
 def shingles_col(text: Column) -> Column:
@@ -238,6 +242,77 @@ SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) - 1 AS n_dupes
 FROM {TX.DOCS_SQL} GROUP BY 1"""
+
+
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at INGEST: each batch document against the corpus's
+    fingerprint table (and the earlier part of its own batch) — the
+    exact-hash counterpart of :func:`dedup_incremental`, completing the
+    incremental family. One row per (new doc, admission verdict): docs
+    matching a corpus fingerprint point at the corpus survivor; docs
+    whose fingerprint first appears EARLIER in the same batch point at
+    that earlier batch doc; the rest are novel (``dup_of`` NULL,
+    ``is_novel`` true — the admitted set). At scale the corpus
+    fingerprint table is persisted state, stored BUCKETED BY fingerprint
+    (the same layout as `write_incremental_corpus`'s signature table) so
+    the lookup join shuffles only the batch; the verdict never touches
+    corpus text."""
+    d = TX.docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fps = d.select("doc_id", F.md5(norm).alias("fingerprint"))
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    corpus_keep = (
+        fps.where(~is_batch)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("corpus_keeper"))
+    )
+    batch = fps.where(is_batch)
+    batch_first = batch.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("batch_first")
+    )
+    return (
+        batch.join(corpus_keep, "fingerprint", "left")
+        .join(batch_first, "fingerprint")
+        .select(
+            F.col("doc_id").alias("doc_new"),
+            F.coalesce(
+                "corpus_keeper",
+                F.when(F.col("batch_first") < F.col("doc_id"),
+                       F.col("batch_first")),
+            ).alias("dup_of"),
+        )
+        .withColumn("is_novel", F.col("dup_of").isNull())
+    )
+
+
+DEDUP_EXACT_INCR_SQL = f"""
+WITH fps AS (
+  SELECT doc_id,
+         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+           AS fingerprint
+  FROM {TX.DOCS_SQL}
+),
+corpus_keep AS (
+  SELECT fingerprint, MIN(doc_id) AS corpus_keeper
+  FROM fps WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+  GROUP BY 1
+),
+batch AS (
+  SELECT * FROM fps WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+),
+batch_first AS (
+  SELECT fingerprint, MIN(doc_id) AS batch_first FROM batch GROUP BY 1
+)
+SELECT b.doc_id AS doc_new,
+       COALESCE(ck.corpus_keeper,
+                CASE WHEN bf.batch_first < b.doc_id
+                     THEN bf.batch_first END) AS dup_of,
+       COALESCE(ck.corpus_keeper,
+                CASE WHEN bf.batch_first < b.doc_id
+                     THEN bf.batch_first END) IS NULL AS is_novel
+FROM batch b
+LEFT JOIN corpus_keep ck ON ck.fingerprint = b.fingerprint
+JOIN batch_first bf ON bf.fingerprint = b.fingerprint"""
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,12 +528,6 @@ JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6)
       >= {JACCARD_THRESHOLD}"""
-
-
-# which documents play the "newly ingested batch" in the incremental
-# demo: a deterministic doc_id slice (~10% of the corpus)
-INCR_BATCH_MOD = 10
-INCR_BATCH_REM = 7
 
 
 def write_incremental_corpus(

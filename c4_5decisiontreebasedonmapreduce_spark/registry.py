@@ -1199,6 +1199,11 @@ _register(
 )
 _register("asof_join_forward", R.asof_join_forward, R.ASOF_FWD_SQL)
 _register("profile_columns", R.profile_columns, R.PROFILE_COLUMNS_SQL)
+_register(
+    "dedup_exact_incremental",
+    D.dedup_exact_incremental,
+    D.DEDUP_EXACT_INCR_SQL,
+)
 _register("agg_percentiles", R.percentiles_by_flag, R.PERCENTILES_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental

@@ -568,3 +568,76 @@ def test_two_successive_ingests_cover_full_dedup(spark, sf_small):
     # the decomposition equality above covers the A↔B slice regardless —
     # it is empty on both sides)
     assert norm(base) and norm(step_a) and norm(step_b)
+
+
+def test_exact_incremental_verdicts_consistent_with_full(spark, sf_small):
+    """dedup_exact_incremental's admission verdicts must agree with the
+    one-shot dedup_exact run: a batch doc is novel iff its fingerprint
+    group holds no corpus doc and no earlier batch doc; every non-novel
+    doc points at the corpus survivor when one exists (the
+    already-admitted doc wins over batch ordering), else the earliest
+    batch doc."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    d = docs(spark, sf_small)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fps = {
+        r.doc_id: r.fp
+        for r in d.select("doc_id", F.md5(norm).alias("fp")).collect()
+    }
+    is_batch = lambda i: i % D.INCR_BATCH_MOD == D.INCR_BATCH_REM  # noqa: E731
+    by_fp: dict = {}
+    for i, fp in fps.items():
+        by_fp.setdefault(fp, []).append(i)
+
+    got = {
+        r.doc_new: (r.dup_of, r.is_novel)
+        for r in D.dedup_exact_incremental(spark, sf_small).collect()
+    }
+    batch_ids = [i for i in fps if is_batch(i)]
+    assert set(got) == set(batch_ids)
+    for i in batch_ids:
+        group = by_fp[fps[i]]
+        corpus_min = min((g for g in group if not is_batch(g)), default=None)
+        earlier_batch = min(
+            (g for g in group if is_batch(g) and g < i), default=None
+        )
+        if corpus_min is not None:
+            want = (corpus_min, False)
+        elif earlier_batch is not None:
+            want = (earlier_batch, False)
+        else:
+            want = (None, True)
+        assert got[i] == want, (i, got[i], want)
+    # the parquet fixtures contain no EXACT duplicates (near-dups only),
+    # so every batch doc above is novel; exercise the duplicate verdicts
+    # on a controlled corpus: corpus survivor wins over batch ordering,
+    # intra-batch dup points at the earliest batch copy, novel admitted
+    assert all(n for _, n in got.values())
+
+
+def test_exact_incremental_duplicate_verdicts(spark, tmp_path):
+    path = str(tmp_path / "exact_incr")
+    spark.createDataFrame(
+        [
+            (3, "shared with corpus", "en", "s", 18),   # corpus survivor
+            (7, "shared with corpus", "en", "s", 18),   # batch: dup of 3
+            (17, "shared with corpus", "en", "s", 18),  # batch: dup of 3
+            (27, "batch only text", "en", "s", 15),     # batch: first copy
+            (37, "batch only text", "en", "s", 15),     # batch: dup of 27
+            (47, "completely novel", "en", "s", 16),    # batch: admitted
+            (4, "corpus bystander", "en", "s", 16),     # corpus, untouched
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(path + "/documents.parquet")
+    got = {
+        r.doc_new: (r.dup_of, r.is_novel)
+        for r in D.dedup_exact_incremental(spark, path).collect()
+    }
+    assert got == {
+        7: (3, False),
+        17: (3, False),
+        27: (None, True),
+        37: (27, False),
+        47: (None, True),
+    }
