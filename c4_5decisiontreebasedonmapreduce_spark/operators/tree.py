@@ -67,7 +67,8 @@ class Condition:
 
     def sql(self) -> str:
         if self.op == OP_EQ:
-            return f"\"{self.attr}\" = '{self.value}'"
+            v = str(self.value).replace("'", "''")
+            return f"\"{self.attr}\" = '{v}'"
         return f'"{self.attr}" {self.op} {float(self.value)!r}'
 
 
@@ -202,6 +203,36 @@ class DecisionListModel:
             for i, r in enumerate(self.rules)
         ]
         return spark.createDataFrame(rows, schema)
+
+    def to_sql_case(self, default: str | None = None) -> str:
+        """Render the model as ONE portable ANSI SQL CASE expression —
+        scoring without Spark, on any SQL engine (the deployment story
+        the reference's stdout print cannot offer). Flat WHEN-per-rule:
+        the rules partition the feature space, so first-match ==
+        only-match and flat order is semantics-free; the trie compile
+        (:meth:`prediction_column`) is a Spark-codegen optimization the
+        SQL text doesn't need at model sizes. Out-of-domain rows fall to
+        ``default`` (training majority), matching ``transform``.
+        Identifiers are double-quoted, values single-quote-escaped.
+        Cross-engine parity — DuckDB executing this text equals Spark's
+        ``transform`` row-for-row — is pinned by
+        tests/test_tree_golden.py::test_model_sql_export_matches_transform."""
+        if default is None:
+            default = self.majority_label
+
+        def esc(s: str | None) -> str:
+            return (s or "").replace("'", "''")
+
+        whens = []
+        for r in self.rules:
+            label = r.label if r.label is not None else default
+            if not r.conditions:
+                whens.append(f"WHEN TRUE THEN '{esc(label)}'")
+            else:
+                pred = " AND ".join(c.sql() for c in r.conditions)
+                whens.append(f"WHEN {pred} THEN '{esc(label)}'")
+        tail = f" ELSE '{esc(default)}'" if default is not None else ""
+        return "CASE " + " ".join(whens) + tail + " END"
 
     def save_parquet(self, spark, path: str) -> None:
         """Columnar model sink (VERDICT r6 item 6): persist the decision

@@ -338,3 +338,56 @@ def test_reference_wire_format_preserves_predictions(spark, schema, weather):
     a = sorted(map(tuple, model.transform(weather).select(cols).collect()))
     b = sorted(map(tuple, back.transform(weather).select(cols).collect()))
     assert a == b
+
+
+def test_model_sql_export_matches_transform(tmp_path, spark, schema, weather, sf_small):
+    """The model's SQL CASE export (r7): DuckDB executing the generated
+    expression over the same data must predict row-for-row what Spark's
+    transform does — the deploy-anywhere story, verified cross-engine on
+    both the weather golden model and the lineitem model."""
+    import duckdb
+
+    # weather model over its 14-row table
+    m = Tr.train(weather, schema, max_depth=4, cache=False)
+    case = m.to_sql_case()
+    pdf = weather.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got = [r[0] for r in con.execute(f"SELECT {case} FROM t").fetchall()]
+    want = [
+        r["prediction"]
+        for r in m.transform(weather).collect()
+    ]
+    assert got == want and len(got) == 14
+
+    # lineitem model straight over the parquet file
+    from c4_5decisiontreebasedonmapreduce_spark.operators.training import (
+        LINEITEM_TRAINING_SCHEMA,
+        lineitem_training,
+    )
+
+    df = lineitem_training(spark, sf_small)
+    lm = Tr.train(df, LINEITEM_TRAINING_SCHEMA, max_depth=3, min_rows=50)
+    lcase = lm.to_sql_case()
+    con2 = duckdb.connect()
+    # DuckDB reads the raw parquet; recreate the training projection
+    con2.execute(
+        "CREATE VIEW t AS SELECT l_quantity, l_extendedprice, l_discount,"
+        " l_tax, l_linestatus,"
+        " CASE WHEN l_returnflag IS NULL THEN 'N' ELSE l_returnflag END"
+        "   AS label"
+        f" FROM read_parquet('{sf_small}/lineitem.parquet')"
+    )
+    counts_sql = dict(
+        con2.execute(
+            f"SELECT {lcase} AS p, COUNT(*) FROM t GROUP BY 1"
+        ).fetchall()
+    )
+    counts_spark = {
+        r["prediction"]: r["n"]
+        for r in lm.transform(df)
+        .groupBy("prediction")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts_sql == counts_spark
