@@ -266,7 +266,10 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("corpus_keeper"))
     )
-    batch = fps.where(is_batch)
+    # the (small) batch slice feeds two branches — materialize it once
+    # so the final plan scans the documents source only for the corpus
+    # side (which at scale is the persisted fingerprint table anyway)
+    batch = fps.where(is_batch).localCheckpoint()
     batch_first = batch.groupBy("fingerprint").agg(
         F.min("doc_id").alias("batch_first")
     )

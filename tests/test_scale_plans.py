@@ -137,6 +137,10 @@ _SCAN_BUDGET = {
     "dedup_cluster_incremental": 0,  # both pair passes share the checkpoint
     "sample_coverage": 1,  # same single-scan shape as sample_stratified
     "q18_large_volume": 3,  # lineitem + orders + customer, one scan each
+    "profile_columns": 1,  # every per-column stat rides one aggregation pass
+    # the one scan is the corpus fingerprint side (persisted state at
+    # scale); the batch slice is checkpointed once for its two branches
+    "dedup_exact_incremental": 1,
 }
 
 
