@@ -325,22 +325,38 @@ _PROFILE_COLS = [
 
 
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style column profiling (r7): per column — row count, null
-    count, exact distinct count, min, max — the statistics a cost-based
-    optimizer (or a data-quality gate) runs over every ingested table.
-    ONE scan: all per-column aggregates ride a single aggregation (the
-    exact multi-column count-distincts expand map-side, still one pass
-    over the data), then melt to one row per column; min/max surface as
-    strings so mixed column types share a schema."""
+    """ANALYZE-style column profiling (r7): per column — NON-NULL value
+    count (row count = n_values + n_nulls), null count, exact distinct
+    count, min, max — the statistics a cost-based optimizer (or a
+    data-quality gate) runs over every ingested table. ONE scan: all
+    per-column aggregates ride a single aggregation (the exact
+    multi-column count-distincts expand map-side, still one pass over
+    the data), then melt to one row per column; min/max surface as
+    strings so mixed column types share a schema, with numeric extremes
+    routed through DECIMAL(18,6) so Spark and any SQL oracle render the
+    identical fixed-point text (double→string formats diverge into
+    scientific notation at different magnitudes per engine)."""
     li = load_table(spark, sf_dir, "lineitem")
+    numeric = {
+        f.name
+        for f in li.schema.fields
+        if f.dataType.typeName() in ("double", "float", "decimal", "integer",
+                                     "long", "short")
+    }
+
+    def as_text(col: Column, name: str) -> Column:
+        if name in numeric:
+            return col.cast("decimal(18,6)").cast("string")
+        return col.cast("string")
+
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__n"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
             F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            as_text(F.min(F.col(c)), c).alias(f"{c}__min"),
+            as_text(F.max(F.col(c)), c).alias(f"{c}__max"),
         ]
     one = li.agg(*aggs)
     return one.select(
@@ -362,12 +378,21 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.*")
 
 
+_PROFILE_NUMERIC = {"l_quantity", "l_extendedprice"}
+
+
+def _profile_text_sql(expr: str, col: str) -> str:
+    if col in _PROFILE_NUMERIC:
+        return f"CAST(CAST({expr} AS DECIMAL(18,6)) AS VARCHAR)"
+    return f"CAST({expr} AS VARCHAR)"
+
+
 PROFILE_COLUMNS_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS column, COUNT({c}) AS n_values,
        COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
-       CAST(MIN({c}) AS VARCHAR) AS min_value,
-       CAST(MAX({c}) AS VARCHAR) AS max_value
+       {_profile_text_sql(f'MIN({c})', c)} AS min_value,
+       {_profile_text_sql(f'MAX({c})', c)} AS max_value
 FROM lineitem"""
     for c in _PROFILE_COLS
 )

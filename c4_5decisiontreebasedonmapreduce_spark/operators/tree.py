@@ -220,18 +220,22 @@ class DecisionListModel:
         if default is None:
             default = self.majority_label
 
-        def esc(s: str | None) -> str:
-            return (s or "").replace("'", "''")
+        def lit(s: str | None) -> str:
+            # an interior (label-None) rule predicts NULL in transform
+            # (_compile_trie emits F.lit(None)) — the SQL must agree,
+            # not substitute the default
+            if s is None:
+                return "NULL"
+            return "'" + s.replace("'", "''") + "'"
 
         whens = []
         for r in self.rules:
-            label = r.label if r.label is not None else default
             if not r.conditions:
-                whens.append(f"WHEN TRUE THEN '{esc(label)}'")
+                whens.append(f"WHEN TRUE THEN {lit(r.label)}")
             else:
                 pred = " AND ".join(c.sql() for c in r.conditions)
-                whens.append(f"WHEN {pred} THEN '{esc(label)}'")
-        tail = f" ELSE '{esc(default)}'" if default is not None else ""
+                whens.append(f"WHEN {pred} THEN {lit(r.label)}")
+        tail = f" ELSE {lit(default)}" if default is not None else ""
         return "CASE " + " ".join(whens) + tail + " END"
 
     def save_parquet(self, spark, path: str) -> None:

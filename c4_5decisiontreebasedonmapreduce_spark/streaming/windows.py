@@ -53,8 +53,14 @@ def _events_stream(
     # lexists, not exists: a dangling symlink must fail loudly below,
     # not fall through to a FileExistsError from os.symlink
     if os.path.lexists(link):
-        existing = os.readlink(link) if os.path.islink(link) else link
-        if existing != target:
+        # realpath both sides: the same source reached through an
+        # aliased/symlinked spelling must still count as the same binding
+        existing = (
+            os.path.realpath(os.readlink(link))
+            if os.path.islink(link)
+            else os.path.realpath(link)
+        )
+        if existing != os.path.realpath(target):
             # a stable stage dir is bound to ONE source — silently
             # re-pointing it would desynchronize the query's checkpoint
             raise ValueError(

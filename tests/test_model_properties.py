@@ -133,3 +133,25 @@ def test_wire_format_rejects_delimiter_values():
     lines = model(cond_value="x").to_reference_text(order)
     back = Tr.DecisionListModel.from_reference_text(lines, order)
     assert back.rules[0].conditions[0].value == "x"
+
+
+def test_sql_case_interior_rule_predicts_null():
+    """to_sql_case parity detail (review r7): an interior (label-None)
+    rule predicts NULL in transform (_compile_trie emits F.lit(None)),
+    so the SQL export must render THEN NULL — not substitute the
+    default — while non-matching rows still fall to the ELSE default."""
+    import duckdb
+
+    m = Tr.DecisionListModel(
+        [
+            Tr.Rule((Tr.Condition("a", Tr.OP_EQ, "x"),), None, 0, 1),
+            Tr.Rule((Tr.Condition("a", Tr.OP_EQ, "y"),), "R", 5, 1),
+        ]
+    )
+    case = m.to_sql_case(default="R")
+    assert "THEN NULL" in case
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {case} FROM (VALUES ('x'), ('y'), ('z')) AS t(a) ORDER BY a"
+    ).fetchall()
+    assert got == [(None,), ("R",), ("R",)]

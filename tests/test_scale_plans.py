@@ -451,9 +451,7 @@ def test_compact_files_preserves_rows_and_bounds(spark, sf_small, tmp_path):
         compact_files,
     )
 
-    li = load_table_for_compaction = (
-        spark.read.parquet(f"{sf_small}/lineitem.parquet")
-    )
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
     frag = str(tmp_path / "fragmented")
     li.repartition(64).write.parquet(frag)
     n_src = sum(
