@@ -335,7 +335,14 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings so mixed column types share a schema, with numeric extremes
     routed through DECIMAL(18,6) so Spark and any SQL oracle render the
     identical fixed-point text (double→string formats diverge into
-    scientific notation at different magnitudes per engine)."""
+    scientific notation at different magnitudes per engine).
+
+    Scale note: EXACT multi-column distincts make Catalyst Expand the
+    input (one replica per distinct aggregate) — the oracle-exact choice
+    here. At 100 TB swap `countDistinct` for `approx_count_distinct`
+    (the HLL++ path `approx_sketches` already exercises) and the Expand
+    disappears; every other stat is a plain single-pass aggregate
+    either way."""
     li = load_table(spark, sf_dir, "lineitem")
     numeric = {
         f.name
