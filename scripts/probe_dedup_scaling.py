@@ -90,6 +90,8 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("minhash", D.dedup_minhash),
             ("cluster", D.dedup_cluster),
             ("incremental", D.dedup_incremental),
+            ("cluster_incremental", D.dedup_cluster_incremental),
+            ("exact_incremental", D.dedup_exact_incremental),
         ):
             t0 = time.perf_counter()
             rec[f"{name}_rows"] = fn(spark, tmp).count()
