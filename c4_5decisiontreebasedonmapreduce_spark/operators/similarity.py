@@ -192,6 +192,7 @@ def write_ivf_bucketed(
     table: str = "ivf_corpus",
     n_buckets: int = 8,
     path: str | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-scale IVF layout: materialize the assignment-joined corpus
     as a table BUCKETED BY ``centroid_id``. A probe join on centroid_id
@@ -201,9 +202,14 @@ def write_ivf_bucketed(
     ``localCheckpoint`` the in-session queries use; at 100 TB the
     assignment pass runs once and every subsequent probe batch joins
     against this table shuffle-free (plan-asserted in
-    test_scale_plans.py::test_ivf_bucketed_probe_join_no_shuffle)."""
+    test_scale_plans.py::test_ivf_bucketed_probe_join_no_shuffle).
+    Pass ``codebook`` (e.g. :func:`kmeans_codebook`) to persist the
+    real-centroid layout — assignment preservation pinned by
+    tests/test_extensions.py::test_ivf_bucketed_with_kmeans_codebook."""
     e = embeddings_with_norm(spark, sf_dir)
-    corpus = ivf_assignments(spark, sf_dir, e=e).join(e, "vec_id")
+    corpus = ivf_assignments(spark, sf_dir, e=e, codebook=codebook).join(
+        e, "vec_id"
+    )
     writer = (
         corpus.write.mode("overwrite")
         .bucketBy(n_buckets, "centroid_id")

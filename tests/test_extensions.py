@@ -641,3 +641,32 @@ def test_exact_incremental_duplicate_verdicts(spark, tmp_path):
         37: (27, False),
         47: (None, True),
     }
+
+
+def test_ivf_bucketed_with_kmeans_codebook(spark, sf_small, tmp_path):
+    """The production ANN story end-to-end (r7): REAL KMeans centroids
+    persisted through the bucketed IVF layout — the written corpus's
+    (vec_id → centroid_id) mapping must equal the in-memory assignment
+    under the same codebook, with every centroid's bucket present."""
+    cb = S.kmeans_codebook(spark, sf_small, k=8)
+    table = "ivf_kmeans_test"
+    corpus = S.write_ivf_bucketed(
+        spark,
+        sf_small,
+        table=table,
+        path=str(tmp_path / "ivf_kmeans"),
+        codebook=cb,
+    )
+    try:
+        persisted = {
+            r.vec_id: r.centroid_id
+            for r in corpus.select("vec_id", "centroid_id").collect()
+        }
+        inmem = {
+            r.vec_id: r.centroid_id
+            for r in S.ivf_assignments(spark, sf_small, codebook=cb).collect()
+        }
+        assert persisted == inmem
+        assert set(persisted.values()) == set(range(8))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
