@@ -146,11 +146,14 @@ def main() -> None:
         "sf": sf,
         **({"errors": errors} if errors else {}),
     }
-    with open(
+    # $SPARK_GRAFT_BENCH_FULL overrides the diagnostics path so test
+    # harness runs (tiny sf, 1 rep) don't clobber the committed artifact
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_full.json"),
-        "w",
-    ) as f:
+    )
+    with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
     # the ONE stdout JSON line, kept compact: the driver parses only the
     # tail of stdout, so the extended diagnostics live in bench_full.json

@@ -27,6 +27,8 @@ def test_bench_emits_json_contract(sf_small):
         SPARK_GRAFT_SF_DIR=sf_small,
         SPARK_GRAFT_BENCH_REPS="1",
         SPARK_GRAFT_CPUS="8",
+        # keep the committed sf0.1 diagnostics artifact intact
+        SPARK_GRAFT_BENCH_FULL="/tmp/bench_full_test.json",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
