@@ -176,12 +176,16 @@ def main() -> None:
             compact["errors"]["..."] = f"+{len(errors) - 3} more"
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # stay inside the driver's tail window
+        # last-resort order matters: "queries" dominates the line (28+
+        # entries and growing) — bench_full.json always has the full
+        # map, so dropping it from stdout loses nothing
         for k in ("load_noise_flagged", "cold_total", "median_total",
-                  "value_is", "errors"):
+                  "value_is", "errors", "queries"):
             compact.pop(k, None)
             line = json.dumps(compact, separators=(",", ":"))
             if len(line) <= 1800:
                 break
+    assert len(line) <= 1800, f"bench stdout line still {len(line)} chars"
     print(line)
     spark.stop()
 

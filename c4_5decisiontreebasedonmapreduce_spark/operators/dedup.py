@@ -127,6 +127,8 @@ def _jaccard_pairs(
     sh: DataFrame,
     threshold: float,
     pair_filter: Column | None = None,
+    df_source: DataFrame | None = None,
+    df_cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Shingle-sharing candidate pairs → exact Jaccard ≥ threshold.
     The join key is the shingle, so only documents that share content
@@ -155,9 +157,15 @@ def _jaccard_pairs(
     # candidate sides, the sizes table); materialize it once instead of
     # re-running the tokenize/explode pipeline per branch
     sh = sh.localCheckpoint()
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # ``df_source`` (caller-materialized) lets a doc-restricted pass —
+    # corpus_pairs' corpus-only slice — evaluate the rare/capped split
+    # over the FULL shingle relation, so a shingle's cap verdict never
+    # depends on which doc slice generated the candidates (the latent
+    # oracle-parity fork flagged in round 7's ADVICE)
+    df_src = sh if df_source is None else df_source
+    df_counts = df_src.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
-        df_counts.where(F.col("df") <= SHINGLE_DF_CAP).select("shingle"),
+        df_counts.where(F.col("df") <= df_cap).select("shingle"),
         "shingle",
     )
     met = (
@@ -176,7 +184,7 @@ def _jaccard_pairs(
     # intersection; per-pair volume is |pairs| × (capped shingles per
     # doc) — near-zero by the cap's nature
     freq = sh.join(
-        df_counts.where(F.col("df") > SHINGLE_DF_CAP).select("shingle"),
+        df_counts.where(F.col("df") > df_cap).select("shingle"),
         "shingle",
     )
     pair_freq = (
@@ -318,9 +326,13 @@ LEFT JOIN corpus_keep ck ON ck.fingerprint = b.fingerprint
 JOIN batch_first bf ON bf.fingerprint = b.fingerprint"""
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """Near-dup pairs by exact word-trigram Jaccard (shingle-join)."""
-    return _jaccard_pairs(_shingles_df(spark, sf_dir), JACCARD_THRESHOLD)
+    return _jaccard_pairs(
+        _shingles_df(spark, sf_dir), JACCARD_THRESHOLD, df_cap=df_cap
+    )
 
 
 _JACCARD_TAIL_SQL = f"""
@@ -1119,6 +1131,7 @@ def dedup_cluster(
     sf_dir: str,
     max_rounds: int = 32,
     driver_max_edges: int = _CLUSTER_DRIVER_MAX_EDGES,
+    df_cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Turn near-dup PAIRS into the thing a pipeline actually needs: one
     surviving representative per duplicate cluster. Connected components
@@ -1149,7 +1162,7 @@ def dedup_cluster(
     # (measured 72s → 42s for the 10×-corpus probe). Tiny: one row per
     # verified near-dup pair.
     pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
+        dedup_ngram_jaccard(spark, sf_dir, df_cap=df_cap)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
@@ -1252,17 +1265,28 @@ SELECT doc_id, MIN(other) AS cluster_rep
 FROM reach GROUP BY doc_id"""
 
 
-def corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """The EXISTING corpus's near-dup pairs (batch docs excluded) — the
     state a production pipeline persists between ingests and feeds back
     into :func:`dedup_cluster_incremental` so only batch-touching pairs
-    are computed per batch. No checkpoint here: the single consumer is
-    `_jaccard_pairs`, which materializes the shingle relation itself."""
-    sh = _shingles_df(spark, sf_dir)
+    are computed per batch.
+
+    Shingle document frequencies (the SHINGLE_DF_CAP rare/capped split)
+    are computed over the FULL corpus ∪ batch shingle relation, not the
+    corpus slice alone: the cap is a property of the current corpus
+    STATE, and evaluating it on a slice would let a shingle whose df
+    crosses the cap only with the batch included admit corpus pairs the
+    full run skips — breaking the pinned-identical contract with
+    :func:`dedup_cluster` (round-7 ADVICE). Pinned on a cap-crossing
+    fixture by tests/test_extensions.py::
+    test_incremental_cluster_df_cap_crossing."""
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
-    return _jaccard_pairs(sh.where(~is_batch), JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
-    )
+    return _jaccard_pairs(
+        sh.where(~is_batch), JACCARD_THRESHOLD, df_source=sh, df_cap=df_cap
+    ).select("doc_a", "doc_b")
 
 
 def dedup_cluster_incremental(
@@ -1271,6 +1295,7 @@ def dedup_cluster_incremental(
     corpus_pairs_df: DataFrame | None = None,
     max_rounds: int = 32,
     driver_max_edges: int = _CLUSTER_DRIVER_MAX_EDGES,
+    df_cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Maintain the cluster table INCREMENTALLY as a batch is admitted:
     connected components over (existing corpus-only pairs) ∪ (the
@@ -1289,13 +1314,12 @@ def dedup_cluster_incremental(
     :func:`dedup_cluster` — including the case where a new document
     BRIDGES two previously separate corpus clusters (the merge emerges
     from the shared connected-components pass; a rep-relabel shortcut
-    would miss it). Shares `dedup_cluster`'s oracle SQL. Cap caveat: the
-    corpus-only pass computes shingle document frequencies over the
-    corpus alone, so a shingle whose df crosses SHINGLE_DF_CAP only when
-    the batch is included could admit corpus pairs the full run's capped
-    generation would skip — impossible at the fixtures' df ≤ 25, and at
-    threshold ≥ 0.5 affects only boilerplate-dominated pairs (the same
-    acceptance as the cap itself)."""
+    would miss it). Shares `dedup_cluster`'s oracle SQL. Both passes
+    evaluate the SHINGLE_DF_CAP rare/capped split over the FULL
+    corpus ∪ batch shingle relation (see :func:`corpus_pairs`), so the
+    pinned-identical contract with the full run holds for ANY corpus —
+    including one where a shingle's df crosses the cap only when the
+    batch is counted (test_incremental_cluster_df_cap_crossing)."""
     sh = _shingles_df(spark, sf_dir)
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
     if corpus_pairs_df is None:
@@ -1305,12 +1329,15 @@ def dedup_cluster_incremental(
         # persisted path has a single consumer and skips it.
         sh = sh.localCheckpoint()
         corpus_pairs_df = _jaccard_pairs(
-            sh.where(~is_batch), JACCARD_THRESHOLD
+            sh.where(~is_batch), JACCARD_THRESHOLD, df_source=sh,
+            df_cap=df_cap,
         )
     touching = (F.col("doc_a") % INCR_BATCH_MOD == INCR_BATCH_REM) | (
         F.col("doc_b") % INCR_BATCH_MOD == INCR_BATCH_REM
     )
-    batch_pairs = _jaccard_pairs(sh, JACCARD_THRESHOLD, pair_filter=touching)
+    batch_pairs = _jaccard_pairs(
+        sh, JACCARD_THRESHOLD, pair_filter=touching, df_cap=df_cap
+    )
     pairs = (
         corpus_pairs_df.select("doc_a", "doc_b")
         .unionByName(batch_pairs.select("doc_a", "doc_b"))

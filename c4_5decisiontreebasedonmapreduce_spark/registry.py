@@ -1223,7 +1223,9 @@ def _dedup_cluster_incremental_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    # normalized like _INCR_CORPUS_TABLES' key: a trailing-slash alias
+    # of the same directory must hit the same cached corpus pair state
+    key = (app_id, sf_dir.rstrip("/"))
     if key not in _CORPUS_PAIRS_CACHE:
         for k in [k for k in _CORPUS_PAIRS_CACHE if k[0] != app_id]:
             _CORPUS_PAIRS_CACHE.pop(k)

@@ -450,6 +450,51 @@ def test_incremental_cluster_equals_full(spark, sf_small):
     assert any(kinds == {True, False} for kinds in by_rep.values())
 
 
+def test_incremental_cluster_df_cap_crossing(spark, tmp_path):
+    """Round-7 ADVICE closure: a shingle whose document frequency
+    crosses SHINGLE_DF_CAP only when the batch is counted must get the
+    SAME cap verdict in the incremental corpus-only pass as in the full
+    run — df is evaluated over the full corpus ∪ batch relation. On this
+    fixture the hot shingle has corpus df = 4 (= cap, rare if sliced)
+    but full df = 5 (> cap, capped): the full run generates no
+    candidates at all, and the incremental path must agree; the old
+    corpus-sliced df would have admitted the (1, 2) pair."""
+    path = str(tmp_path / "df_cap_cross")
+    hot = "aaa bbb ccc"  # the cap-crossing trigram, in every doc
+    spark.createDataFrame(
+        [
+            (1, hot, "en", "s", 11),                   # corpus
+            (2, hot, "en", "s", 11),                   # corpus: dup of 1
+            (3, hot + " ddd eee", "en", "s", 19),      # corpus bystander
+            (4, hot + " fff ggg", "en", "s", 19),      # corpus bystander
+            (7, hot + " hhh iii", "en", "s", 19),      # batch (id%10==7)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(path + "/documents.parquet")
+    cap = 4
+    full = sorted(
+        tuple(r) for r in D.dedup_cluster(spark, path, df_cap=cap).collect()
+    )
+    incr = sorted(
+        tuple(r)
+        for r in D.dedup_cluster_incremental(
+            spark, path, df_cap=cap
+        ).collect()
+    )
+    # the hot shingle is capped in the full run, and docs 1/2 share
+    # nothing else -> no pairs anywhere; incremental must match exactly
+    assert full == [] and incr == full
+    # non-vacuity: sliced to the corpus alone the shingle stays under
+    # the cap, so the pre-fix corpus pass WOULD have emitted (1, 2) —
+    # i.e. the full-relation df source is load-bearing on this fixture
+    sh = D._shingles_df(spark, path)
+    is_batch = (F.col("doc_id") % D.INCR_BATCH_MOD) == D.INCR_BATCH_REM
+    sliced = D._jaccard_pairs(
+        sh.where(~is_batch), D.JACCARD_THRESHOLD, df_cap=cap
+    )
+    assert [(r.doc_a, r.doc_b) for r in sliced.collect()] == [(1, 2)]
+
+
 def test_jaccard_capped_shingle_residual_exact(spark, monkeypatch):
     """The df-capped residual branch of _jaccard_pairs (r7): shingles
     over SHINGLE_DF_CAP are excluded from candidate GENERATION but must
