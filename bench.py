@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "pipeline_curation",
     "dedup_exact",
+    "dedup_exact_incremental_persisted",
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_incremental",

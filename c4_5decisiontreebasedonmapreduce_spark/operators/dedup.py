@@ -252,7 +252,52 @@ SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint,
 FROM {TX.DOCS_SQL} GROUP BY 1"""
 
 
-def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fingerprint) under the shared normalization — the one
+    hashing convention every exact-dedup entry point derives from."""
+    d = TX.docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def write_exact_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "exact_corpus_fps",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the EXISTING corpus's exact-dedup state ``(fingerprint,
+    corpus_keeper)`` as a table BUCKETED BY fingerprint — the join key
+    of :func:`dedup_exact_incremental`'s batch lookup.
+
+    The exact-hash sibling of :func:`write_incremental_corpus`: the
+    fingerprint pass over corpus TEXT runs once at write time (appending
+    as batches are admitted), and every subsequent ingest joins its
+    batch against this table with NO Exchange on the corpus side — the
+    bucketed scan already satisfies the join's distribution, so a
+    100 TB corpus contributes zero shuffle per batch. Plan-asserted by
+    test_scale_plans.py::test_exact_persisted_corpus_join_no_shuffle."""
+    corpus_keep = (
+        _exact_fingerprints(spark, sf_dir)
+        .where((F.col("doc_id") % INCR_BATCH_MOD) != INCR_BATCH_REM)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("corpus_keeper"))
+    )
+    writer = (
+        corpus_keep.write.mode("overwrite")
+        .bucketBy(n_buckets, "fingerprint")
+        .sortBy("fingerprint")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
+def dedup_exact_incremental(
+    spark: SparkSession, sf_dir: str, corpus_fps: DataFrame | None = None
+) -> DataFrame:
     """Exact dedup at INGEST: each batch document against the corpus's
     fingerprint table (and the earlier part of its own batch) — the
     exact-hash counterpart of :func:`dedup_incremental`, completing the
@@ -260,19 +305,20 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching a corpus fingerprint point at the corpus survivor; docs
     whose fingerprint first appears EARLIER in the same batch point at
     that earlier batch doc; the rest are novel (``dup_of`` NULL,
-    ``is_novel`` true — the admitted set). At scale the corpus
-    fingerprint table is persisted state, stored BUCKETED BY fingerprint
-    (the same layout as `write_incremental_corpus`'s signature table) so
-    the lookup join shuffles only the batch; the verdict never touches
-    corpus text."""
-    d = TX.docs(spark, sf_dir)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    fps = d.select("doc_id", F.md5(norm).alias("fingerprint"))
+    ``is_novel`` true — the admitted set). At scale pass ``corpus_fps``
+    — the PERSISTED ``(fingerprint, corpus_keeper)`` table written
+    bucketed-by-fingerprint by :func:`write_exact_corpus` — and the
+    lookup join shuffles only the batch (no Exchange on the corpus
+    side, plan-asserted); the verdict never touches corpus text. The
+    default recomputes the corpus state from text for standalone use."""
+    fps = _exact_fingerprints(spark, sf_dir)
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
     corpus_keep = (
         fps.where(~is_batch)
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("corpus_keeper"))
+        if corpus_fps is None
+        else corpus_fps
     )
     # the (small) batch slice feeds two branches — materialize it once
     # so the final plan scans the documents source only for the corpus

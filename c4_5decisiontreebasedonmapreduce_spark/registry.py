@@ -1252,6 +1252,51 @@ _register(
     SW.STREAMING_SINK_PARQUET_SQL,
 )
 
+# session-scoped cache of persisted exact-dedup corpus fingerprint
+# tables — the exact-hash sibling of _INCR_CORPUS_TABLES, same
+# write-once-join-many amortization semantics (bench warm reps reuse it
+# deliberately; the cold rep pays the one-time table write).
+_EXACT_CORPUS_TABLES: dict[str, str] = {}
+
+
+def _dedup_exact_incremental_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_exact_incremental` against the PERSISTED bucketed corpus
+    fingerprint table (`operators/dedup.py::write_exact_corpus`): the
+    fingerprint pass over corpus text runs once per session per sf_dir;
+    every subsequent batch lookup join reads the corpus side
+    shuffle-free. Pinned identical to the in-memory path (same oracle
+    SQL, hash-graded; equality also pinned by tests/test_extensions.py::
+    test_exact_persisted_matches_inmemory)."""
+    key = sf_dir.rstrip("/")
+    table = _EXACT_CORPUS_TABLES.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        # session-unique name + explicit fresh path: a managed-table
+        # name would collide with a lingering warehouse location left
+        # by a PREVIOUS session (the catalog forgets, the dir stays)
+        import tempfile
+        import uuid
+
+        table = f"exact_corpus_{uuid.uuid4().hex[:8]}"
+        D.write_exact_corpus(
+            spark,
+            sf_dir,
+            table=table,
+            path=tempfile.mkdtemp(prefix="exact_corpus_") + "/t",
+        )
+        _EXACT_CORPUS_TABLES[key] = table
+    return D.dedup_exact_incremental(
+        spark, sf_dir, corpus_fps=spark.table(table)
+    )
+
+
+_register(
+    "dedup_exact_incremental_persisted",
+    _dedup_exact_incremental_persisted_query,
+    D.DEDUP_EXACT_INCR_SQL,
+)
+
 
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)

@@ -405,6 +405,32 @@ def test_ann_ivf_kmeans_codebook_recall(spark, sf_small):
     assert r6 > r3  # more probes → strictly more of the true top-5
 
 
+def test_exact_persisted_matches_inmemory(spark, sf_small, tmp_path):
+    """VERDICT r7 item 1: verdicts joined against the PERSISTED bucketed
+    corpus fingerprint table are byte-identical to the in-memory corpus
+    side — the persistence is pure amortization, not a semantic fork."""
+    corpus = D.write_exact_corpus(
+        spark,
+        sf_small,
+        table="exact_corpus_eq_test",
+        path=str(tmp_path / "exact_corpus"),
+    )
+    try:
+        got = sorted(
+            tuple(r)
+            for r in D.dedup_exact_incremental(
+                spark, sf_small, corpus_fps=corpus
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in D.dedup_exact_incremental(spark, sf_small).collect()
+        )
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS exact_corpus_eq_test")
+
+
 def test_incremental_persisted_matches_inmemory(spark, sf_small, tmp_path):
     """VERDICT r6 item 1: joining the batch against the PERSISTED
     bucketed corpus signature table yields byte-identical pairs to the

