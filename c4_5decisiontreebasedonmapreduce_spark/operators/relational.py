@@ -324,25 +324,31 @@ _PROFILE_COLS = [
 ]
 
 
-def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def profile_columns(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """ANALYZE-style column profiling (r7): per column — NON-NULL value
-    count (row count = n_values + n_nulls), null count, exact distinct
-    count, min, max — the statistics a cost-based optimizer (or a
-    data-quality gate) runs over every ingested table. ONE scan: all
-    per-column aggregates ride a single aggregation (the exact
-    multi-column count-distincts expand map-side, still one pass over
-    the data), then melt to one row per column; min/max surface as
-    strings so mixed column types share a schema, with numeric extremes
-    routed through DECIMAL(18,6) so Spark and any SQL oracle render the
+    count (row count = n_values + n_nulls), null count, distinct count,
+    min, max — the statistics a cost-based optimizer (or a data-quality
+    gate) runs over every ingested table. ONE scan: all per-column
+    aggregates ride a single aggregation (the exact multi-column
+    count-distincts expand map-side, still one pass over the data),
+    then melt to one row per column; min/max surface as strings so
+    mixed column types share a schema, with numeric extremes routed
+    through DECIMAL(18,6) so Spark and any SQL oracle render the
     identical fixed-point text (double→string formats diverge into
     scientific notation at different magnitudes per engine).
 
-    Scale note: EXACT multi-column distincts make Catalyst Expand the
-    input (one replica per distinct aggregate) — the oracle-exact choice
-    here. At 100 TB swap `countDistinct` for `approx_count_distinct`
-    (the HLL++ path `approx_sketches` already exercises) and the Expand
-    disappears; every other stat is a plain single-pass aggregate
-    either way."""
+    ``approx`` is the 100 TB path (r8, closes VERDICT r7 item 7): swap
+    `countDistinct` for `approx_count_distinct` (HLL++, default rsd 5%
+    — the sketch `approx_sketches` already exercises) and Catalyst's
+    Expand disappears — the exact variant replicates every input row
+    once per distinct aggregate (|_PROFILE_COLS|×), which at 100 TB is
+    the profiling cost; the sketches mergesort map-side instead. Every
+    other stat is a plain single-pass aggregate either way.
+    Plan + error-bound pinned by tests/test_edge_cases.py::
+    test_profile_columns_approx_mode. The registry/oracle entry stays
+    exact (approx is not SQL-portable bit-for-bit)."""
     li = load_table(spark, sf_dir, "lineitem")
     numeric = {
         f.name
@@ -356,12 +362,13 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             return col.cast("decimal(18,6)").cast("string")
         return col.cast("string")
 
+    distinct_agg = F.approx_count_distinct if approx else F.countDistinct
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__n"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
-            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            distinct_agg(F.col(c)).alias(f"{c}__distinct"),
             as_text(F.min(F.col(c)), c).alias(f"{c}__min"),
             as_text(F.max(F.col(c)), c).alias(f"{c}__max"),
         ]
