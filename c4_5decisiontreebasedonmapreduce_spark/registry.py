@@ -1296,6 +1296,12 @@ _register(
     _dedup_exact_incremental_persisted_query,
     D.DEDUP_EXACT_INCR_SQL,
 )
+# the streaming UPSERT sink (update mode + foreachBatch keyed MERGE):
+# draining the bounded source leaves every window's complete aggregate
+# in the state table, so the entry shares the batch tumbling oracle
+_register(
+    "streaming_sink_upsert", SW.streaming_sink_upsert, R.EVENT_TUMBLING_SQL
+)
 
 
 def queries() -> dict[str, QueryFn]:
