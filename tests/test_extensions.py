@@ -180,7 +180,7 @@ def test_dedup_cluster_converges_on_long_chain(spark, sf_small, monkeypatch):
     chain = spark.createDataFrame(
         [(i, i + 1, 1.0) for i in range(40)], "doc_a long, doc_b long, jaccard double"
     )
-    monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda s, sf: chain)
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda s, sf, **kw: chain)
     out = dd.dedup_cluster(
         spark, sf_small, max_rounds=9, driver_max_edges=0
     ).collect()
@@ -201,7 +201,7 @@ def test_dedup_cluster_driver_path_equals_distributed(
     pairs = spark.createDataFrame(
         edges, "doc_a long, doc_b long, jaccard double"
     )
-    monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda s, sf: pairs)
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard", lambda s, sf, **kw: pairs)
     fast = sorted(
         map(tuple, dd.dedup_cluster(spark, sf_small).collect())
     )
