@@ -493,8 +493,18 @@ def train(
     cache: bool = True,
     max_bins: int = 256,
     driver_stats_max_rows: int = _DRIVER_STATS_MAX_ROWS,
+    bug_compat: bool = False,
 ) -> DecisionListModel:
     """Grow a C4.5 tree level-synchronously; return the decision list.
+
+    ``bug_compat=True`` abandons this trainer's documented fixes and
+    reproduces the reference AS BUILT — quirks Q1-Q5 included — via
+    :func:`operators.bug_compat.train_reference_compat`, returning its
+    :class:`ReferenceCompatModel` (whose ``stdout_lines()`` is byte-
+    identical to the reference's final decision-list print,
+    `Main.java:128-131`). All other keyword arguments are ignored in
+    that mode: the reference has no depth cap, no min-rows guard beyond
+    its hard-coded 10% numeric rule, and no binning.
 
     One Spark action and ONE data-sized exchange per level: the mixed
     melt + grouped count; class histograms, categorical gain ratios and
@@ -505,6 +515,12 @@ def train(
     (see :func:`_driver_level_stats`); otherwise the reduction runs
     distributed and the collected result is ≤ |frontier|×|attrs| rows.
     """
+    if bug_compat:
+        from c4_5decisiontreebasedonmapreduce_spark.operators.bug_compat import (
+            train_reference_compat,
+        )
+
+        return train_reference_compat(df, schema)
     attr_order = [a.name for a in schema.features]
     cat_names = [a.name for a in schema.categorical]
     num_names = [a.name for a in schema.numeric]

@@ -1304,6 +1304,35 @@ _register(
 )
 
 
+def _c45_train_bug_compat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-AS-BUILT training (quirks Q1-Q5 reproduced,
+    `operators/bug_compat.py`) on the weather fixture: the resulting
+    stdout rule lines, byte-identical to the reference's final
+    decision-list print (`Main.java:128-131`). The oracle is the pinned
+    golden — also differentially verified against the pure-Python
+    reference transliteration in tests/test_bug_compat.py."""
+    sch = TSV.parse_attributes_file(_DATA_DIR / "weather.attributes")
+    df = TSV.read_training_tsv(spark, str(_DATA_DIR / "weather.tsv"), sch)
+    model = Tr.train(df, sch, bug_compat=True)
+    return spark.createDataFrame(
+        list(enumerate(model.stdout_lines())), "line_no int, line string"
+    )
+
+
+C45_BUG_COMPAT_SQL = """
+SELECT CAST(line_no AS INT) AS line_no, line FROM (VALUES
+  (0, '  0,overcast:yes'),
+  (1, '  0,sunny&2,<=70.0:yes'),
+  (2, '  0,sunny&2,>70.0:no'),
+  (3, '  0,rainy&3,true:no'),
+  (4, '  0,rainy&3,false:yes')
+) AS t(line_no, line)"""
+
+_register(
+    "c45_train_bug_compat", _c45_train_bug_compat_query, C45_BUG_COMPAT_SQL
+)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
