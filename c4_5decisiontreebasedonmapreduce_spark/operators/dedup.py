@@ -398,6 +398,100 @@ WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6)
 DEDUP_NGRAM_SQL = f"WITH {_shingles_sql().lstrip()},\n{_JACCARD_TAIL_SQL}"
 
 
+# benchmark-decontamination demo: which documents play the held-out
+# "benchmark/eval" set — a deterministic doc_id slice (~14%)
+DECONTAM_BENCH_MOD = 7
+DECONTAM_BENCH_REM = 2
+DECONTAM_MIN_OVERLAP = 0.5  # flag at ≥50% shingle containment
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    min_overlap: float = DECONTAM_MIN_OVERLAP,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag corpus documents whose shingle
+    CONTAINMENT in some single benchmark document reaches
+    ``min_overlap`` — the every-LLM-pipeline step of scrubbing training
+    data that leaks evaluation content. The reference has no notion of
+    this; it belongs to the extension surface a 100 TB curation pipeline
+    needs next to near-dedup.
+
+    Same scale shape as :func:`_jaccard_pairs`, but ASYMMETRIC
+    (corpus × benchmark, never corpus²) and scoring containment
+    ``|∩| / |doc|`` instead of Jaccard — a doc fully quoted inside a
+    larger benchmark document must flag even though its Jaccard is low.
+    Candidate generation goes through the same df-capped rare-shingle
+    equi-join (a ubiquitous boilerplate shingle would otherwise meet
+    |corpus|×|benchmark| pairs on one key); the capped shingles are
+    added back exactly via the candidate-restricted residual join, so a
+    candidate pair's overlap is exact. A contaminated doc is missed
+    only if EVERY shared shingle is ubiquitous — the same documented
+    cap caveat as near-dedup, pinned on a boilerplate fixture in
+    tests/test_extensions.py."""
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    is_bench = (
+        F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
+    )
+    bench = sh.where(is_bench)
+    corp = sh.where(~is_bench)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare_s = df_counts.where(F.col("df") <= df_cap).select("shingle")
+    freq_s = df_counts.where(F.col("df") > df_cap).select("shingle")
+    met = corp.join(rare_s, "shingle").join(
+        bench.join(rare_s, "shingle").select(
+            F.col("doc_id").alias("bench_id"), "shingle"
+        ),
+        "shingle",
+    )
+    pair_rare = met.groupBy("doc_id", "bench_id").agg(
+        F.count("*").alias("common_rare")
+    )
+    pair_freq = (
+        pair_rare.select("doc_id", "bench_id")
+        .join(corp.join(freq_s, "shingle"), "doc_id")
+        .join(
+            bench.join(freq_s, "shingle").select(
+                F.col("doc_id").alias("bench_id"), "shingle"
+            ),
+            ["bench_id", "shingle"],
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("common_freq"))
+    )
+    sizes = corp.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        pair_rare.join(pair_freq, ["doc_id", "bench_id"], "left")
+        .withColumn(
+            "common",
+            F.col("common_rare") + F.coalesce(F.col("common_freq"), F.lit(0)),
+        )
+        .join(sizes, "doc_id")
+        .withColumn("overlap", F.round(F.col("common") / F.col("sz"), 6))
+        .where(F.col("overlap") >= min_overlap)
+        .select("doc_id", "bench_id", "common", "overlap")
+    )
+
+
+DECONTAM_SQL = f"""
+WITH {_shingles_sql().lstrip()},
+common AS (
+  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS common
+  FROM sh c JOIN sh b ON c.shingle = b.shingle
+  WHERE b.doc_id % {DECONTAM_BENCH_MOD} = {DECONTAM_BENCH_REM}
+    AND c.doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, common,
+       ROUND(common / CAST(s.sz AS DOUBLE), 6) AS overlap
+FROM common
+JOIN (SELECT doc_id, sz FROM sizes
+      WHERE doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}) s
+  USING (doc_id)
+WHERE ROUND(common / CAST(s.sz AS DOUBLE), 6) >= {DECONTAM_MIN_OVERLAP}"""
+
+
 # affine universal-hash family over ONE base hash per shingle:
 # h_i(x) = (a_i·h(x) + b_i) mod p with p = 2^31 − 1 and h(x) reduced mod
 # p, so a_i·h < 2^62 — identical (non-overflowing) int64 arithmetic in

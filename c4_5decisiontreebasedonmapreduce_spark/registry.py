@@ -1304,6 +1304,42 @@ _register(
 )
 
 
+# benchmark decontamination: asymmetric corpus×benchmark containment
+# flagging — the eval-leak scrub every LLM data pipeline runs next to
+# near-dedup (same df-capped candidate shape, never corpus²)
+_register("decontaminate", D.decontaminate, D.DECONTAM_SQL)
+
+
+def _c45_train_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-schema training stress (VERDICT r7 item 4): the 33-attribute
+    table (`operators/training.py::wide_training`, 600-way categorical +
+    32 hash-noise numerics) whose 600-node depth-1 frontier pushes the
+    bounded-contingency estimate past ``tree._DRIVER_STATS_MAX_ROWS``,
+    switching the level reduction onto the fully distributed path BY THE
+    BOUND mid-train (pytest-pinned path sequence + model equivalence in
+    tests/test_wide_training.py; wall time in
+    scripts/probe_wide_training.py). Rows-only: no SQL engine can
+    re-derive the trained tree. Returns per-depth rule counts — a
+    deterministic summary (all features are xxhash64-derived)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.training import (
+        wide_training,
+        wide_training_schema,
+    )
+
+    model = Tr.train(
+        wide_training(spark, sf_dir), wide_training_schema(), max_depth=2
+    )
+    depths: dict[int, int] = {}
+    for r in model.rules:
+        depths[r.depth] = depths.get(r.depth, 0) + 1
+    return spark.createDataFrame(
+        sorted(depths.items()), "depth int, n_rules long"
+    )
+
+
+_register("c45_train_wide", _c45_train_wide_query)  # iterative: rows-only
+
+
 def _c45_train_bug_compat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-AS-BUILT training (quirks Q1-Q5 reproduced,
     `operators/bug_compat.py`) on the weather fixture: the resulting

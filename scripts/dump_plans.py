@@ -112,6 +112,26 @@ HEADLINE = {
         "union + one per-user window scanned in descending time order; "
         "one shuffle + one sort, tolerance as a post-mask"
     ),
+    "window_range_frame": (
+        "event-time RANGE interval frame: ONE shuffle on the partition "
+        "key + one sort; the rolling window slides in-memory per "
+        "partition — no self-join, no per-row re-aggregation"
+    ),
+    "agg_percentiles": (
+        "exact percentiles as grouped aggregates: one scan, one exchange "
+        "on the group key; the within-group sort happens inside the "
+        "aggregate buffer, never as a global sort"
+    ),
+    "sample_coverage": (
+        "realized-vs-configured rate audit: corpus scanned once, grouped "
+        "per stratum, right-joined onto the broadcast rates dim so "
+        "unconfigured strata surface instead of vanishing"
+    ),
+    "streaming_sink_parquet": (
+        "the drained file sink's parquet output rescanned (batch-parity "
+        "read): partition-pruned scan of the committed files; writes are "
+        "idempotent across restarts (exactly-once pin)"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);
