@@ -405,11 +405,46 @@ DECONTAM_BENCH_REM = 2
 DECONTAM_MIN_OVERLAP = 0.5  # flag at ≥50% shingle containment
 
 
+def write_benchmark_shingles(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "benchmark_shingles",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the benchmark/eval set's shingle relation ``(bench_id,
+    shingle)`` BUCKETED BY shingle — the join key of
+    :func:`decontaminate`'s candidate join.
+
+    The benchmark set is the STATIC side of decontamination (eval suites
+    change rarely; the corpus streams in), so its shingling text pass
+    runs once at write time and every subsequent scrub joins the
+    incoming documents against this table with NO Exchange on the
+    benchmark side (the df-cap is a join-KEY filter applied on the
+    corpus side only, so the benchmark scan joins raw — plan-asserted by
+    test_scale_plans.py::test_benchmark_shingles_join_no_shuffle)."""
+    bench = (
+        _shingles_df(spark, sf_dir)
+        .where(F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+    )
+    writer = (
+        bench.write.mode("overwrite")
+        .bucketBy(n_buckets, "shingle")
+        .sortBy("shingle")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
 def decontaminate(
     spark: SparkSession,
     sf_dir: str,
     min_overlap: float = DECONTAM_MIN_OVERLAP,
     df_cap: int = SHINGLE_DF_CAP,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION: flag corpus documents whose shingle
     CONTAINMENT in some single benchmark document reaches
@@ -429,34 +464,45 @@ def decontaminate(
     candidate pair's overlap is exact. A contaminated doc is missed
     only if EVERY shared shingle is ubiquitous — the same documented
     cap caveat as near-dedup, pinned on a boilerplate fixture in
-    tests/test_extensions.py."""
-    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    tests/test_extensions.py.
+
+    The df-cap is a filter on the join KEY, so it applies on the corpus
+    side only and the benchmark side joins RAW — which is what lets
+    ``bench_shingles`` (the persisted ``(bench_id, shingle)`` table
+    written bucketed-by-shingle by :func:`write_benchmark_shingles`)
+    feed both the candidate and residual joins with zero Exchange on
+    the benchmark side. The default recomputes the benchmark shingles
+    from text for standalone use; results are identical (pinned)."""
     is_bench = (
         F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
     )
-    bench = sh.where(is_bench)
-    corp = sh.where(~is_bench)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if bench_shingles is None:
+        sh = _shingles_df(spark, sf_dir).localCheckpoint()
+        bench = sh.where(is_bench).select(
+            F.col("doc_id").alias("bench_id"), "shingle"
+        )
+        corp = sh.where(~is_bench)
+    else:
+        bench = bench_shingles.select("bench_id", "shingle")
+        corp = _shingles_df(spark, sf_dir).where(~is_bench).localCheckpoint()
+    # df verdicts over the FULL (corpus ∪ benchmark) relation, so a
+    # shingle's cap status never depends on which side it came from
+    df_counts = (
+        corp.select("shingle")
+        .unionByName(bench.select("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+    )
     rare_s = df_counts.where(F.col("df") <= df_cap).select("shingle")
     freq_s = df_counts.where(F.col("df") > df_cap).select("shingle")
-    met = corp.join(rare_s, "shingle").join(
-        bench.join(rare_s, "shingle").select(
-            F.col("doc_id").alias("bench_id"), "shingle"
-        ),
-        "shingle",
-    )
+    met = corp.join(rare_s, "shingle").join(bench, "shingle")
     pair_rare = met.groupBy("doc_id", "bench_id").agg(
         F.count("*").alias("common_rare")
     )
     pair_freq = (
         pair_rare.select("doc_id", "bench_id")
         .join(corp.join(freq_s, "shingle"), "doc_id")
-        .join(
-            bench.join(freq_s, "shingle").select(
-                F.col("doc_id").alias("bench_id"), "shingle"
-            ),
-            ["bench_id", "shingle"],
-        )
+        .join(bench, ["bench_id", "shingle"])
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("common_freq"))
     )

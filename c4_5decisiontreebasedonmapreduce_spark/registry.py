@@ -1309,6 +1309,45 @@ _register(
 # near-dedup (same df-capped candidate shape, never corpus²)
 _register("decontaminate", D.decontaminate, D.DECONTAM_SQL)
 
+# session cache: sf_dir (rstrip-normalized) → persisted benchmark
+# shingle table — the static side of decontamination, shingled once
+_BENCH_SHINGLE_TABLES: dict[str, str] = {}
+
+
+def _decontaminate_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`decontaminate` against the PERSISTED bucketed benchmark shingle
+    table (`operators/dedup.py::write_benchmark_shingles`): the
+    benchmark set's shingling text pass runs once per session per
+    sf_dir; every subsequent scrub joins it shuffle-free (the df-cap is
+    corpus-side-only, so the bench scan joins raw). Pinned identical to
+    the standalone path — same oracle SQL, hash-graded; equality also
+    pinned by tests/test_extensions.py::
+    test_decontaminate_persisted_matches_default."""
+    key = sf_dir.rstrip("/")
+    table = _BENCH_SHINGLE_TABLES.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        import tempfile
+        import uuid
+
+        table = f"bench_shingles_{uuid.uuid4().hex[:8]}"
+        D.write_benchmark_shingles(
+            spark,
+            sf_dir,
+            table=table,
+            path=tempfile.mkdtemp(prefix="bench_shingles_") + "/t",
+        )
+        _BENCH_SHINGLE_TABLES[key] = table
+    return D.decontaminate(
+        spark, sf_dir, bench_shingles=spark.table(table)
+    )
+
+
+_register(
+    "decontaminate_persisted", _decontaminate_persisted_query, D.DECONTAM_SQL
+)
+
 
 def _c45_train_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-schema training stress (VERDICT r7 item 4): the 33-attribute

@@ -814,3 +814,27 @@ def test_decontaminate_containment_with_cap(spark, tmp_path):
     # uncapped: all 51 corpus docs × 9 benchmark docs pass on preamble
     # containment alone (40/73 ≈ 0.55 ≥ 0.5)
     assert D.decontaminate(spark, d, df_cap=10**9).count() == 51 * 9
+
+
+def test_decontaminate_persisted_matches_default(spark, sf_small, tmp_path):
+    """decontaminate against the persisted bucketed benchmark shingle
+    table must flag exactly the rows the standalone (recompute) path
+    flags — the persisted state is a layout change, never a semantic
+    one."""
+    table = "bench_shingles_eq_test"
+    bench = D.write_benchmark_shingles(
+        spark, sf_small, table=table, path=str(tmp_path / "bs")
+    )
+    try:
+        a = sorted(map(tuple, D.decontaminate(spark, sf_small).collect()))
+        b = sorted(
+            map(
+                tuple,
+                D.decontaminate(
+                    spark, sf_small, bench_shingles=bench
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

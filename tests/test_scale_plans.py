@@ -509,3 +509,64 @@ def test_compact_files_preserves_rows_and_bounds(spark, sf_small, tmp_path):
     a = sorted(map(str, spark.read.parquet(frag).collect()))
     b = sorted(map(str, spark.read.parquet(out).collect()))
     assert a == b
+
+
+def test_r7_tail_queries_plan_shapes(spark, sf_small):
+    """The round-7/8 tail additions keep their documented PLANS.md
+    shapes: single-scan single-exchange aggregates/windows, no
+    cartesian anywhere, and decontaminate stays equi-join candidate
+    generation (never corpus × benchmark nested-loop)."""
+    for name in (
+        "window_range_frame",
+        "agg_percentiles",
+        "sample_coverage",
+        "decontaminate",
+    ):
+        p = plan_of(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # the RANGE-frame window and the exact-percentile aggregate are
+    # one-shuffle plans: one exchange on the partition/group key, never
+    # a global single-partition sort
+    for name in ("window_range_frame", "agg_percentiles"):
+        p = plan_of(QUERIES[name](spark, sf_small))
+        assert "Exchange SinglePartition" not in p, name
+
+
+def test_benchmark_shingles_join_no_shuffle(spark, sf_small, tmp_path):
+    """The persisted benchmark shingle table (bucketed by the candidate
+    join key) must join the incoming corpus shingles with NO Exchange on
+    the benchmark side — decontamination's static side is shingled once
+    and read pre-partitioned forever after, the same continuous-ingest
+    contract as the persisted dedup corpus tables."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    table = "bench_shingles_plan_test"
+    bench = D.write_benchmark_shingles(
+        spark, sf_small, table=table, n_buckets=8,
+        path=str(tmp_path / "bench_sh"),
+    )
+    is_bench = (
+        F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+    )
+    # localCheckpoint isolates the JOIN's exchanges from the corpus
+    # subplan's own, exactly as decontaminate's `corp` does
+    corp = (
+        D._shingles_df(spark, sf_small).where(~is_bench).localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force SMJ: a broadcast join would trivially have no shuffle and
+    # prove nothing about the bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = corp.join(bench, "shingle")
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Bucketed: true" in p, p
+        # exactly one Exchange — the corpus side; the bucketed benchmark
+        # side reads pre-partitioned on shingle
+        assert p.count(") Exchange") == 1, p
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
