@@ -1348,6 +1348,21 @@ _register(
     "decontaminate_persisted", _decontaminate_persisted_query, D.DECONTAM_SQL
 )
 
+# decontamination at ingest: stream-static join (incoming docs stream ×
+# static benchmark shingle relation) + stateful per-pair counts; flags
+# absolute shared-shingle hits (the standard streaming scrub threshold)
+STREAM_DECONTAM_SQL = (
+    f"WITH {D._shingles_sql().lstrip()},\n"
+    + SW.STREAM_DECONTAM_SQL_TEMPLATE.format(
+        mod=D.DECONTAM_BENCH_MOD,
+        rem=D.DECONTAM_BENCH_REM,
+        min_common=SW.STREAM_DECONTAM_MIN_COMMON,
+    )
+)
+_register(
+    "streaming_decontaminate", SW.streaming_decontaminate, STREAM_DECONTAM_SQL
+)
+
 
 def _c45_train_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-schema training stress (VERDICT r7 item 4): the 33-attribute

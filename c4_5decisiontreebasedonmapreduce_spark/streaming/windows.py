@@ -543,3 +543,115 @@ def streaming_sink_upsert(
     finally:
         q.stop()
     return spark.read.parquet(state).select(*agg.columns)
+
+
+STREAM_DECONTAM_MIN_COMMON = 5  # flag at >= 5 shared shingles
+
+
+def _docs_stream(
+    spark: SparkSession, sf_dir: str, stage: str | None = None
+) -> DataFrame:
+    """documents.parquet as a file-source stream — the same scratch-dir
+    symlink staging as :func:`_events_stream` (the file source needs a
+    directory; the symlink is zero-copy)."""
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="docs_stream_")
+    else:
+        os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    target = os.path.abspath(f"{sf_dir}/documents.parquet")
+    if os.path.lexists(link):
+        existing = (
+            os.path.realpath(os.readlink(link))
+            if os.path.islink(link)
+            else os.path.realpath(link)
+        )
+        if existing != os.path.realpath(target):
+            raise ValueError(
+                f"stage {stage} already bound to {existing}; "
+                f"refusing to re-bind to {target}"
+            )
+    else:
+        os.symlink(target, link)
+    return (
+        spark.readStream.format("parquet")
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+
+
+def streaming_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    min_common: int = STREAM_DECONTAM_MIN_COMMON,
+    bench_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Decontamination at INGEST as a STREAM-STATIC join — the scrub a
+    continuously-fed corpus runs on arrival: incoming documents stream
+    in, explode to shingles, inner-join the STATIC benchmark shingle
+    relation (the eval set changes rarely — at scale pass the
+    bucketed table from ``operators.dedup.write_benchmark_shingles``),
+    and a stateful count per (doc, benchmark) pair accumulates across
+    micro-batches. Flags absolute shared-shingle counts
+    (``common >= min_common``) rather than a containment ratio — the
+    per-doc size normalization would need a second aggregation over the
+    same stream, and absolute n-gram-hit thresholds are the standard
+    streaming scrub anyway.
+
+    The stream-static join is STATELESS on the stream side (each doc
+    row meets only the static relation), so state is exactly the
+    running (doc_id, bench_id) counts — bounded by true overlaps, not
+    by traffic. Drained result equals the batch twin (DuckDB oracle;
+    registry ``streaming_decontaminate``)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    is_bench = (
+        F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+    )
+    sh_stream = (
+        _docs_stream(spark, sf_dir)
+        .where(~is_bench)
+        .select(
+            "doc_id",
+            F.explode(
+                D.shingles_col(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("shingle"),
+        )
+    )
+    bench = (
+        D._shingles_df(spark, sf_dir)
+        .where(is_bench)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        if bench_shingles is None
+        else bench_shingles.select("bench_id", "shingle")
+    )
+    agg = (
+        sh_stream.join(bench, "shingle")  # stream-static inner join
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("common"))
+    )
+    name = f"stream_decontam_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).where(F.col("common") >= min_common)
+
+
+STREAM_DECONTAM_SQL_TEMPLATE = """
+common AS (
+  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS common
+  FROM sh c JOIN sh b ON c.shingle = b.shingle
+  WHERE b.doc_id % {mod} = {rem} AND c.doc_id % {mod} <> {rem}
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, common FROM common
+WHERE common >= {min_common}"""

@@ -363,3 +363,51 @@ def test_upsert_merge_multibatch_idempotent(spark, sf_small, tmp_path):
     os.remove(os.path.join(state, "_commits", "1"))
     SW._upsert_batch(both, 1, state)
     assert read_state() == want
+
+
+def test_streaming_decontaminate_equals_batch_twin(spark, sf_small, tmp_path):
+    """The stream-static scrub's drained state must equal the batch
+    computation of shared-shingle counts — and feeding the STATIC side
+    from the persisted bucketed benchmark table must change nothing."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW
+
+    is_bench = (
+        F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+    )
+    sh = D._shingles_df(spark, sf_small)
+    batch = (
+        sh.where(~is_bench)
+        .join(
+            sh.where(is_bench).select(
+                F.col("doc_id").alias("bench_id"), "shingle"
+            ),
+            "shingle",
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= SW.STREAM_DECONTAM_MIN_COMMON)
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    assert len(expected) > 0
+    got = sorted(
+        map(tuple, SW.streaming_decontaminate(spark, sf_small).collect())
+    )
+    assert got == expected
+
+    table = "bench_shingles_stream_test"
+    bench = D.write_benchmark_shingles(
+        spark, sf_small, table=table, path=str(tmp_path / "bs")
+    )
+    try:
+        got2 = sorted(
+            map(
+                tuple,
+                SW.streaming_decontaminate(
+                    spark, sf_small, bench_shingles=bench
+                ).collect(),
+            )
+        )
+        assert got2 == expected
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
