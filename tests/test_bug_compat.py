@@ -265,3 +265,27 @@ def test_randomized_differential_parity(spark):
         attrs = ["g:string:a,b,c", "x:numeric", "cls:yes,no"]
         engine, sim = _both(spark, attrs, rows)
         _assert_parity(engine, sim)
+
+
+def test_java_double_str_roundtrips_and_bands():
+    """Shortest-round-trip property: both Java and Python print the
+    minimal digit string that reparses to the same double, so
+    ``float(java_double_str(x)) == x`` must hold everywhere, and the
+    formatting band (plain decimal on 1e-3 <= |x| < 1e7, d.dddEn
+    outside) must match Double.toString's spec."""
+    import random
+
+    rng = random.Random(8)
+    samples = [rng.uniform(-1e9, 1e9) for _ in range(200)]
+    samples += [rng.uniform(-100, 100) for _ in range(200)]
+    samples += [rng.uniform(-1e-2, 1e-2) for _ in range(100)]
+    samples += [0.0, -0.0, 1e-3, 1e7 - 0.5, 1e7, -1e7, 123.0, 0.1]
+    for x in samples:
+        s = java_double_str(x)
+        assert float(s) == x, (x, s)
+        if x == 0 or 1e-3 <= abs(x) < 1e7:
+            assert "E" not in s and "." in s, (x, s)
+        else:
+            mant, _, exp = s.partition("E")
+            assert exp and "." in mant, (x, s)
+            assert 1 <= abs(float(mant)) < 10, (x, s)
