@@ -1,0 +1,73 @@
+"""The CLI — the reference's program-invocation surface
+(`Main.java:41-47`), driven in-process on the weather fixture."""
+
+import json
+
+from c4_5decisiontreebasedonmapreduce_spark.__main__ import (
+    _REFERENCE_CLOSING_BLOCK,
+    cli,
+)
+
+DATA = "data/weather.tsv"
+ATTS = "data/weather.attributes"
+
+
+def test_cli_train_writes_model_and_prints_rules(
+    spark, tmp_path, capsys
+):
+    out = str(tmp_path / "model_out")
+    # four positionals exactly like the reference invocation: the tmp
+    # path is accepted and ignored
+    rc = cli(
+        ["train", DATA, out, ATTS, str(tmp_path / "tmp"),
+         "--max-depth", "5"],
+        spark=spark,
+    )
+    assert rc == 0
+    lines = (tmp_path / "model_out" / "rules.txt").read_text().splitlines()
+    assert len(lines) >= 5
+    assert all(":" in ln for ln in lines)
+    assert capsys.readouterr().out.splitlines() == lines
+    model = json.loads((tmp_path / "model_out" / "model.json").read_text())
+    assert all(r["label"] for r in model)
+
+
+def test_cli_predict_roundtrip(spark, tmp_path, capsys):
+    out = str(tmp_path / "m")
+    assert cli(["train", DATA, out, ATTS], spark=spark) == 0
+    capsys.readouterr()
+    pred_out = str(tmp_path / "p")
+    rc = cli(
+        ["predict", DATA, pred_out, ATTS, "--model", f"{out}/model.json"],
+        spark=spark,
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["rows"] == 14 and stats["accuracy"] == 1.0
+    got = spark.read.parquet(f"{pred_out}/predictions")
+    assert got.count() == 14 and "prediction" in got.columns
+
+
+def test_cli_bug_compat_prints_reference_closing_block(
+    spark, tmp_path, capsys
+):
+    """--bug-compat stdout must end with the reference's exact closing
+    block (`Main.java:124-131`): blank line, banner, 最终的规则为：, then
+    the indented rule lines — the weather golden."""
+    rc = cli(
+        ["train", DATA, str(tmp_path / "bc"), ATTS, "--bug-compat"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    expected_rules = [
+        "  0,overcast:yes",
+        "  0,sunny&2,<=70.0:yes",
+        "  0,sunny&2,>70.0:no",
+        "  0,rainy&3,true:no",
+        "  0,rainy&3,false:yes",
+    ]
+    assert out == _REFERENCE_CLOSING_BLOCK + expected_rules
+    assert (
+        tmp_path / "bc" / "rules.txt"
+    ).read_text().splitlines() == expected_rules
