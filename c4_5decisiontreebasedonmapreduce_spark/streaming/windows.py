@@ -587,6 +587,7 @@ def streaming_decontaminate(
     sf_dir: str,
     min_common: int = STREAM_DECONTAM_MIN_COMMON,
     bench_shingles: DataFrame | None = None,
+    source_dir: str | None = None,
 ) -> DataFrame:
     """Decontamination at INGEST as a STREAM-STATIC join — the scrub a
     continuously-fed corpus runs on arrival: incoming documents stream
@@ -604,14 +605,28 @@ def streaming_decontaminate(
     row meets only the static relation), so state is exactly the
     running (doc_id, bench_id) counts — bounded by true overlaps, not
     by traffic. Drained result equals the batch twin (DuckDB oracle;
-    registry ``streaming_decontaminate``)."""
+    registry ``streaming_decontaminate``). ``source_dir`` streams a
+    pre-staged multi-file documents directory instead of the single
+    staged table file — with ``maxFilesPerTrigger=1`` each file is one
+    micro-batch, which is how the cross-batch state-retention test
+    feeds two ingest waves (the static benchmark side still comes from
+    ``sf_dir``)."""
     from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
 
     is_bench = (
         F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
     )
+    if source_dir is None:
+        docs = _docs_stream(spark, sf_dir)
+    else:
+        docs = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(source_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(source_dir)
+        )
     sh_stream = (
-        _docs_stream(spark, sf_dir)
+        docs
         .where(~is_bench)
         .select(
             "doc_id",

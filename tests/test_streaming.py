@@ -411,3 +411,45 @@ def test_streaming_decontaminate_equals_batch_twin(spark, sf_small, tmp_path):
         assert got2 == expected
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_decontaminate_state_survives_batches(
+    spark, sf_small, tmp_path
+):
+    """Two ingest waves (documents split into two files, one micro-batch
+    each): the complete-mode state table must still carry wave-1's
+    flagged pairs after wave 2 processes, and the union must equal the
+    single-batch drain — cross-batch state retention for the scrub."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW
+
+    single = sorted(
+        map(tuple, SW.streaming_decontaminate(spark, sf_small).collect())
+    )
+    flagged_ids = sorted({r[0] for r in single})
+    assert len(flagged_ids) >= 2  # need flagged docs in BOTH waves
+    cut = flagged_ids[0]  # wave 1 gets the first flagged doc, wave 2 the rest
+
+    docs = load_table(spark, sf_small, "documents")
+    src = str(tmp_path / "waves")
+    docs.where(F.col("doc_id") <= cut).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 2  # two micro-batches
+
+    staged = sorted(
+        map(
+            tuple,
+            SW.streaming_decontaminate(
+                spark, sf_small, source_dir=src
+            ).collect(),
+        )
+    )
+    assert staged == single
+    # wave-1's flagged doc is still in the final state even though wave
+    # 2 was the last batch processed, and wave 2 contributed too
+    assert any(r[0] <= cut for r in staged)
+    assert any(r[0] > cut for r in staged)
