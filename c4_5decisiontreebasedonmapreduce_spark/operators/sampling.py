@@ -120,3 +120,86 @@ SELECT documents.doc_id, documents.lang, documents.source
 FROM {DOCS_SQL} JOIN rates ON documents.lang = rates.lang
 WHERE {md5_long_sql("CONCAT('" + _SEED + "', CAST(documents.doc_id AS VARCHAR))")}
       % {_MOD} < CAST(rates.rate * {_MOD} AS BIGINT)"""
+
+
+# per-source token budget for the domain-mixing sampler. 500 keeps the
+# budget BINDING at every test scale factor (per-source totals run
+# ~1.2k tokens at sf0.001 and grow with sf), so the rates are real
+# fractions, not a wall of 1.0s.
+TOKEN_BUDGET = 500
+_TB_SEED = "tokbudget|"
+
+
+def sample_token_budget(
+    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Domain MIXING by token budget: cap each source's expected
+    contribution at ``budget`` tokens — the training-mix knob every LLM
+    data pipeline turns (upweight scarce domains, cap dominant ones) —
+    with ``rate_s = min(1, budget / total_tokens_s)`` and the same
+    deterministic portable-hash keep predicate as
+    :func:`sample_stratified`.
+
+    Scale shape: one scan computes per-doc token counts; the per-source
+    totals aggregate is sources-sized (tiny) and broadcast back, so the
+    corpus is never shuffled and the keep decision stays a scalar
+    predicate next to the scan. Deterministic end-to-end: totals are a
+    pure function of the data, the hash of the row key — so re-runs and
+    backfills keep the SAME documents. The truncation to the hash
+    threshold is an explicit FLOOR (Spark's cast truncates, DuckDB's
+    rounds — the floor pins both engines to identical keep sets)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        tokens_col,
+    )
+
+    d = docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    totals = d.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(budget)) / F.col("total_tokens")
+    )
+    rated = F.broadcast(totals.select("source", rate.alias("rate")))
+    u = (
+        md5_long(F.concat(F.lit(_TB_SEED), F.col("doc_id").cast("string")))
+        % _MOD
+    )
+    return (
+        d.join(rated, "source")
+        .where(u < F.floor(F.col("rate") * _MOD).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("rate"), 6).alias("rate"),
+        )
+    )
+
+
+def _sample_token_budget_sql(budget: int = TOKEN_BUDGET) -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        _tokens_sql,
+    )
+
+    u = md5_long_sql(
+        "CONCAT('" + _TB_SEED + "', CAST(toks.doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, LEN({_tokens_sql('text')}) AS n_tokens
+  FROM {DOCS_SQL}
+),
+tot AS (
+  SELECT source, LEAST(1.0, {budget}.0 / SUM(n_tokens)) AS rate
+  FROM toks GROUP BY source
+)
+SELECT toks.doc_id, toks.source, toks.n_tokens, ROUND(tot.rate, 6) AS rate
+FROM toks JOIN tot USING (source)
+WHERE {u} % {_MOD} < CAST(FLOOR(tot.rate * {_MOD}) AS BIGINT)"""
+
+
+SAMPLE_TOKEN_BUDGET_SQL = _sample_token_budget_sql()

@@ -1363,6 +1363,15 @@ _register(
     "streaming_decontaminate", SW.streaming_decontaminate, STREAM_DECONTAM_SQL
 )
 
+# domain mixing by token budget: cap each source's expected token
+# contribution via per-source rates + the deterministic hash predicate
+# (the corpus is never shuffled; totals are a broadcast dim)
+_register(
+    "sample_token_budget",
+    SMP.sample_token_budget,
+    SMP.SAMPLE_TOKEN_BUDGET_SQL,
+)
+
 
 def _c45_train_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-schema training stress (VERDICT r7 item 4): the 33-attribute

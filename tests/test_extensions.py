@@ -838,3 +838,40 @@ def test_decontaminate_persisted_matches_default(spark, sf_small, tmp_path):
         assert a == b and len(a) > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_sample_token_budget_rates_and_determinism(spark, sf_small):
+    """The domain-mixing sampler's realized rate must equal
+    min(1, budget/total_tokens_s) recomputed independently per source,
+    the keep decision must be a pure function of the row key (two runs
+    identical), and the budget must actually BIND on this data (rates
+    strictly below 1 — a wall of 1.0s would demonstrate nothing)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        sampling as SMP,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        docs,
+        tokens_col,
+    )
+
+    rows = SMP.sample_token_budget(spark, sf_small).collect()
+    again = SMP.sample_token_budget(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert len(rows) > 0
+
+    totals = {
+        r["source"]: r["t"]
+        for r in docs(spark, sf_small)
+        .select("source", F.size(tokens_col(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    for r in rows:
+        want = round(min(1.0, SMP.TOKEN_BUDGET / totals[r["source"]]), 6)
+        assert r["rate"] == want
+        assert r["rate"] < 1.0  # binding
+    # every source with a sub-1 rate should still be represented: the
+    # hash sample is per-doc Bernoulli, ~25+ docs per source at rate
+    # ≥ 0.3 makes total absence astronomically unlikely
+    assert len({r["source"] for r in rows}) == len(totals)
