@@ -82,6 +82,11 @@ class Rule:
     label: str | None = None
     n: int = 0
     depth: int = 0
+    # training class histogram at the leaf, sorted by label — carried
+    # only on freshly trained models (compare=False keeps rule equality,
+    # and every serde wire format, unchanged). Error-based pruning
+    # (operators/pruning.py) needs it to pool sibling distributions.
+    hist: tuple[tuple[str, int], ...] = field(default=(), compare=False)
 
     def predicate(self) -> Column:
         col = F.lit(True)
@@ -494,6 +499,8 @@ def train(
     max_bins: int = 256,
     driver_stats_max_rows: int = _DRIVER_STATS_MAX_ROWS,
     bug_compat: bool = False,
+    prune: bool = False,
+    prune_cf: float = 0.25,
 ) -> DecisionListModel:
     """Grow a C4.5 tree level-synchronously; return the decision list.
 
@@ -505,6 +512,11 @@ def train(
     `Main.java:128-131`). All other keyword arguments are ignored in
     that mode: the reference has no depth cap, no min-rows guard beyond
     its hard-coded 10% numeric rule, and no binning.
+
+    ``prune=True`` follows growth with C4.5's error-based pruning
+    post-pass at confidence ``prune_cf`` (operators/pruning.py — the
+    phase the reference omits entirely; its loop ends at the grown
+    tree, `Main.java:123-131`).
 
     One Spark action and ONE data-sized exchange per level: the mixed
     melt + grouped count; class histograms, categorical gain ratios and
@@ -603,6 +615,15 @@ def train(
         )
     finally:
         spark.conf.set(shuffle_key, prev_shuffle)
+    if prune:
+        # C4.5's error-based pruning post-pass (the reference has none —
+        # operators/pruning.py): driver-side math over the finished
+        # rules, zero additional Spark jobs at any scale.
+        from c4_5decisiontreebasedonmapreduce_spark.operators.pruning import (
+            ebp_prune,
+        )
+
+        return ebp_prune(model, cf=prune_cf)
     return model
 
 
@@ -754,6 +775,7 @@ def _decide_level(
                     _majority(h, label_domain),
                     total,
                     rule.depth,
+                    hist=tuple(sorted((k, int(v)) for k, v in h.items())),
                 )
             )
             continue

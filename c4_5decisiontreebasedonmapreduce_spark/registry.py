@@ -655,8 +655,7 @@ def _train_model(spark: SparkSession, sf_dir: str) -> Tr.DecisionListModel:
     return _MODEL_CACHE[key]
 
 
-def _c45_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    model = _train_model(spark, sf_dir)
+def _model_relation(spark: SparkSession, model: Tr.DecisionListModel) -> DataFrame:
     rows = [
         (
             json.dumps(
@@ -671,6 +670,27 @@ def _c45_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "conditions string, label string, n long, depth int"
     )
+
+
+def _c45_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _model_relation(spark, _train_model(spark, sf_dir))
+
+
+def _c45_train_pruned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The depth-4 model after C4.5 error-based pruning (CF = 0.25) —
+    the post-pass the reference omits (`operators/pruning.py`; its loop
+    ends at the grown tree, `Main.java:123-131`). Pruning is driver-side
+    math over the finished rules (zero extra Spark jobs), so this entry
+    reuses `c45_train`'s cached model. Oracle: the pruned sf0.01
+    structure is pinned (`_GOLDEN_SF001_PRUNED_PATHS` — two subtrees
+    collapse to depth-3 leaves) and DuckDB independently recomputes
+    every pruned leaf's `n` and majority label from the raw parquet, so
+    a wrong pooled count or collapsed label fails the hash."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pruning import (
+        ebp_prune,
+    )
+
+    return _model_relation(spark, ebp_prune(_train_model(spark, sf_dir)))
 
 
 def _c45_predict_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,22 +739,47 @@ _GOLDEN_SF001_PATHS: list[tuple[tuple[str, str, str], ...]] = [
 ]
 
 
+# The same sf0.01 model after error-based pruning (CF = 0.25,
+# `operators/pruning.py`): the binomial upper-bound comparison collapses
+# two depth-4 sibling pairs — under (extendedprice > 84343.66,
+# <= 96783.18, quantity <= 5.0) and under (extendedprice > 84343.66,
+# > 96783.18, discount > 0.05) — to depth-3 majority leaves; the other
+# 12 leaves survive. Deterministic like the unpruned golden (pure
+# driver-side math on pinned leaf histograms); DuckDB recomputes each
+# pruned leaf's n/label from raw data, so only the STRUCTURE is pinned.
+_GOLDEN_SF001_PRUNED_PATHS: list[tuple[tuple[str, str, str], ...]] = [
+    p
+    for p in _GOLDEN_SF001_PATHS
+    if p[:3] != (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", "<=", "96783.18"), ("l_quantity", "<=", "5.0"))
+    and p[:3] != (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", ">", "96783.18"), ("l_discount", ">", "0.05"))
+] + [
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", "<=", "96783.18"), ("l_quantity", "<=", "5.0")),
+    (("l_extendedprice", ">", "84343.66"), ("l_extendedprice", ">", "96783.18"), ("l_discount", ">", "0.05")),
+]
+
+
 def _golden_cond_sql(attr: str, op: str, value: str) -> str:
     if op == "==":
         return f"{attr} = '{value}'"
     return f"{attr} {op} CAST('{value}' AS DOUBLE)"
 
 
-def _golden_leaf_ctes() -> str:
+def _golden_leaf_ctes(
+    paths: list[tuple[tuple[str, str, str], ...]] | None = None,
+) -> str:
     """Shared CTEs: assign every lineitem row to its golden leaf, then
-    compute per-leaf majority label + size from the data itself."""
+    compute per-leaf majority label + size from the data itself. Works
+    for any leaf partition of the feature space — the pruned golden
+    passes its shorter path list."""
+    if paths is None:
+        paths = _GOLDEN_SF001_PATHS
     whens = "\n    ".join(
         "WHEN "
         + " AND ".join(_golden_cond_sql(*c) for c in path)
         + " THEN '"
         + json.dumps([list(c) for c in path])
         + "'"
-        for path in _GOLDEN_SF001_PATHS
+        for path in paths
     )
     return f"""
 leafed AS (
@@ -753,7 +798,7 @@ maj AS (
 ),
 depths(conditions, depth) AS (VALUES {", ".join(
     "('" + json.dumps([list(c) for c in p]) + "', " + str(len(p)) + ")"
-    for p in _GOLDEN_SF001_PATHS
+    for p in paths
 )})"""
 
 
@@ -769,6 +814,13 @@ WITH {_golden_leaf_ctes().lstrip()}
 SELECT lab AS prediction, CAST(SUM(n) AS BIGINT) AS cnt
 FROM maj WHERE rn = 1 GROUP BY lab"""
 
+
+C45_TRAIN_PRUNED_SQL = f"""
+WITH {_golden_leaf_ctes(_GOLDEN_SF001_PRUNED_PATHS).lstrip()}
+SELECT m.conditions, m.lab AS label, CAST(m.n AS BIGINT) AS n,
+       CAST(d.depth AS INT) AS depth
+FROM maj m JOIN depths d ON m.conditions = d.conditions
+WHERE m.rn = 1"""
 
 _register("c45_train", _c45_train_query, C45_TRAIN_SQL)
 _register("c45_predict", _c45_predict_query, C45_PREDICT_SQL)
@@ -1429,6 +1481,10 @@ SELECT CAST(line_no AS INT) AS line_no, line FROM (VALUES
 
 _register(
     "c45_train_bug_compat", _c45_train_bug_compat_query, C45_BUG_COMPAT_SQL
+)
+
+_register(
+    "c45_train_pruned", _c45_train_pruned_query, C45_TRAIN_PRUNED_SQL
 )
 
 
