@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_incremental_persisted",
     "dedup_cluster",
     "dedup_cluster_incremental",
+    "dedup_spans",
     "decontaminate",
     "similarity_topk",
 ]

@@ -1530,3 +1530,156 @@ def dedup_cluster_incremental(
         .localCheckpoint(eager=True)
     )
     return _connected_components(spark, pairs, max_rounds, driver_max_edges)
+
+
+# ------------------------------------------------------------------
+# Duplicate-span detection (exact substring dedup)
+# ------------------------------------------------------------------
+# The document-level dedup family above asks "are these two documents
+# near-identical?"; training-data curation also needs the finer question
+# "which PASSAGES are copied between documents?" (boilerplate headers,
+# quoted licences, templated paragraphs inside otherwise-distinct docs —
+# the spans Lee et al., "Deduplicating Training Data Makes Language
+# Models Better", remove at token level). Same scale discipline as the
+# rest of the family: candidates come from an equi-join on a derived key
+# (the positioned k-gram hash), never a corpus² comparison, and
+# pathologically common grams are df-capped out before the join.
+
+SPAN_GRAM_K = 8  # token width of the positioned gram (Lee et al. use 50 BPE)
+SPAN_GRAM_DF_CAP = 100  # max doc-frequency of a candidate-gen gram
+
+
+def _positioned_grams(docs: DataFrame) -> DataFrame:
+    """``(doc_id, pos, gh)``: the portable 60-bit hash of the
+    SPAN_GRAM_K-token window starting at 1-based token position pos.
+    Unlike :func:`shingles_col` these are NOT distinct — the position is
+    the payload. Short documents yield no rows (same WHEN guard: Spark's
+    descending ``sequence(1, 0)`` is not empty)."""
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks) - (SPAN_GRAM_K - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                i.alias("pos"),
+                md5_long(
+                    F.array_join(F.slice(toks, i, SPAN_GRAM_K), " ")
+                ).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+    return docs.select("doc_id", F.explode(grams).alias("s")).select(
+        "doc_id", "s.pos", "s.gh"
+    )
+
+
+def span_matches(
+    docs: DataFrame, df_cap: int = SPAN_GRAM_DF_CAP
+) -> DataFrame:
+    """Maximal duplicated token spans between document pairs:
+    ``(doc_a, doc_b, start_a, start_b, span_tokens)`` with doc_a < doc_b
+    and span_tokens >= SPAN_GRAM_K.
+
+    Plan: positioned grams (one scan, materialized — three consumers) →
+    df-cap the gram hashes (drops boilerplate grams that would meet df²
+    partners; a capped gram inside a long copied region splits that
+    span in two, identically in the oracle) → self-equi-join on the
+    hash → merge runs of consecutive matches along each alignment
+    diagonal (pos_b − pos_a) with the gaps-and-islands window
+    ``pos_a − row_number()``, one window partition per (pair, diagonal)
+    — bounded by document length, never corpus-sized → one grouped agg
+    emits each island as a span of count + K − 1 tokens. Every stage is
+    a hash exchange on derived keys; nothing is ever corpus²."""
+    g = _positioned_grams(docs).localCheckpoint()
+    rare = g.join(
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("gh"),
+        "gh",
+    )
+    m = (
+        rare.select(
+            F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
+        )
+        .join(
+            rare.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("pos").alias("pos_b"),
+                "gh",
+            ),
+            "gh",
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("diag", F.col("pos_b") - F.col("pos_a"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + (SPAN_GRAM_K - 1)).cast("int").alias(
+                "span_tokens"
+            ),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`span_matches` over the `documents` table (spread like
+    :func:`_shingles_df` — a single-file scan must not serialize the
+    tokenize/hash pipeline onto one core)."""
+    d = TX.docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return span_matches(d)
+
+
+DEDUP_SPANS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM {TX.DOCS_SQL}
+),
+g AS (
+  SELECT doc_id,
+         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {SPAN_GRAM_K - 1}, 0)))
+           AS pos,
+         toks
+  FROM tk
+),
+h AS (
+  SELECT doc_id, pos,
+         {md5_long_sql(
+             f"ARRAY_TO_STRING(LIST_SLICE(toks, pos, pos + {SPAN_GRAM_K - 1}), ' ')"
+         )} AS gh
+  FROM g
+),
+rare AS (
+  SELECT gh FROM (
+    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY gh
+  ) WHERE df <= {SPAN_GRAM_DF_CAP}
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM h a JOIN rare USING (gh) JOIN h b USING (gh)
+  WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_b - pos_a AS diag,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, pos_b - pos_a ORDER BY pos_a
+         ) AS island
+  FROM m
+)
+SELECT doc_a, doc_b, CAST(MIN(pos_a) AS INT) AS start_a,
+       CAST(MIN(pos_b) AS INT) AS start_b,
+       CAST(COUNT(*) + {SPAN_GRAM_K - 1} AS INT) AS span_tokens
+FROM isl GROUP BY doc_a, doc_b, diag, island"""

@@ -1487,6 +1487,11 @@ _register(
     "c45_train_pruned", _c45_train_pruned_query, C45_TRAIN_PRUNED_SQL
 )
 
+# passage-level exact-substring dedup (Lee et al.-style duplicate spans):
+# positioned-k-gram equi-join + diagonal gaps-and-islands merge
+# (`operators/dedup.py::dedup_spans`)
+_register("dedup_spans", D.dedup_spans, D.DEDUP_SPANS_SQL)
+
 
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)

@@ -182,6 +182,12 @@ HEADLINE = {
         "verified pairs checkpointed once, then pointer-jumping "
         "connected components; the final plan reads zero parquet"
     ),
+    "dedup_spans": (
+        "positioned-gram hash equi-join (df-capped), then per-(pair, "
+        "diagonal) gaps-and-islands window — partitions bounded by "
+        "document length, never corpus-sized; final plan reads the "
+        "checkpointed gram table, zero parquet"
+    ),
     "decontaminate": (
         "asymmetric corpus×benchmark shingle equi-join with the df-cap "
         "applied corpus-side; capped-shingle residual restricted to "

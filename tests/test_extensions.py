@@ -875,3 +875,81 @@ def test_sample_token_budget_rates_and_determinism(spark, sf_small):
     # hash sample is per-doc Bernoulli, ~25+ docs per source at rate
     # ≥ 0.3 makes total absence astronomically unlikely
     assert len({r["source"] for r in rows}) == len(totals)
+
+
+# ----------------------------------------------------- duplicate spans
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_span_matches_hand_fixture(spark):
+    """A 12-token region copied between two docs at different offsets
+    must come back as ONE maximal span with exact 1-based starts: the
+    5 consecutive 8-gram matches on the same alignment diagonal merge,
+    and length = matches + K - 1 = 12."""
+    shared = " ".join(f"s{i}" for i in range(1, 13))
+    d = _docs_df(
+        spark,
+        [
+            f"x1 x2 {shared} y1 y2",  # shared at token pos 3..14
+            f"{shared} z1 z2 z3",  # shared at token pos 1..12
+            " ".join(f"u{i}" for i in range(1, 17)),  # unrelated
+        ],
+    )
+    rows = [tuple(r) for r in D.span_matches(d).collect()]
+    assert rows == [(1, 2, 3, 1, 12)]
+
+
+def test_span_repeated_region_gives_two_diagonals(spark):
+    """doc 2 contains the copied 8-token block TWICE: each occurrence is
+    its own alignment diagonal, so two spans are reported — the
+    all-matching-runs semantics of substring dedup (not just the first
+    hit)."""
+    block = " ".join(f"r{i}" for i in range(1, 9))
+    d = _docs_df(
+        spark,
+        [
+            f"q1 q2 {block} q3 q4",
+            f"{block} m1 m2 {block}",
+        ],
+    )
+    rows = sorted(tuple(r) for r in D.span_matches(d).collect())
+    assert rows == [(1, 2, 3, 1, 8), (1, 2, 3, 11, 8)]
+
+
+def test_span_df_cap_drops_boilerplate_keeps_rare(spark):
+    """Five docs share a 10-token boilerplate preamble (gram df = 5);
+    two other docs share a rare 9-token block (df = 2). With the cap at
+    3 the preamble grams never reach the join — only the rare span
+    survives — while the quadratic preamble pair set (all 10 doc pairs)
+    appears once the cap admits df = 5. Cap semantics mirror the
+    jaccard family's SHINGLE_DF_CAP: a join-key filter, nothing else."""
+    pre = " ".join(f"p{i}" for i in range(1, 11))
+    rare = " ".join(f"v{i}" for i in range(1, 10))
+    texts = [f"{pre} d{j}a d{j}b" for j in range(5)] + [
+        f"{rare} w1 w2",
+        f"n1 n2 {rare}",
+    ]
+    d = _docs_df(spark, texts)
+    capped = sorted(tuple(r) for r in D.span_matches(d, df_cap=3).collect())
+    assert capped == [(6, 7, 1, 3, 9)]
+    full = D.span_matches(d, df_cap=100).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in full}
+    assert len(pairs) == 11  # C(5,2) preamble pairs + the rare pair
+    assert all(
+        r["span_tokens"] == 10
+        for r in full
+        if (r["doc_a"], r["doc_b"]) != (6, 7)
+    )
+
+
+def test_span_short_docs_yield_nothing(spark):
+    """Documents under K tokens produce no positioned grams (the
+    sequence guard) — and identical short docs therefore report no
+    span, by design: exact dedup owns that case."""
+    d = _docs_df(spark, ["a b c", "a b c", "a b c d e f g"])
+    assert D.span_matches(d).count() == 0

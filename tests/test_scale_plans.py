@@ -59,6 +59,7 @@ def test_no_cartesian_in_scalable_dedup(spark, sf_small):
         "dedup_incremental",
         "dedup_incremental_persisted",
         "dedup_cluster_incremental",
+        "dedup_spans",
     ):
         p = plan_of(QUERIES[name](spark, sf_small))
         assert "CartesianProduct" not in p, name
