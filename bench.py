@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_cluster",
     "dedup_cluster_incremental",
     "dedup_spans",
+    "dedup_spans_incremental_persisted",
     "decontaminate",
     "similarity_topk",
 ]

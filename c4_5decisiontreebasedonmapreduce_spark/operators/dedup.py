@@ -1612,8 +1612,17 @@ def span_matches(
             "gh",
         )
         .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("diag", F.col("pos_b") - F.col("pos_a"))
     )
+    return _island_spans(m)
+
+
+def _island_spans(m: DataFrame) -> DataFrame:
+    """Merge positioned gram matches ``(doc_a, doc_b, pos_a, pos_b)``
+    into maximal spans: runs of consecutive positions along each
+    alignment diagonal (pos_b − pos_a) collapse via the gaps-and-islands
+    window ``pos_a − row_number()`` — one window partition per (pair,
+    diagonal), bounded by document length, never corpus-sized."""
+    m = m.withColumn("diag", F.col("pos_b") - F.col("pos_a"))
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     isl = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
     return (
@@ -1683,3 +1692,157 @@ SELECT doc_a, doc_b, CAST(MIN(pos_a) AS INT) AS start_a,
        CAST(MIN(pos_b) AS INT) AS start_b,
        CAST(COUNT(*) + {SPAN_GRAM_K - 1} AS INT) AS span_tokens
 FROM isl GROUP BY doc_a, doc_b, diag, island"""
+
+
+def write_span_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "span_corpus_grams",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the EXISTING corpus's positioned gram table
+    ``(doc_id, pos, gh)`` BUCKETED BY gh — the join key of
+    :func:`dedup_spans_incremental`'s batch lookup — plus the per-gram
+    corpus document-frequency side table ``<table>_df`` ``(gh, df)``,
+    same bucketing.
+
+    The span sibling of :func:`write_incremental_corpus` /
+    :func:`write_exact_corpus`: the tokenize/gram/hash pass over corpus
+    TEXT runs once at write time, and every subsequent ingest joins its
+    batch grams against the bucketed table with NO Exchange on the
+    corpus side. The df side table is what keeps the boilerplate cap
+    honest across ingests: the hot-gram set is evaluated over
+    corpus ∪ batch frequencies (never corpus-only — the parity fork
+    ADVICE r7 flagged for the cluster family), and since grams above
+    the cap are by construction FEW, the exclusion is a broadcast
+    anti-join that leaves the bucketed scan's distribution intact."""
+    d = TX.docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    corpus = _positioned_grams(d.where(~is_batch)).localCheckpoint()
+    for name, rel, keys in (
+        (table, corpus, ("doc_id", "pos", "gh")),
+        (
+            f"{table}_df",
+            corpus.groupBy("gh").agg(
+                F.count_distinct("doc_id").alias("df")
+            ),
+            ("gh", "df"),
+        ),
+    ):
+        writer = (
+            rel.select(*keys)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "gh")
+            .sortBy("gh")
+        )
+        if path is not None:
+            writer = writer.option("path", f"{path}_{name}")
+        writer.saveAsTable(name)
+    return spark.table(table)
+
+
+def dedup_spans_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_grams: DataFrame | None = None,
+    corpus_df: DataFrame | None = None,
+    df_cap: int = SPAN_GRAM_DF_CAP,
+) -> DataFrame:
+    """Duplicate spans at INGEST: every span between a batch document
+    and the corpus (either orientation) plus spans within the batch —
+    pinned IDENTICAL to the batch-touching subset of the full
+    :func:`dedup_spans` run (tests/test_extensions.py).
+
+    Scale shape: the batch gram relation is materialized once (tiny);
+    the corpus side is the PERSISTED bucketed gram table from
+    :func:`write_span_corpus`, read shuffle-free into the candidate
+    equi-join (plan-asserted). The df-cap is evaluated over the
+    corpus ∪ batch document frequencies — the hot-gram set (df > cap)
+    is small by definition, so both sides exclude it via a broadcast
+    anti-join that costs no Exchange. The default (no persisted tables)
+    recomputes corpus grams from text for standalone use."""
+    d = TX.docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return span_matches_incremental(
+        d, corpus_grams=corpus_grams, corpus_df=corpus_df, df_cap=df_cap
+    )
+
+
+def span_matches_incremental(
+    d: DataFrame,
+    corpus_grams: DataFrame | None = None,
+    corpus_df: DataFrame | None = None,
+    df_cap: int = SPAN_GRAM_DF_CAP,
+) -> DataFrame:
+    """Core of :func:`dedup_spans_incremental` over an arbitrary
+    ``(doc_id, text)`` relation (fixtures drive it directly)."""
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    batch = _positioned_grams(d.where(is_batch)).localCheckpoint()
+    if corpus_grams is None:
+        corpus_grams = _positioned_grams(d.where(~is_batch)).localCheckpoint()
+        corpus_df = corpus_grams.groupBy("gh").agg(
+            F.count_distinct("doc_id").alias("df")
+        )
+    batch_df = batch.groupBy("gh").agg(
+        F.count_distinct("doc_id").alias("bdf")
+    )
+    hot = (
+        corpus_df.join(batch_df, "gh", "full")
+        .where(
+            F.coalesce(F.col("df"), F.lit(0))
+            + F.coalesce(F.col("bdf"), F.lit(0))
+            > df_cap
+        )
+        .select("gh")
+    )
+    b = batch.join(F.broadcast(hot), "gh", "left_anti")
+    c = corpus_grams.join(F.broadcast(hot), "gh", "left_anti")
+    # batch×corpus candidates, normalized to the full run's doc_a < doc_b
+    # orientation (batch doc_ids interleave the corpus, so either side
+    # may be the smaller id); plus intra-batch pairs
+    x = b.select(
+        F.col("doc_id").alias("doc_x"), F.col("pos").alias("pos_x"), "gh"
+    ).join(
+        c.select(
+            F.col("doc_id").alias("doc_y"), F.col("pos").alias("pos_y"), "gh"
+        ),
+        "gh",
+    )
+    cross = x.select(
+        F.least("doc_x", "doc_y").alias("doc_a"),
+        F.greatest("doc_x", "doc_y").alias("doc_b"),
+        F.when(F.col("doc_x") < F.col("doc_y"), F.col("pos_x"))
+        .otherwise(F.col("pos_y"))
+        .alias("pos_a"),
+        F.when(F.col("doc_x") < F.col("doc_y"), F.col("pos_y"))
+        .otherwise(F.col("pos_x"))
+        .alias("pos_b"),
+    )
+    intra = (
+        b.select(
+            F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
+        )
+        .join(
+            b.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("pos").alias("pos_b"),
+                "gh",
+            ),
+            "gh",
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+    )
+    return _island_spans(cross.unionByName(intra))
+
+
+DEDUP_SPANS_INCR_SQL = f"""
+SELECT * FROM ({DEDUP_SPANS_SQL})
+WHERE doc_a % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+   OR doc_b % {INCR_BATCH_MOD} = {INCR_BATCH_REM}"""

@@ -1492,6 +1492,57 @@ _register(
 # (`operators/dedup.py::dedup_spans`)
 _register("dedup_spans", D.dedup_spans, D.DEDUP_SPANS_SQL)
 
+# ...and its ingest-time sibling: batch×corpus + intra-batch spans,
+# pinned identical to the batch-touching subset of the full run
+_register(
+    "dedup_spans_incremental", D.dedup_spans_incremental, D.DEDUP_SPANS_INCR_SQL
+)
+
+
+# session cache: sf_dir → persisted bucketed span-gram corpus tables —
+# same write-once-join-many amortization as _EXACT_CORPUS_TABLES
+_SPAN_CORPUS_TABLES: dict[str, str] = {}
+
+
+def _dedup_spans_incremental_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_spans_incremental` against the PERSISTED bucketed corpus
+    gram table (`operators/dedup.py::write_span_corpus`): the
+    tokenize/gram/hash pass over corpus text runs once per session per
+    sf_dir; every subsequent ingest joins its batch grams against the
+    corpus side shuffle-free, with the boilerplate cap evaluated over
+    corpus ∪ batch frequencies from the persisted df side table. Pinned
+    identical to the in-memory path (same oracle SQL, hash-graded;
+    equality also pinned in tests/test_extensions.py)."""
+    key = sf_dir.rstrip("/")
+    table = _SPAN_CORPUS_TABLES.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        import tempfile
+        import uuid
+
+        table = f"span_corpus_{uuid.uuid4().hex[:8]}"
+        D.write_span_corpus(
+            spark,
+            sf_dir,
+            table=table,
+            path=tempfile.mkdtemp(prefix="span_corpus_") + "/t",
+        )
+        _SPAN_CORPUS_TABLES[key] = table
+    return D.dedup_spans_incremental(
+        spark,
+        sf_dir,
+        corpus_grams=spark.table(table),
+        corpus_df=spark.table(f"{table}_df"),
+    )
+
+
+_register(
+    "dedup_spans_incremental_persisted",
+    _dedup_spans_incremental_persisted_query,
+    D.DEDUP_SPANS_INCR_SQL,
+)
+
 
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)

@@ -188,6 +188,11 @@ HEADLINE = {
         "document length, never corpus-sized; final plan reads the "
         "checkpointed gram table, zero parquet"
     ),
+    "dedup_spans_incremental_persisted": (
+        "batch grams against the bucketed persisted gram corpus "
+        "(shuffle-free corpus side); union-scoped boilerplate cap via "
+        "broadcast hot-set anti-join; islands window only over matches"
+    ),
     "decontaminate": (
         "asymmetric corpus×benchmark shingle equi-join with the df-cap "
         "applied corpus-side; capped-shingle residual restricted to "

@@ -953,3 +953,91 @@ def test_span_short_docs_yield_nothing(spark):
     span, by design: exact dedup owns that case."""
     d = _docs_df(spark, ["a b c", "a b c", "a b c d e f g"])
     assert D.span_matches(d).count() == 0
+
+
+def test_span_incremental_matches_full_subset(spark, sf_small):
+    """The ingest-time span pass must reproduce EXACTLY the
+    batch-touching subset of the full run — including the df-cap
+    evaluated over corpus ∪ batch frequencies (the parity fork ADVICE
+    r7 flagged for the cluster family cannot recur here)."""
+    touching = (F.col("doc_a") % D.INCR_BATCH_MOD == D.INCR_BATCH_REM) | (
+        F.col("doc_b") % D.INCR_BATCH_MOD == D.INCR_BATCH_REM
+    )
+    want = sorted(
+        tuple(r)
+        for r in D.dedup_spans(spark, sf_small).where(touching).collect()
+    )
+    got = sorted(
+        tuple(r) for r in D.dedup_spans_incremental(spark, sf_small).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_span_persisted_matches_inmemory(spark, sf_small, tmp_path):
+    """The persisted bucketed gram-corpus path returns the same verdicts
+    as the recompute-from-text path."""
+    table = "span_corpus_eq_test"
+    try:
+        D.write_span_corpus(
+            spark, sf_small, table=table, path=str(tmp_path / "spans")
+        )
+        got = sorted(
+            tuple(r)
+            for r in D.dedup_spans_incremental(
+                spark,
+                sf_small,
+                corpus_grams=spark.table(table),
+                corpus_df=spark.table(f"{table}_df"),
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in D.dedup_spans_incremental(spark, sf_small).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_df")
+
+
+def test_span_incremental_hot_gram_cap_is_union_scoped(spark):
+    """A gram under the cap in the corpus alone but over it once the
+    batch is counted must be excluded by BOTH passes identically: the
+    incremental run's hot set uses corpus ∪ batch frequencies, so its
+    output still equals the full run's batch-touching subset."""
+    shared = " ".join(f"c{i}" for i in range(1, 9))
+    rare = " ".join(f"v{i}" for i in range(1, 10))
+    # doc_ids: batch docs are % 10 == 7 → 7, 17 are batch; others corpus
+    rows = [
+        (1, f"{shared} a1 a2"),
+        (2, f"{shared} b1 b2"),
+        (3, f"{shared} e1 e2"),
+        (7, f"{shared} f1 f2"),          # batch: pushes shared df 3 → 4
+        (11, f"{rare} g1 g2"),
+        (17, f"n1 n2 {rare}"),           # batch: rare pair partner
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap 3: 'shared' df = 4 (3 corpus + 1 batch) > 3 → the incremental
+    # pass must exclude it even though the corpus-only df (3) passes the
+    # cap; only the rare pair survives — identical to the full run's
+    # batch-touching subset
+    got = sorted(
+        tuple(r)
+        for r in D.span_matches_incremental(d, df_cap=3).collect()
+    )
+    assert got == [(11, 17, 1, 3, 9)]
+    touching = (F.col("doc_a") % D.INCR_BATCH_MOD == D.INCR_BATCH_REM) | (
+        F.col("doc_b") % D.INCR_BATCH_MOD == D.INCR_BATCH_REM
+    )
+    want = sorted(
+        tuple(r)
+        for r in D.span_matches(d, df_cap=3).where(touching).collect()
+    )
+    assert got == want
+    # with the cap admitting df = 4, the boilerplate spans reappear for
+    # every batch-touching pair (doc 7 × each corpus doc sharing it)
+    wide = D.span_matches_incremental(d, df_cap=4)
+    assert {(r["doc_a"], r["doc_b"]) for r in wide.collect()} == {
+        (1, 7), (2, 7), (3, 7), (11, 17),
+    }

@@ -571,3 +571,72 @@ def test_benchmark_shingles_join_no_shuffle(spark, sf_small, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_span_persisted_corpus_join_no_shuffle(spark, sf_small, tmp_path):
+    """The persisted span-gram corpus table (bucketed by the gram-hash
+    join key) must join against a batch gram relation with NO Exchange
+    on the corpus side — and the broadcast hot-gram anti-join that
+    enforces the boilerplate cap must not disturb that distribution.
+    The span sibling of test_exact_persisted_corpus_join_no_shuffle."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    table = "span_corpus_plan_test"
+    try:
+        corpus = D.write_span_corpus(
+            spark, sf_small, table=table, n_buckets=8,
+            path=str(tmp_path / "span_corpus"),
+        )
+        is_batch = (F.col("doc_id") % D.INCR_BATCH_MOD) == D.INCR_BATCH_REM
+        from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX
+
+        batch = D._positioned_grams(
+            TX.docs(spark, sf_small).where(is_batch)
+        ).localCheckpoint()
+        batch_df = batch.groupBy("gh").agg(
+            F.count_distinct("doc_id").alias("bdf")
+        )
+        hot = (
+            spark.table(f"{table}_df")
+            .join(batch_df, "gh", "full")
+            .where(
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("bdf"), F.lit(0))
+                > D.SPAN_GRAM_DF_CAP
+            )
+            .select("gh")
+            .localCheckpoint()  # isolate the candidate JOIN's exchanges
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # force SMJ for the candidate join: a broadcast join would
+        # trivially have no shuffle and prove nothing about the layout;
+        # the hot-set exclusion is explicitly broadcast (tiny by
+        # definition), so it stays a BHJ under the same setting
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            c = corpus.join(F.broadcast(hot), "gh", "left_anti")
+            b = batch.join(F.broadcast(hot), "gh", "left_anti")
+            joined = b.select(
+                F.col("doc_id").alias("doc_x"),
+                F.col("pos").alias("pos_x"),
+                "gh",
+            ).join(
+                c.select(
+                    F.col("doc_id").alias("doc_y"),
+                    F.col("pos").alias("pos_y"),
+                    "gh",
+                ),
+                "gh",
+            )
+            p = plan_of(joined)
+            assert "SortMergeJoin" in p, p
+            assert "Bucketed: true" in p, p
+            # exactly one Exchange — the batch side; the bucketed corpus
+            # side reads pre-partitioned on gh through the anti-join
+            assert p.count(") Exchange") == 1, p
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_df")
