@@ -1544,6 +1544,40 @@ _register(
 )
 
 
+def _quality_model_distill_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distill the rule-based quality gate into a logistic scorer
+    (`operators/quality_model.py` — the trained-classifier filtering
+    pattern of production curation pipelines) and report the
+    distillation summary: corpus size, rule-gate keeps, model keeps at
+    0.5, and their agreement. Rows-only like the other MLlib entries
+    (LBFGS coefficient bits depend on partition-sum order); the
+    per-document cross-engine score parity — DuckDB evaluating
+    `to_sql_expr` equals Spark's Column scorer — is pinned in
+    tests/test_quality_model.py instead."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        quality_model as QM,
+    )
+
+    signals = TX.quality_signals(spark, sf_dir).localCheckpoint()
+    scorer = QM.train_quality_scorer(signals)
+    scored = QM.score_documents(signals, scorer).join(
+        signals.select("doc_id", "keep"), "doc_id"
+    )
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).alias("gate_keep"),
+        F.sum(F.col("model_keep").cast("int")).alias("model_keep"),
+        F.round(
+            F.avg((F.col("keep") == F.col("model_keep")).cast("double")), 4
+        ).alias("agreement"),
+    )
+
+
+_register("quality_model_distill", _quality_model_distill_query)  # MLlib: rows-only
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

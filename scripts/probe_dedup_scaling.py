@@ -92,6 +92,8 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("incremental", D.dedup_incremental),
             ("cluster_incremental", D.dedup_cluster_incremental),
             ("exact_incremental", D.dedup_exact_incremental),
+            ("spans", D.dedup_spans),
+            ("spans_incremental", D.dedup_spans_incremental),
         ):
             t0 = time.perf_counter()
             rec[f"{name}_rows"] = fn(spark, tmp).count()
