@@ -68,6 +68,11 @@ def cli(argv: list[str] | None = None, spark=None) -> int:
         help="reproduce the reference AS BUILT (quirks Q1-Q5) and print "
         "its exact closing stdout block",
     )
+    t.add_argument(
+        "--prune", action="store_true",
+        help="follow growth with C4.5 error-based pruning (CF 0.25) — "
+        "the post-pass the reference omits",
+    )
     pr = sub.add_parser("predict", help="score a TSV with a saved model")
     pr.add_argument("input")
     pr.add_argument("output", help="directory for predictions parquet")
@@ -100,6 +105,7 @@ def cli(argv: list[str] | None = None, spark=None) -> int:
                 schema,
                 max_depth=args.max_depth,
                 min_ratio=args.min_ratio,
+                prune=args.prune,
             )
             model.save(os.path.join(args.output, "model.json"))
             model.save_parquet(

@@ -1143,10 +1143,15 @@ def _c45_holdout_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem_holdout_split,
     )
 
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pruning import (
+        ebp_prune,
+    )
+
     train_df, test_df = lineitem_holdout_split(spark, sf_dir)
     model = Tr.train(
         train_df, LINEITEM_TRAINING_SCHEMA, max_depth=4, min_rows=50
     )
+    pruned = ebp_prune(model)
     return spark.createDataFrame(
         [
             (
@@ -1155,10 +1160,13 @@ def _c45_holdout_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(Tr.accuracy(model, train_df, LABEL), 6),
                 round(Tr.accuracy(model, test_df, LABEL), 6),
                 len(model.rules),
+                round(Tr.accuracy(pruned, test_df, LABEL), 6),
+                len(pruned.rules),
             )
         ],
         "n_train long, n_test long, train_accuracy double,"
-        " holdout_accuracy double, n_rules int",
+        " holdout_accuracy double, n_rules int,"
+        " pruned_holdout_accuracy double, n_rules_pruned int",
     )
 
 

@@ -71,3 +71,19 @@ def test_cli_bug_compat_prints_reference_closing_block(
     assert (
         tmp_path / "bc" / "rules.txt"
     ).read_text().splitlines() == expected_rules
+
+
+def test_cli_train_prune_flag(spark, tmp_path, capsys):
+    """--prune runs the EBP post-pass: the pruned decision list is a
+    (possibly equal) contraction of the unpruned one that still
+    partitions the training rows."""
+    out_full = str(tmp_path / "full")
+    out_pruned = str(tmp_path / "pruned")
+    assert cli(["train", DATA, out_full, ATTS], spark=spark) == 0
+    assert cli(["train", DATA, out_pruned, ATTS, "--prune"], spark=spark) == 0
+    capsys.readouterr()
+    full = json.loads((tmp_path / "full" / "model.json").read_text())
+    pruned = json.loads((tmp_path / "pruned" / "model.json").read_text())
+    assert len(pruned) <= len(full)
+    assert sum(r["n"] for r in pruned) == sum(r["n"] for r in full) == 14
+    assert all(r["label"] for r in pruned)

@@ -114,6 +114,14 @@ def test_c45_holdout_eval_pinned_at_driver_scale(spark, sf_oracle):
     assert got["n_rules"] == 16
     assert got["train_accuracy"] == pytest.approx(0.341135, abs=1e-6)
     assert got["holdout_accuracy"] == pytest.approx(0.32615, abs=1e-6)
+    # EBP pruning (r8): 16 → 10 rules and holdout accuracy does not
+    # drop — the generalization trade pruning exists to make (here it
+    # even ticks up: the collapsed subtrees were fitting noise)
+    assert got["n_rules_pruned"] == 10
+    assert got["pruned_holdout_accuracy"] == pytest.approx(
+        0.326317, abs=1e-6
+    )
+    assert got["pruned_holdout_accuracy"] >= got["holdout_accuracy"] - 1e-9
 
 
 def test_sql_entrypoint_equals_dataframe_path(spark, sf_small):
