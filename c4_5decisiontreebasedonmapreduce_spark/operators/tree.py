@@ -417,6 +417,79 @@ class DecisionListModel:
         return cls.from_json(Path(path).read_text(), label_col)
 
 
+#: the synthetic categorical value null features map to under
+#: ``train(nulls="missing")`` — double-underscored so it cannot collide
+#: with the lowercase-tokenized value space of real data
+MISSING_CATEGORY = "__missing__"
+
+
+def _enforce_null_policy(
+    base: DataFrame,
+    *,
+    nulls: str,
+    cat_names: list[str],
+    num_names: list[str],
+    label: str,
+    cat_domains: dict[str, list[str]],
+) -> DataFrame:
+    """Apply the train() missing-value policy (see its docstring): one
+    audit aggregate over the projection; zero changes when clean."""
+    if nulls not in ("reject", "missing"):
+        raise ValueError(f"nulls must be 'reject' or 'missing', got {nulls!r}")
+    cols = cat_names + num_names + [label]
+    counts = dict(
+        zip(
+            cols,
+            base.select(
+                [
+                    F.sum(F.col(c).isNull().cast("long")).alias(c)
+                    for c in cols
+                ]
+            ).first(),
+        )
+    )
+    counts = {c: int(v or 0) for c, v in counts.items()}
+    if counts[label] > 0:
+        raise ValueError(
+            f"{counts[label]} rows have a NULL label ({label}); "
+            "training cannot proceed under any nulls policy"
+        )
+    dirty = {c: n for c, n in counts.items() if c != label and n > 0}
+    if not dirty:
+        return base
+    if nulls == "reject":
+        raise ValueError(
+            "training features contain NULLs "
+            f"({', '.join(f'{c}: {n}' for c, n in sorted(dirty.items()))}); "
+            "pass train(..., nulls='missing') to branch/impute them"
+        )
+    cat_dirty = [c for c in cat_names if c in dirty]
+    num_dirty = [c for c in num_names if c in dirty]
+    if cat_dirty:
+        base = base.fillna({c: MISSING_CATEGORY for c in cat_dirty})
+        for c in cat_dirty:
+            cat_domains[c].append(MISSING_CATEGORY)
+    if num_dirty:
+        # percentile_approx over non-null values; the imputed constant
+        # snaps to a quantile edge downstream like any real value
+        meds = base.select(
+            [
+                F.percentile_approx(c, F.lit(0.5), F.lit(10_000)).alias(c)
+                for c in num_dirty
+            ]
+        ).first()
+        empty = [c for c, m in zip(num_dirty, meds) if m is None]
+        if empty:
+            raise ValueError(
+                f"numeric feature(s) entirely NULL: {', '.join(empty)}; "
+                "no median exists to impute — drop the column instead"
+            )
+        base = base.fillna(
+            {c: float(m) for c, m in zip(num_dirty, meds)}
+        )
+    return base
+
+
 def _rid_column(frontier: list[Rule]) -> Column:
     """Compile the frontier into a single CASE WHEN producing the matching
     rule id — the Spark-side replacement for broadcasting the queue file
@@ -501,6 +574,7 @@ def train(
     bug_compat: bool = False,
     prune: bool = False,
     prune_cf: float = 0.25,
+    nulls: str = "reject",
 ) -> DecisionListModel:
     """Grow a C4.5 tree level-synchronously; return the decision list.
 
@@ -517,6 +591,20 @@ def train(
     post-pass at confidence ``prune_cf`` (operators/pruning.py — the
     phase the reference omits entirely; its loop ends at the grown
     tree, `Main.java:123-131`).
+
+    ``nulls`` is the missing-value policy. The reference has NO null
+    concept (a missing TSV field shifts columns and corrupts the row,
+    SURVEY §1.1); naively, a null in a chosen split attribute would
+    silently drop the row mid-tree (no child predicate matches), so the
+    policy is explicit: ``"reject"`` (default) fails fast with per-column
+    null counts from one cheap audit aggregate; ``"missing"`` makes
+    categorical nulls their own ``__missing__`` branch (appended to the
+    declared domain, so the tree can SPLIT on missingness — it is often
+    informative) and median-imputes numeric nulls (a null carries no
+    ordering information for a threshold split; C4.5's fractional-
+    instance routing is documented out of scope). A label null is always
+    an error. With no nulls present, both policies leave the data,
+    domains, and resulting model bit-identical to before.
 
     One Spark action and ONE data-sized exchange per level: the mixed
     melt + grouped count; class histograms, categorical gain ratios and
@@ -541,6 +629,14 @@ def train(
 
     spark = df.sparkSession
     base = df.select(*attr_order, schema.label)
+    base = _enforce_null_policy(
+        base,
+        nulls=nulls,
+        cat_names=cat_names,
+        num_names=num_names,
+        label=schema.label,
+        cat_domains=cat_domains,  # mutated: missing category appended
+    )
     # candidate edges from the raw scan (pre-repartition: the quantile
     # pass and row count must not drag a shuffle through re-execution)
     edges = _quantile_edges(base, num_names, max_bins)

@@ -309,3 +309,89 @@ def test_profile_columns_approx_mode(spark, sf_small):
     approx_plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan
+
+
+# -------------------------------------------------- null-value policy
+
+
+def _poisoned(spark, sf=None):
+    """lineitem training slice with NULLs injected into one categorical
+    and one numeric feature (deterministic rand seeds)."""
+    from c4_5decisiontreebasedonmapreduce_spark import registry as RG
+
+    df = RG.lineitem_training(spark, sf or "/root/testdata/sf0.001")
+    return (
+        df.withColumn(
+            "l_discount",
+            F.when(F.rand(42) < 0.1, None).otherwise(F.col("l_discount")),
+        ).withColumn(
+            "l_linestatus",
+            F.when(F.rand(7) < 0.05, None).otherwise(F.col("l_linestatus")),
+        ),
+        RG.LINEITEM_TRAINING_SCHEMA,
+    )
+
+
+def test_train_rejects_nulls_by_default(spark):
+    """The silent-row-loss trap closed: without an explicit policy,
+    feature NULLs fail fast with per-column counts (a null in a chosen
+    split attribute would otherwise drop the row mid-tree — the audit
+    measured 81 of 6000 rows vanishing on this very fixture)."""
+    df, schema = _poisoned(spark)
+    with pytest.raises(ValueError, match="l_discount.*l_linestatus"):
+        Tr.train(df, schema, max_depth=3, min_rows=50)
+
+
+def test_train_missing_policy_conserves_rows(spark):
+    """nulls='missing': categorical nulls branch as __missing__, numeric
+    nulls are median-imputed — and the partition invariant holds again:
+    every input row reaches exactly one leaf."""
+    df, schema = _poisoned(spark)
+    m = Tr.train(df, schema, max_depth=4, min_rows=50, nulls="missing")
+    assert sum(r.n for r in m.rules) == df.count()
+    # the missing branch is reachable in the model's domain: if any rule
+    # conditions on l_linestatus, a __missing__ arm exists beside it
+    status_vals = {
+        c.value
+        for r in m.rules
+        for c in r.conditions
+        if c.attr == "l_linestatus"
+    }
+    if status_vals:
+        assert Tr.MISSING_CATEGORY in status_vals
+
+
+def test_train_clean_data_identical_under_both_policies(spark):
+    """With no nulls present the policy must be a no-op: same model,
+    rule for rule, as the pre-policy trainer."""
+    from c4_5decisiontreebasedonmapreduce_spark import registry as RG
+
+    df = RG.lineitem_training(spark, "/root/testdata/sf0.001")
+    a = Tr.train(df, RG.LINEITEM_TRAINING_SCHEMA, max_depth=4, min_rows=50)
+    b = Tr.train(
+        df,
+        RG.LINEITEM_TRAINING_SCHEMA,
+        max_depth=4,
+        min_rows=50,
+        nulls="missing",
+    )
+    assert a.rules == b.rules
+
+
+def test_train_null_label_always_rejected(spark):
+    df, schema = _poisoned(spark)
+    df = df.withColumn(
+        schema.label,
+        F.when(F.rand(3) < 0.02, None).otherwise(F.col(schema.label)),
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        Tr.train(df, schema, max_depth=3, nulls="missing")
+
+
+def test_train_all_null_numeric_rejected(spark):
+    df = spark.createDataFrame(
+        [("a", None, "yes"), ("b", None, "no")] * 10,
+        "f1 string, f2 double, lab string",
+    )
+    with pytest.raises(ValueError, match="entirely NULL"):
+        Tr.train(df, SCHEMA_2F, max_depth=3, nulls="missing")
