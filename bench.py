@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dedup_cluster_incremental",
     "dedup_spans",
     "dedup_spans_incremental_persisted",
+    "dedup_spans_apply",
     "decontaminate",
     "similarity_topk",
 ]

@@ -1846,3 +1846,113 @@ DEDUP_SPANS_INCR_SQL = f"""
 SELECT * FROM ({DEDUP_SPANS_SQL})
 WHERE doc_a % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
    OR doc_b % {INCR_BATCH_MOD} = {INCR_BATCH_REM}"""
+
+
+def span_apply(docs: DataFrame, df_cap: int = SPAN_GRAM_DF_CAP) -> DataFrame:
+    """Remove duplicated passages: for every span :func:`span_matches`
+    reports, the SMALLEST-doc_id occurrence is canonical and survives;
+    the doc_b occurrence's token range is masked out. Returns one row
+    per document — ``(doc_id, clean_text, n_tokens, n_removed)`` —
+    with ``clean_text`` rebuilt in normalized token space (the shared
+    lowercase/alnum tokenizer is lossy by design; span dedup operates on
+    tokens, so its output does too — stated, not hidden).
+
+    Plan: spans → explode each doc_b mask range to ``(doc_id, pos)``
+    rows (linear in REMOVED tokens, never corpus-sized) → one equi
+    anti-join drops masked positions from the positioned token relation
+    → per-doc sort+join rebuilds the text. Overlapping masks union via
+    distinct; a document losing every token comes back as the empty
+    string, and token-less documents pass through unchanged."""
+    toks = tokens_col(F.col("text"))
+    positioned = docs.select(
+        "doc_id",
+        F.posexplode(toks).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    masked = (
+        span_matches(docs, df_cap=df_cap)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = positioned.join(masked, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "token"))
+                ),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`span_apply` over the `documents` table (spread like
+    :func:`dedup_spans`)."""
+    d = TX.docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return span_apply(d)
+
+
+DEDUP_SPANS_APPLY_SQL = f"""
+WITH spans AS ({DEDUP_SPANS_SQL}
+),
+tok AS (
+  SELECT doc_id,
+         UNNEST(GENERATE_SERIES(1, LEN(toks))) AS pos,
+         toks
+  FROM (
+    SELECT doc_id,
+           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '{TOKEN_SPLIT_RE}'),
+                       t -> t <> '') AS toks
+    FROM {TX.DOCS_SQL}
+  )
+),
+positioned AS (SELECT doc_id, pos, toks[pos] AS token FROM tok),
+masked AS (
+  SELECT DISTINCT doc_b AS doc_id,
+         UNNEST(GENERATE_SERIES(start_b, start_b + span_tokens - 1)) AS pos
+  FROM spans
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.token
+  FROM positioned p ANTI JOIN masked m
+    ON p.doc_id = m.doc_id AND p.pos = m.pos
+),
+rebuilt AS (
+  SELECT doc_id, STRING_AGG(token, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT documents.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(documents.text),
+              '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS INT) AS n_tokens,
+       CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(documents.text),
+              '{TOKEN_SPLIT_RE}'), t -> t <> '')) - COALESCE(r.n_kept, 0)
+            AS INT) AS n_removed
+FROM {TX.DOCS_SQL} LEFT JOIN rebuilt r ON documents.doc_id = r.doc_id"""

@@ -1506,6 +1506,10 @@ _register(
     "dedup_spans_incremental", D.dedup_spans_incremental, D.DEDUP_SPANS_INCR_SQL
 )
 
+# the APPLY step: rewrite documents with duplicated passages masked out
+# (canonical = smallest doc_id), in normalized token space
+_register("dedup_spans_apply", D.dedup_spans_apply, D.DEDUP_SPANS_APPLY_SQL)
+
 
 # session cache: sf_dir → persisted bucketed span-gram corpus tables —
 # same write-once-join-many amortization as _EXACT_CORPUS_TABLES

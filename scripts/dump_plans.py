@@ -193,6 +193,11 @@ HEADLINE = {
         "(shuffle-free corpus side); union-scoped boilerplate cap via "
         "broadcast hot-set anti-join; islands window only over matches"
     ),
+    "dedup_spans_apply": (
+        "mask rows exploded only from REMOVED ranges (linear in removed "
+        "tokens), one equi anti-join against the positioned tokens, "
+        "per-doc rebuild — no all-pairs stage anywhere"
+    ),
     "decontaminate": (
         "asymmetric corpus×benchmark shingle equi-join with the df-cap "
         "applied corpus-side; capped-shingle residual restricted to "

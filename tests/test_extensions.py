@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
 from c4_5decisiontreebasedonmapreduce_spark.operators import multimodal as M
 from c4_5decisiontreebasedonmapreduce_spark.operators import similarity as S
+from c4_5decisiontreebasedonmapreduce_spark.operators import text as TXX
 
 
 def test_minhash_finds_seeded_near_dups(spark, sf_small):
@@ -1041,3 +1042,51 @@ def test_span_incremental_hot_gram_cap_is_union_scoped(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in wide.collect()} == {
         (1, 7), (2, 7), (3, 7), (11, 17),
     }
+
+
+def test_span_apply_hand_fixture(spark):
+    """The apply step masks the doc_b occurrence only: the canonical doc
+    keeps its text verbatim (in token space), the later doc loses
+    exactly the copied region, and untouched docs pass through."""
+    shared = " ".join(f"s{i}" for i in range(1, 13))
+    d = _docs_df(
+        spark,
+        [
+            f"x1 x2 {shared} y1 y2",
+            f"{shared} z1 z2 z3",
+            "u1 u2 u3 u4 u5 u6 u7 u8",
+        ],
+    )
+    out = {r["doc_id"]: r for r in D.span_apply(d).collect()}
+    assert out[1]["clean_text"] == f"x1 x2 {shared} y1 y2"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "z1 z2 z3"
+    assert out[2]["n_removed"] == 12
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 8
+
+
+def test_span_apply_then_detect_is_clean(spark, sf_small):
+    """Fixpoint invariant: after one apply pass, re-detecting spans on
+    the cleaned corpus finds nothing — every duplicated passage now
+    exists exactly once."""
+    d = TXX.docs(spark, sf_small)
+    cleaned = D.span_apply(d).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    assert D.span_matches(cleaned).count() == 0
+
+
+def test_span_apply_conserves_tokens(spark, sf_small):
+    """n_tokens - n_removed equals the rebuilt text's own token count,
+    per document — nothing lost or duplicated in the rebuild."""
+    out = D.span_apply(TXX.docs(spark, sf_small))
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        tokens_col,
+    )
+
+    bad = out.where(
+        F.size(tokens_col(F.col("clean_text")))
+        != F.col("n_tokens") - F.col("n_removed")
+    ).count()
+    assert bad == 0
+    assert out.agg(F.sum("n_removed")).first()[0] > 0  # it did something
