@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "dedup_spans_incremental_persisted",
     "dedup_spans_apply",
     "decontaminate",
+    "scrub_pii",
+    "pack_sequences",
+    "pipeline_pretraining",
     "similarity_topk",
 ]
 

@@ -1,0 +1,165 @@
+"""Sequence packing — concat-then-chunk layout of documents into
+fixed-length training windows.
+
+The last step of every LLM pre-training pipeline: documents are
+concatenated in a deterministic order and the token stream is cut into
+fixed ``seq_len`` windows (the GPT-lineage "packing" that turns a
+curated corpus into same-shape training examples). The reference
+engine has no notion of this (its sink is a rule list,
+``Main.java:128-131``); this is extension surface per SURVEY.md §2.C.
+
+Scale shape — the part that matters at 100 TB: a single global
+concatenation order would funnel the prefix sum through one window
+partition. Instead the corpus is split into ``n_shards`` deterministic
+portable-hash shards FIRST (the same md5 convention as the samplers,
+so re-runs and the DuckDB oracle see identical shards), and the
+cumulative token position is computed per shard — ``n_shards``
+independent window partitions running in parallel, each a
+partial-aggregate-sized task. At cluster scale you set ``n_shards`` to
+a few thousand (≈ your training-file count) and every shard packs
+independently; no stage ever sees a global order. Real trainers pack
+per output shard for exactly this reason.
+
+Everything is Column expressions + one explode + one groupBy: the only
+Python is plan construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+)
+from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+    DOCS_SQL,
+    _tokens_sql,
+    docs,
+    tokens_col,
+)
+
+SEQ_LEN = 512  # tokens per packed training window
+N_SHARDS = 8  # deterministic hash shards; thousands at cluster scale
+_SHARD_SEED = "packshard|"
+
+
+def pack(
+    docs_df: DataFrame, seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Pack ``docs_df`` (needs ``doc_id``, ``text``) into fixed
+    ``seq_len`` token windows, per deterministic shard. Returns one row
+    per packed window: ``(shard, chunk_id, n_docs, n_tokens,
+    n_split_docs, first_doc, last_doc)`` where ``n_split_docs`` counts
+    documents that cross into this window from an adjacent one.
+    Within a shard every window except the final one holds exactly
+    ``seq_len`` tokens (pinned in tests); token-less documents are
+    dropped (they contribute nothing to the stream).
+
+    Plan: one scan computes token counts → per-shard running sum
+    (window over ``n_shards`` independent partitions) → each document
+    explodes to the 1+ windows its token range [start, end) overlaps
+    (linear in CEIL(n_tokens / seq_len), not corpus²) → one groupBy
+    per (shard, window)."""
+    d = (
+        docs_df.select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "shard",
+            (
+                md5_long(
+                    F.concat(
+                        F.lit(_SHARD_SEED), F.col("doc_id").cast("string")
+                    )
+                )
+                % n_shards
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = d.withColumn(
+        "tok_end", F.sum("n_tokens").over(w).cast("long")
+    ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    chunks = spans.withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / seq_len),
+                F.floor((F.col("tok_end") - 1) / seq_len),
+            )
+        ),
+    )
+    take = F.least(
+        F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len
+    ) - F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
+    return (
+        chunks.withColumn("take", take)
+        .groupBy("shard", "chunk_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("take").cast("long").alias("n_tokens"),
+            F.sum((F.col("take") < F.col("n_tokens")).cast("int"))
+            .cast("int")
+            .alias("n_split_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`pack` over the `documents` table at the module defaults."""
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return pack(d)
+
+
+def _pack_sql(seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS) -> str:
+    shard = md5_long_sql(
+        "CONCAT('" + _SHARD_SEED + "', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(LEN({_tokens_sql('text')}) AS BIGINT) AS n_tokens,
+         CAST({shard} % {n_shards} AS INT) AS shard
+  FROM {DOCS_SQL}
+),
+spans AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           AS tok_end
+  FROM toks WHERE n_tokens > 0
+),
+chunks AS (
+  SELECT shard, doc_id, n_tokens,
+         tok_end - n_tokens AS tok_start, tok_end,
+         UNNEST(GENERATE_SERIES(
+           CAST(FLOOR((tok_end - n_tokens) / {seq_len}) AS BIGINT),
+           CAST(FLOOR((tok_end - 1) / {seq_len}) AS BIGINT)
+         )) AS chunk_id
+  FROM spans
+),
+contrib AS (
+  SELECT shard, chunk_id, doc_id, n_tokens,
+         LEAST(tok_end, (chunk_id + 1) * {seq_len})
+           - GREATEST(tok_start, chunk_id * {seq_len}) AS take
+  FROM chunks
+)
+SELECT shard, chunk_id,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(take) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN take < n_tokens THEN 1 ELSE 0 END) AS INT)
+         AS n_split_docs,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM contrib GROUP BY shard, chunk_id"""
+
+
+PACK_SEQUENCES_SQL = _pack_sql()

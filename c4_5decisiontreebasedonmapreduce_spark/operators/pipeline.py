@@ -156,3 +156,186 @@ SELECT lang_pred,
              / COUNT(*), 6) AS avg_quality
 FROM survivors
 GROUP BY lang_pred, passed"""
+
+
+# ---------------------------------------------------------------------------
+# pretraining pipeline: scrub → dedup → quality gate → sequence packing
+
+PT_SEQ_LEN = 512
+PT_SHARDS = 8
+
+
+def pretraining_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_gate: float = QUALITY_GATE,
+    seq_len: int = PT_SEQ_LEN,
+    n_shards: int = PT_SHARDS,
+) -> DataFrame:
+    """The WHOLE pre-training data prep as one declarative query: PII
+    scrub → exact dedup → quality gate → concat-then-chunk packing →
+    per-shard manifest ``(shard, n_docs, n_tokens, n_windows,
+    n_full_windows)``. What a user points at a raw corpus to get
+    training shards out.
+
+    Scale shape: ONE corpus scan; the scrub/fingerprint/quality/lang
+    formulas (imported verbatim from their standalone operators) fuse
+    into the scan projection; then exactly TWO data-sized exchanges at
+    any scale — the fingerprint window for the dedup survivor and the
+    shard window for the packing prefix sum (the final per-shard
+    rollup reuses the shard partitioning, Catalyst-verified in
+    test_scale_plans.py). The per-stage semantics are each pinned by
+    their standalone oracle entries; the composition is pinned by this
+    query's own oracle."""
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pii import scrub_pii
+    from c4_5decisiontreebasedonmapreduce_spark.operators.packing import (
+        _SHARD_SEED,
+    )
+
+    d = scrub_pii(docs(spark, sf_dir)).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[.,;:!?'\"()-]", "")
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * F.greatest(F.lit(1.0) - punct_ratio * 10, F.lit(0.0)),
+        6,
+    )
+    enriched = d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+    keep_id = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    gated = (
+        enriched.withColumn("keep_id", keep_id)
+        .where(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("quality_score") >= quality_gate)
+            & (F.col("n_tokens") > 0)
+        )
+        .withColumn(
+            "shard",
+            (
+                md5_long(
+                    F.concat(
+                        F.lit(_SHARD_SEED), F.col("doc_id").cast("string")
+                    )
+                )
+                % n_shards
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = gated.withColumn(
+        "tok_end", F.sum("n_tokens").over(w).cast("long")
+    )
+    return spans.groupBy("shard").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.max("tok_end").alias("n_tokens"),
+        F.ceil(F.max("tok_end") / F.lit(seq_len))
+        .cast("int")
+        .alias("n_windows"),
+        F.floor(F.max("tok_end") / F.lit(seq_len))
+        .cast("int")
+        .alias("n_full_windows"),
+    )
+
+
+def _pretraining_sql(
+    quality_gate: float = QUALITY_GATE,
+    seq_len: int = PT_SEQ_LEN,
+    n_shards: int = PT_SHARDS,
+) -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long_sql,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.packing import (
+        _SHARD_SEED,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_RE,
+        IP_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    shard = md5_long_sql(
+        "CONCAT('" + _SHARD_SEED + "', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH clean AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+           '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+           '{IP_RE}', '{IP_TOKEN}', 'g'),
+           '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS text
+  FROM {DOCS_SQL}
+),
+enriched AS (
+  SELECT doc_id,
+         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+             AS fingerprint,
+         LEN({_tokens_sql('text')}) AS n_tokens,
+         LEN(LIST_FILTER({_tokens_sql('text')},
+                         t -> LIST_CONTAINS({_STOP_LIST_SQL}, t))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?''"()-]', '', 'g'))
+             AS n_punct
+  FROM clean
+),
+scored AS (
+  SELECT doc_id, fingerprint, n_tokens,
+         ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
+             + 0.3 * LEAST(CASE WHEN n_tokens > 0
+                                THEN n_stop / CAST(n_tokens AS DOUBLE)
+                                ELSE 0.0 END * 5, 1.0)
+             + 0.2 * GREATEST(1.0 - CASE WHEN n_chars > 0
+                                         THEN n_punct / CAST(n_chars AS DOUBLE)
+                                         ELSE 0.0 END * 10, 0.0), 6)
+             AS quality_score
+  FROM enriched
+),
+gated AS (
+  SELECT doc_id, n_tokens,
+         CAST({shard} % {n_shards} AS INT) AS shard
+  FROM (
+    SELECT s.*, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+    FROM scored s
+  )
+  WHERE doc_id = keep_id AND quality_score >= {quality_gate}
+        AND n_tokens > 0
+),
+spans AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS tok_end
+  FROM gated
+)
+SELECT shard,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(MAX(tok_end) AS BIGINT) AS n_tokens,
+       CAST(CEIL(MAX(tok_end) / {seq_len}.0) AS INT) AS n_windows,
+       CAST(FLOOR(MAX(tok_end) / {seq_len}.0) AS INT) AS n_full_windows
+FROM spans GROUP BY shard"""
+
+
+PRETRAINING_PIPELINE_SQL = _pretraining_sql()

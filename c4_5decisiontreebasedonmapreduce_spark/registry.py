@@ -1589,6 +1589,32 @@ def _quality_model_distill_query(
 
 _register("quality_model_distill", _quality_model_distill_query)  # MLlib: rows-only
 
+from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import pii as PII  # noqa: E402
+
+# PII redaction (emails → IPs → phones, sequential counts); the registry
+# query injects deterministic doc_id-derived synthetic PII on BOTH
+# engines so the sf-scale hash grade exercises real matches
+_register("scrub_pii", PII.pii_scrub, PII.PII_SCRUB_SQL)
+
+# concat-then-chunk sequence packing into fixed 512-token windows,
+# per deterministic portable-hash shard (the per-shard prefix sum is
+# the scale story — no global ordering funnel)
+_register("pack_sequences", PK.pack_sequences, PK.PACK_SEQUENCES_SQL)
+
+# the WHOLE pre-training prep as one declarative query: scrub → exact
+# dedup → quality gate → packing manifest; one scan, two data-sized
+# exchanges at any scale (plan-pinned)
+_register(
+    "pipeline_pretraining",
+    PL.pretraining_pipeline,
+    PL.PRETRAINING_PIPELINE_SQL,
+)
+
+# ...and the scrub at INGEST: the same projection over the documents
+# file stream, stateless/append — shares the batch oracle
+_register("streaming_scrub_pii", SW.streaming_scrub_pii, PII.PII_SCRUB_SQL)
+
 
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)

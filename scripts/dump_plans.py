@@ -203,6 +203,22 @@ HEADLINE = {
         "applied corpus-side; capped-shingle residual restricted to "
         "candidate pairs"
     ),
+    "scrub_pii": (
+        "one JVM-side regexp projection over the scan (emails → IPs → "
+        "phones, sequential counts) — zero joins, zero shuffles beyond "
+        "the test-table spread, embarrassingly parallel"
+    ),
+    "pack_sequences": (
+        "per-shard prefix-sum window (n_shards independent partitions, "
+        "no global ordering funnel); the (shard, chunk) aggregation "
+        "reuses the shard partitioning — zero post-window shuffles"
+    ),
+    "pipeline_pretraining": (
+        "the whole prep (scrub → dedup → gate → pack) as one query: one "
+        "corpus scan, two data-sized exchanges (fingerprint window + "
+        "shard window); the per-shard rollup reuses the shard "
+        "partitioning"
+    ),
     "similarity_topk": (
         "the DECLARED brute-force exact baseline: broadcast query set "
         "against the corpus, zip_with dot products, window top-k "

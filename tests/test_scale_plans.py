@@ -640,3 +640,46 @@ def test_span_persisted_corpus_join_no_shuffle(spark, sf_small, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_df")
+
+
+def test_scrub_pii_is_single_projection(spark, sf_small):
+    """The PII scrub must stay one JVM-side projection over the scan: no
+    Python eval, no join, and the only Exchange is the documented
+    RoundRobin spread of the tiny test table (absent on a real
+    many-split corpus)."""
+    p = plan_of(QUERIES["scrub_pii"](spark, sf_small))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count("(3) Exchange") + p.count("Exchange (") <= 2  # header+node
+    assert "RoundRobinPartitioning" in p  # the spread, nothing else
+    assert "hashpartitioning" not in p
+
+
+def test_pack_sequences_no_global_funnel(spark, sf_small):
+    """Sequence packing must never serialize into a global ordering: the
+    prefix-sum window partitions by shard (hashpartitioning, n_shards
+    independent tasks, no SinglePartition exchange), and the final
+    (shard, chunk) aggregation reuses that partitioning — zero
+    post-window shuffles."""
+    p = plan_of(QUERIES["pack_sequences"](spark, sf_small))
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("hashpartitioning(shard") == 1  # window shuffle only
+    # window → generate → aggregate with no exchange in between
+    tree = p[: p.index("(1) Scan")]
+    assert tree.index("Window") > tree.index("HashAggregate")  # agg above window, nothing between
+    between = tree[tree.index("HashAggregate") : tree.index("Window")]
+    assert "Exchange" not in between
+
+
+def test_pretraining_pipeline_two_data_exchanges(spark, sf_small):
+    """The fused scrub→dedup→gate→pack pipeline must hold its composed
+    shape: ONE parquet scan, and beyond the tiny-table RoundRobin
+    spread exactly two data-sized exchanges (fingerprint window, shard
+    window) — the per-shard rollup reuses the shard partitioning."""
+    p = plan_of(QUERIES["pipeline_pretraining"](spark, sf_small))
+    assert p.count(") Scan parquet") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(") == 2, p
