@@ -163,3 +163,154 @@ FROM contrib GROUP BY shard, chunk_id"""
 
 
 PACK_SEQUENCES_SQL = _pack_sql()
+
+
+def pack_assignments(
+    docs_df: DataFrame, seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """The token-level packing layout beneath :func:`pack`'s manifest:
+    one row per (document, window) overlap — ``(shard, chunk_id,
+    doc_id, slice_start, slice_len)`` where ``slice_start`` is the
+    1-based token offset INSIDE the document and ``slice_len`` how many
+    of its tokens land in that window. This is the relation a shard
+    writer joins back to the token stream to emit physical training
+    files; every document appears in CEIL(n_tokens / seq_len) + 0/1
+    rows, so the relation is ~corpus-sized, never quadratic."""
+    d = (
+        docs_df.select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "shard",
+            (
+                md5_long(
+                    F.concat(
+                        F.lit(_SHARD_SEED), F.col("doc_id").cast("string")
+                    )
+                )
+                % n_shards
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = d.withColumn(
+        "tok_end", F.sum("n_tokens").over(w).cast("long")
+    ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    chunks = spans.withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / seq_len),
+                F.floor((F.col("tok_end") - 1) / seq_len),
+            )
+        ),
+    )
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
+    hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len)
+    return chunks.select(
+        "shard",
+        "chunk_id",
+        "doc_id",
+        (lo - F.col("tok_start") + 1).cast("long").alias("slice_start"),
+        (hi - lo).cast("long").alias("slice_len"),
+    )
+
+
+def dedup_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`pack_assignments` over the `documents` table."""
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return pack_assignments(d)
+
+
+def _pack_assignments_sql(
+    seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS
+) -> str:
+    shard = md5_long_sql(
+        "CONCAT('" + _SHARD_SEED + "', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(LEN({_tokens_sql('text')}) AS BIGINT) AS n_tokens,
+         CAST({shard} % {n_shards} AS INT) AS shard
+  FROM {DOCS_SQL}
+),
+spans AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           AS tok_end
+  FROM toks WHERE n_tokens > 0
+),
+chunks AS (
+  SELECT shard, doc_id,
+         tok_end - n_tokens AS tok_start, tok_end,
+         UNNEST(GENERATE_SERIES(
+           CAST(FLOOR((tok_end - n_tokens) / {seq_len}) AS BIGINT),
+           CAST(FLOOR((tok_end - 1) / {seq_len}) AS BIGINT)
+         )) AS chunk_id
+  FROM spans
+)
+SELECT shard, chunk_id, doc_id,
+       CAST(GREATEST(tok_start, chunk_id * {seq_len}) - tok_start + 1
+            AS BIGINT) AS slice_start,
+       CAST(LEAST(tok_end, (chunk_id + 1) * {seq_len})
+            - GREATEST(tok_start, chunk_id * {seq_len}) AS BIGINT)
+         AS slice_len
+FROM chunks"""
+
+
+PACK_ASSIGNMENTS_SQL = _pack_assignments_sql()
+
+
+def write_packed_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    seq_len: int = SEQ_LEN,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Materialize the packing layout as the on-disk training artifact:
+    the assignments joined back to each document's token slice, written
+    ``partitionBy(shard)`` with rows sorted by (chunk_id, doc_id)
+    inside each shard — a trainer streams one shard directory per data-
+    parallel rank and concatenates ``slice_text`` in file order to get
+    exactly the packed token stream. Slicing reuses the already-computed
+    token array (one ``slice()`` per assignment row, linear); the write
+    shuffles once on shard (the partition column), nothing else.
+    Returns the rescanned relation."""
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    toks = d.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    asg = pack_assignments(d, seq_len=seq_len, n_shards=n_shards)
+    sliced = asg.join(toks, "doc_id").select(
+        "shard",
+        "chunk_id",
+        "doc_id",
+        "slice_start",
+        "slice_len",
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.col("slice_start").cast("int"),
+                F.col("slice_len").cast("int"),
+            ),
+            " ",
+        ).alias("slice_text"),
+    )
+    (
+        sliced.repartition("shard")
+        .sortWithinPartitions("chunk_id", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

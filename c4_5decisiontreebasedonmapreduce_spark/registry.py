@@ -844,14 +844,16 @@ def _mllib_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sink_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sink + re-scan roundtrip through ALL THREE sink formats (SURVEY
+    """Sink + re-scan roundtrip through ALL FOUR sink formats (SURVEY
     §2.A #19-20): write the pricing summary to parquet with
     mode=overwrite (the reference hand-deletes its output dir,
     `Main.java:199-203`), re-scan, write THAT to header CSV, re-scan with
     the declared schema (text formats carry no types; the StructType
     restores them losslessly for this aggregate), write to JSON-lines,
-    re-scan schema-pinned. The oracle is the same aggregate, so every
-    format in the chain must preserve values and schema."""
+    re-scan schema-pinned, then through ORC (the other columnar format
+    Spark ships natively — types survive without a declared schema).
+    The oracle is the same aggregate, so every format in the chain must
+    preserve values and schema."""
     import tempfile
 
     df = R.q1_pricing_summary(spark, sf_dir)
@@ -861,7 +863,9 @@ def _sink_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq.write.mode("overwrite").option("header", True).csv(base + "/csv")
     cs = spark.read.option("header", True).schema(df.schema).csv(base + "/csv")
     cs.write.mode("overwrite").json(base + "/json")
-    return spark.read.schema(df.schema).json(base + "/json")
+    js = spark.read.schema(df.schema).json(base + "/json")
+    js.write.mode("overwrite").orc(base + "/orc")
+    return spark.read.orc(base + "/orc").select(*df.columns)
 
 
 # -- relational surface (SURVEY.md §2.B engine plan) ------------------------
@@ -1601,6 +1605,13 @@ _register("scrub_pii", PII.pii_scrub, PII.PII_SCRUB_SQL)
 # per deterministic portable-hash shard (the per-shard prefix sum is
 # the scale story — no global ordering funnel)
 _register("pack_sequences", PK.pack_sequences, PK.PACK_SEQUENCES_SQL)
+
+# the token-level layout beneath the manifest: one row per
+# (document, window) overlap — what a shard writer joins back to the
+# token stream (write_packed_shards materializes it partitionBy(shard))
+_register(
+    "pack_assignments", PK.dedup_pack_assignments, PK.PACK_ASSIGNMENTS_SQL
+)
 
 # the WHOLE pre-training prep as one declarative query: scrub → exact
 # dedup → quality gate → packing manifest; one scan, two data-sized

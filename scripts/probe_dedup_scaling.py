@@ -37,6 +37,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from c4_5decisiontreebasedonmapreduce_spark import get_spark  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import pii as PII  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import pipeline as PL  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (  # noqa: E402
     load_table,
 )
@@ -94,6 +97,10 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("exact_incremental", D.dedup_exact_incremental),
             ("spans", D.dedup_spans),
             ("spans_incremental", D.dedup_spans_incremental),
+            ("spans_apply", D.dedup_spans_apply),
+            ("scrub_pii", PII.pii_scrub),
+            ("pack_sequences", PK.pack_sequences),
+            ("pipeline_pretraining", PL.pretraining_pipeline),
         ):
             t0 = time.perf_counter()
             rec[f"{name}_rows"] = fn(spark, tmp).count()

@@ -1284,3 +1284,96 @@ def test_streaming_scrub_equals_batch(spark, sf_small):
         map(tuple, P.pii_scrub(spark, sf_small).select(*cols).collect())
     )
     assert got == want
+
+
+def test_pack_shards_are_balanced(spark, sf_small):
+    """The portable-hash shard assignment must spread tokens evenly —
+    the property that lets n_shards scale the packing's parallelism
+    without a hot shard. Pinned loosely (max/min per-shard tokens < 2)
+    so only a real skew regression trips it."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+
+    per_shard = {
+        r["shard"]: r["tok"]
+        for r in PK.pack_sequences(spark, sf_small)
+        .groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert len(per_shard) == PK.N_SHARDS  # every shard is populated
+    assert max(per_shard.values()) / min(per_shard.values()) < 2.0
+
+
+def test_pack_assignments_consistent_with_manifest(spark, sf_small):
+    """The token-level assignments must roll up to exactly the manifest:
+    per (shard, window) the slice lengths sum to n_tokens and the row
+    count equals n_docs; per document the slices tile [1, n_tokens]
+    without gap or overlap."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+
+    asg = PK.dedup_pack_assignments(spark, sf_small)
+    rolled = {
+        (r["shard"], r["chunk_id"]): (r["n"], r["tok"])
+        for r in asg.groupBy("shard", "chunk_id")
+        .agg(F.count("*").alias("n"), F.sum("slice_len").alias("tok"))
+        .collect()
+    }
+    for r in PK.pack_sequences(spark, sf_small).collect():
+        assert rolled[(r["shard"], r["chunk_id"])] == (
+            r["n_docs"],
+            r["n_tokens"],
+        )
+    per_doc = (
+        asg.groupBy("doc_id")
+        .agg(
+            F.min("slice_start").alias("lo"),
+            F.max(F.col("slice_start") + F.col("slice_len")).alias("hi"),
+            F.sum("slice_len").alias("tot"),
+        )
+        .collect()
+    )
+    for r in per_doc:
+        assert r["lo"] == 1
+        assert r["hi"] - 1 == r["tot"]  # contiguous tiling, no overlap
+
+
+def test_write_packed_shards_roundtrip(spark, sf_small, tmp_path):
+    """The on-disk artifact: partitioned by shard, every row's
+    slice_text has exactly slice_len tokens, and re-concatenating one
+    shard in (chunk_id, doc_id) order reproduces the shard's packed
+    token stream (spot-checked against the raw documents)."""
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        docs as load_docs,
+        tokens_col,
+    )
+
+    path = str(tmp_path / "shards")
+    out = PK.write_packed_shards(spark, sf_small, path)
+    assert sorted(os.listdir(path) + []).count("_SUCCESS") == 1
+    shard_dirs = [f for f in os.listdir(path) if f.startswith("shard=")]
+    assert len(shard_dirs) == PK.N_SHARDS
+    bad = out.where(
+        F.size(F.split(F.col("slice_text"), " ")) != F.col("slice_len")
+    ).count()
+    assert bad == 0
+    # stream equivalence on one shard: concat slices in (chunk, doc)
+    # order == concat whole docs in doc_id order
+    rows = (
+        out.where(F.col("shard") == 3)
+        .orderBy("chunk_id", "doc_id", "slice_start")
+        .collect()
+    )
+    got = " ".join(r["slice_text"] for r in rows)
+    doc_ids = sorted({r["doc_id"] for r in rows})
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in load_docs(spark, sf_small)
+        .where(F.col("doc_id").isin(doc_ids))
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .collect()
+    }
+    want = " ".join(" ".join(toks[d]) for d in doc_ids)
+    assert got == want
