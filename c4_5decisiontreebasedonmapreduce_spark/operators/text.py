@@ -481,3 +481,78 @@ SELECT doc_id,
   (n >= 10 AND frac_alpha >= 0.8 AND distinct_ratio >= 0.3
      AND top_word_frac <= 0.12 AND top_bigram_frac <= 0.08) AS keep
 FROM r"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage — tokenizer-prep analytics
+
+VOCAB_TOP_K = 100  # ranked head reported; tune upward for real vocab work
+
+
+def vocab_coverage(
+    spark: SparkSession, sf_dir: str, top_k: int = VOCAB_TOP_K
+) -> DataFrame:
+    """Top-``top_k`` corpus vocabulary with cumulative coverage — the
+    first question tokenizer training asks of a corpus (what fraction
+    of the token stream does a K-entry vocab cover?). Returns
+    ``(rank, token, cnt, coverage)`` ranked by (count desc, token asc)
+    with ``coverage`` = cumulative count / total tokens.
+
+    Scale shape: the corpus-sized work is ONE explode + map-combined
+    groupBy(token); every window below runs over the AGGREGATED
+    vocab-sized relation (|distinct tokens| ≪ corpus — millions of
+    rows at 100 TB, a trivial sort), never the token stream. Ties
+    break lexicographically so the ranking is total and both engines
+    agree."""
+    from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
+        load_table,  # noqa: F401  (docs() already imported at module top)
+    )
+    from pyspark.sql import Window
+
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    counts = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt")).first()[0]
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("rank").cast("int"),
+            "token",
+            F.col("cnt").cast("long"),
+            F.round(
+                F.sum("cnt").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.lit(float(total)),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH counts AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (
+    SELECT UNNEST({_tokens_sql('text')}) AS token FROM {DOCS_SQL}
+  ) GROUP BY token
+),
+ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM counts
+)
+SELECT CAST(rank AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cum / CAST(total AS DOUBLE), 6) AS coverage
+FROM ranked WHERE rank <= {VOCAB_TOP_K}"""

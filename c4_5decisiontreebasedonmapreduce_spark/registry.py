@@ -1606,6 +1606,11 @@ _register("scrub_pii", PII.pii_scrub, PII.PII_SCRUB_SQL)
 # the scale story — no global ordering funnel)
 _register("pack_sequences", PK.pack_sequences, PK.PACK_SEQUENCES_SQL)
 
+# tokenizer-prep analytics: top-K vocabulary with cumulative coverage
+# (the global window runs over the AGGREGATED vocab-sized relation,
+# never the token stream)
+_register("vocab_coverage", TX.vocab_coverage, TX.VOCAB_COVERAGE_SQL)
+
 # the token-level layout beneath the manifest: one row per
 # (document, window) overlap — what a shard writer joins back to the
 # token stream (write_packed_shards materializes it partitionBy(shard))

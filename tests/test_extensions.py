@@ -1377,3 +1377,60 @@ def test_write_packed_shards_roundtrip(spark, sf_small, tmp_path):
     }
     want = " ".join(" ".join(toks[d]) for d in doc_ids)
     assert got == want
+
+
+def test_pack_property_random_doc_lengths(spark):
+    """Hypothesis-style property sweep without per-example Spark jobs:
+    ONE DataFrame of many random-length docs (seeded), several seq_len
+    settings, and for each the packing invariants must hold — non-final
+    windows exactly full, token totals conserved, every window's doc
+    range consistent."""
+    import random
+
+    rng = random.Random(42)
+    texts = [
+        " ".join(f"t{i}_{j}" for j in range(rng.randint(1, 37)))
+        for i in range(300)
+    ]
+    d = _docs_df(spark, texts)
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+
+    total = sum(len(t.split()) for t in texts)
+    for seq_len in (3, 16, 64):
+        rows = PK.pack(d, seq_len=seq_len, n_shards=4).collect()
+        assert sum(r["n_tokens"] for r in rows) == total, seq_len
+        last = {}
+        for r in rows:
+            last[r["shard"]] = max(last.get(r["shard"], -1), r["chunk_id"])
+        for r in rows:
+            if r["chunk_id"] < last[r["shard"]]:
+                assert r["n_tokens"] == seq_len, (seq_len, r)
+            assert r["first_doc"] <= r["last_doc"]
+            assert 1 <= r["n_docs"] <= r["n_tokens"]
+
+
+def test_vocab_coverage_is_monotone_and_complete(spark, sf_small):
+    """Coverage must be strictly increasing in rank, counts
+    non-increasing, and the head coverage equals the head counts'
+    share of the exact corpus token total."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import text as T
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        docs as load_docs,
+        tokens_col,
+    )
+
+    rows = sorted(
+        T.vocab_coverage(spark, sf_small).collect(), key=lambda r: r["rank"]
+    )
+    assert rows[0]["rank"] == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b["coverage"] > a["coverage"]
+        assert b["cnt"] <= a["cnt"]
+    total = (
+        load_docs(spark, sf_small)
+        .select(F.size(tokens_col(F.col("text"))).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    head = sum(r["cnt"] for r in rows)
+    assert abs(rows[-1]["coverage"] - head / total) < 1e-6
