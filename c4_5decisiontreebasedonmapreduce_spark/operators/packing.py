@@ -45,23 +45,14 @@ N_SHARDS = 8  # deterministic hash shards; thousands at cluster scale
 _SHARD_SEED = "packshard|"
 
 
-def pack(
-    docs_df: DataFrame, seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS
+def _chunk_overlaps(
+    docs_df: DataFrame, seq_len: int, n_shards: int
 ) -> DataFrame:
-    """Pack ``docs_df`` (needs ``doc_id``, ``text``) into fixed
-    ``seq_len`` token windows, per deterministic shard. Returns one row
-    per packed window: ``(shard, chunk_id, n_docs, n_tokens,
-    n_split_docs, first_doc, last_doc)`` where ``n_split_docs`` counts
-    documents that cross into this window from an adjacent one.
-    Within a shard every window except the final one holds exactly
-    ``seq_len`` tokens (pinned in tests); token-less documents are
-    dropped (they contribute nothing to the stream).
-
-    Plan: one scan computes token counts → per-shard running sum
-    (window over ``n_shards`` independent partitions) → each document
-    explodes to the 1+ windows its token range [start, end) overlaps
-    (linear in CEIL(n_tokens / seq_len), not corpus²) → one groupBy
-    per (shard, window)."""
+    """Shared core of :func:`pack` / :func:`pack_assignments`: tokenize,
+    shard, per-shard prefix sum, and explode each document to the 1+
+    windows its token range [tok_start, tok_end) overlaps (linear in
+    CEIL(n_tokens / seq_len), not corpus²). Token-less documents drop
+    (they contribute nothing to the stream)."""
     d = (
         docs_df.select(
             "doc_id",
@@ -84,7 +75,7 @@ def pack(
     spans = d.withColumn(
         "tok_end", F.sum("n_tokens").over(w).cast("long")
     ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
-    chunks = spans.withColumn(
+    return spans.withColumn(
         "chunk_id",
         F.explode(
             F.sequence(
@@ -93,6 +84,26 @@ def pack(
             )
         ),
     )
+
+
+def pack(
+    docs_df: DataFrame, seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Pack ``docs_df`` (needs ``doc_id``, ``text``) into fixed
+    ``seq_len`` token windows, per deterministic shard. Returns one row
+    per packed window: ``(shard, chunk_id, n_docs, n_tokens,
+    n_split_docs, first_doc, last_doc)`` where ``n_split_docs`` counts
+    documents that cross into this window from an adjacent one.
+    Within a shard every window except the final one holds exactly
+    ``seq_len`` tokens (pinned in tests); token-less documents are
+    dropped (they contribute nothing to the stream).
+
+    Plan: one scan computes token counts → per-shard running sum
+    (window over ``n_shards`` independent partitions) → each document
+    explodes to the 1+ windows its token range [start, end) overlaps
+    (linear in CEIL(n_tokens / seq_len), not corpus²) → one groupBy
+    per (shard, window)."""
+    chunks = _chunk_overlaps(docs_df, seq_len, n_shards)
     take = F.least(
         F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len
     ) - F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
@@ -176,37 +187,7 @@ def pack_assignments(
     writer joins back to the token stream to emit physical training
     files; every document appears in CEIL(n_tokens / seq_len) + 0/1
     rows, so the relation is ~corpus-sized, never quadratic."""
-    d = (
-        docs_df.select(
-            "doc_id",
-            F.size(tokens_col(F.col("text"))).alias("n_tokens"),
-        )
-        .where(F.col("n_tokens") > 0)
-        .withColumn(
-            "shard",
-            (
-                md5_long(
-                    F.concat(
-                        F.lit(_SHARD_SEED), F.col("doc_id").cast("string")
-                    )
-                )
-                % n_shards
-            ).cast("int"),
-        )
-    )
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    spans = d.withColumn(
-        "tok_end", F.sum("n_tokens").over(w).cast("long")
-    ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
-    chunks = spans.withColumn(
-        "chunk_id",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("tok_start") / seq_len),
-                F.floor((F.col("tok_end") - 1) / seq_len),
-            )
-        ),
-    )
+    chunks = _chunk_overlaps(docs_df, seq_len, n_shards)
     lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
     hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len)
     return chunks.select(

@@ -518,22 +518,29 @@ def vocab_coverage(
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    total = counts.agg(F.sum("cnt")).first()[0]
+    # total via a whole-relation window over the AGGREGATED counts (one
+    # corpus pass; an eager .agg().first() here would scan twice) — the
+    # global windows sit on vocab-sized data, same as the rank sort
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    total = F.sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        counts.select(
+            "token",
+            "cnt",
+            F.row_number().over(w).alias("rank"),
+            (
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / total.cast("double")
+            ).alias("cov"),
+        )
         .where(F.col("rank") <= top_k)
         .select(
             F.col("rank").cast("int"),
             "token",
             F.col("cnt").cast("long"),
-            F.round(
-                F.sum("cnt").over(
-                    w.rowsBetween(Window.unboundedPreceding, 0)
-                )
-                / F.lit(float(total)),
-                6,
-            ).alias("coverage"),
+            F.round(F.col("cov"), 6).alias("coverage"),
         )
     )
 

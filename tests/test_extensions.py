@@ -1388,8 +1388,10 @@ def test_pack_property_random_doc_lengths(spark):
     import random
 
     rng = random.Random(42)
+    # tokens must be alnum-only: the shared tokenizer splits on
+    # non-alphanumerics, so "t1_2" would silently become TWO tokens
     texts = [
-        " ".join(f"t{i}_{j}" for j in range(rng.randint(1, 37)))
+        " ".join(f"t{i}x{j}" for j in range(rng.randint(1, 37)))
         for i in range(300)
     ]
     d = _docs_df(spark, texts)
