@@ -295,3 +295,102 @@ def write_packed_shards(
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# incremental packing — continue the packed stream at ingest
+
+# batch = the top tenth of the doc_id space (ingest appends AFTER the
+# corpus in every shard's doc_id order, which is what makes incremental
+# packing well-defined: packing is order-sensitive, so only a batch
+# that sorts after the existing stream can extend it without rewriting
+# it — exactly how a real ingest pipeline assigns fresh monotonically
+# increasing ids)
+_INCR_NUM, _INCR_DEN = 9, 10
+
+
+def pack_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    shard_state: DataFrame | None = None,
+    seq_len: int = SEQ_LEN,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Ingest-time packing: extend each shard's packed token stream
+    with the batch (docs above the threshold) WITHOUT touching the
+    corpus — the per-shard work is one prefix sum over batch rows plus
+    a broadcast join against ``shard_state``, the ``(shard,
+    base_tokens)`` relation holding each shard's already-packed token
+    total (``n_shards`` rows — at 100 TB this is the persisted manifest
+    tail, kilobytes, while the corpus is never re-read). Returns the
+    batch's assignment rows, IDENTICAL to the full run's
+    ``pack_assignments`` restricted to batch docs (the oracle pins
+    this), including windows that straddle the corpus/batch boundary —
+    the base offset lands the first batch token mid-window exactly
+    where the full run puts it. ``shard_state=None`` recomputes the
+    state from the corpus slice (the pytest pin passes a precomputed
+    one and asserts equality)."""
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    thr = (
+        d.agg(F.max("doc_id")).first()[0] * _INCR_NUM // _INCR_DEN
+    )
+    toks = d.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    sharded = toks.withColumn(
+        "shard",
+        (
+            md5_long(
+                F.concat(F.lit(_SHARD_SEED), F.col("doc_id").cast("string"))
+            )
+            % n_shards
+        ).cast("int"),
+    )
+    if shard_state is None:
+        shard_state = (
+            sharded.where(F.col("doc_id") <= thr)
+            .groupBy("shard")
+            .agg(F.sum("n_tokens").cast("long").alias("base_tokens"))
+        )
+    batch = sharded.where(F.col("doc_id") > thr)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = (
+        batch.withColumn(
+            "rel_end", F.sum("n_tokens").over(w).cast("long")
+        )
+        .join(F.broadcast(shard_state), "shard", "left")
+        .withColumn(
+            "tok_end",
+            F.col("rel_end") + F.coalesce("base_tokens", F.lit(0)),
+        )
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    )
+    chunks = spans.withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / seq_len),
+                F.floor((F.col("tok_end") - 1) / seq_len),
+            )
+        ),
+    )
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
+    hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len)
+    return chunks.select(
+        "shard",
+        "chunk_id",
+        "doc_id",
+        (lo - F.col("tok_start") + 1).cast("long").alias("slice_start"),
+        (hi - lo).cast("long").alias("slice_len"),
+    )
+
+
+PACK_INCREMENTAL_SQL = f"""
+SELECT * FROM ({PACK_ASSIGNMENTS_SQL}
+)
+WHERE doc_id > (SELECT (MAX(doc_id) * {_INCR_NUM}) // {_INCR_DEN}
+                FROM documents)"""

@@ -1618,6 +1618,11 @@ _register(
     "pack_assignments", PK.dedup_pack_assignments, PK.PACK_ASSIGNMENTS_SQL
 )
 
+# ingest-time packing: extend each shard's packed stream from the tiny
+# (shard, base_tokens) state — pinned identical to the full run's batch
+# tail; the corpus is never re-read when state is passed
+_register("pack_incremental", PK.pack_incremental, PK.PACK_INCREMENTAL_SQL)
+
 # the WHOLE pre-training prep as one declarative query: scrub → exact
 # dedup → quality gate → packing manifest; one scan, two data-sized
 # exchanges at any scale (plan-pinned)

@@ -1436,3 +1436,43 @@ def test_vocab_coverage_is_monotone_and_complete(spark, sf_small):
     )
     head = sum(r["cnt"] for r in rows)
     assert abs(rows[-1]["coverage"] - head / total) < 1e-6
+
+
+def test_pack_incremental_equals_full_run_tail(spark, sf_small):
+    """Ingest-time packing must produce EXACTLY the full run's
+    assignment rows for the batch docs — including windows straddling
+    the corpus/batch boundary — and a precomputed shard state must give
+    the same answer as recomputing it from the corpus slice."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        docs as load_docs,
+    )
+
+    thr = (
+        load_docs(spark, sf_small).agg(F.max("doc_id")).first()[0] * 9 // 10
+    )
+    full_tail = sorted(
+        map(
+            tuple,
+            PK.dedup_pack_assignments(spark, sf_small)
+            .where(F.col("doc_id") > thr)
+            .collect(),
+        )
+    )
+    incr = sorted(map(tuple, PK.pack_incremental(spark, sf_small).collect()))
+    assert incr == full_tail and len(incr) > 0
+    # boundary coverage: at least one batch slice starts mid-window
+    # (slice_start > 1 on its doc OR a window shared with corpus docs)
+    state = (
+        PK.dedup_pack_assignments(spark, sf_small)
+        .where(F.col("doc_id") <= thr)
+        .groupBy("shard")
+        .agg(F.sum("slice_len").cast("long").alias("base_tokens"))
+    )
+    with_state = sorted(
+        map(
+            tuple,
+            PK.pack_incremental(spark, sf_small, shard_state=state).collect(),
+        )
+    )
+    assert with_state == incr

@@ -683,3 +683,22 @@ def test_pretraining_pipeline_two_data_exchanges(spark, sf_small):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert p.count("hashpartitioning(") == 2, p
+
+
+def test_pack_incremental_state_join_is_broadcast(spark, sf_small):
+    """With the persisted (shard, base_tokens) state passed in, the
+    ingest plan must join it BROADCAST (n_shards rows) and read the
+    documents source once for the batch slice — the corpus is never
+    re-scanned at ingest."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+
+    state = spark.createDataFrame(
+        [(i, 1000 * (i + 1)) for i in range(PK.N_SHARDS)],
+        "shard int, base_tokens long",
+    )
+    df = PK.pack_incremental(spark, sf_small, shard_state=state)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert p.count(") Scan parquet") == 1, p
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
