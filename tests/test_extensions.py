@@ -1476,3 +1476,79 @@ def test_pack_incremental_equals_full_run_tail(spark, sf_small):
         )
     )
     assert with_state == incr
+
+
+def test_scrub_pii_cross_engine_fuzz(spark):
+    """Regex-dialect fuzz: 400 seeded adversarial strings (digit runs,
+    dots, @, dashes, boundary chars) scrubbed by Spark (Java regex) and
+    DuckDB (RE2) must agree byte-for-byte on clean_text AND all three
+    counts — the guarantee the fixture tests only sample."""
+    import random
+
+    import duckdb
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import pii as P
+
+    rng = random.Random(7)
+    alphabet = [
+        "a", "b", "Z", "0", "1", "9", ".", "@", "-", " ", "_", "%", "+",
+        "192", "168", "555", "415", "4711", "example", "com", "io",
+        "user", "..", "@@", ". ", " .",
+    ]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(400)
+    ]
+    # seed a few guaranteed hits too
+    texts += [
+        "a@b.co", "1.2.3.4", "123-456-7890", "x 10.0.0.1 y",
+        "a.b@c.d.ee 999.999.999.999 000 000 0000",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_emails"], r["n_ips"], r["n_phones"]
+        )
+        for r in P.scrub_pii(d).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE t (doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", list(enumerate(texts))
+        )
+        want = {
+            row[0]: (row[1], row[2], row[3], row[4])
+            for row in con.execute(f"""
+                WITH s1 AS (
+                  SELECT doc_id,
+                         REGEXP_REPLACE(text, '{P.EMAIL_RE}',
+                                        '{P.EMAIL_TOKEN}', 'g') AS t1,
+                         CAST(LEN(REGEXP_EXTRACT_ALL(text, '{P.EMAIL_RE}'))
+                              AS INT) AS n_emails
+                  FROM t
+                ),
+                s2 AS (
+                  SELECT doc_id, n_emails,
+                         REGEXP_REPLACE(t1, '{P.IP_RE}',
+                                        '{P.IP_TOKEN}', 'g') AS t2,
+                         CAST(LEN(REGEXP_EXTRACT_ALL(t1, '{P.IP_RE}'))
+                              AS INT) AS n_ips
+                  FROM s1
+                )
+                SELECT doc_id,
+                       REGEXP_REPLACE(t2, '{P.PHONE_RE}',
+                                      '{P.PHONE_TOKEN}', 'g'),
+                       n_emails, n_ips,
+                       CAST(LEN(REGEXP_EXTRACT_ALL(t2, '{P.PHONE_RE}'))
+                            AS INT)
+                FROM s2""").fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+    assert sum(v[1] + v[2] + v[3] for v in got.values()) > 0
