@@ -45,19 +45,17 @@ N_SHARDS = 8  # deterministic hash shards; thousands at cluster scale
 _SHARD_SEED = "packshard|"
 
 
-def _chunk_overlaps(
-    docs_df: DataFrame, seq_len: int, n_shards: int
-) -> DataFrame:
-    """Shared core of :func:`pack` / :func:`pack_assignments`: tokenize,
-    shard, per-shard prefix sum, and explode each document to the 1+
-    windows its token range [tok_start, tok_end) overlaps (linear in
-    CEIL(n_tokens / seq_len), not corpus²). Token-less documents drop
-    (they contribute nothing to the stream)."""
-    d = (
-        docs_df.select(
-            "doc_id",
-            F.size(tokens_col(F.col("text"))).alias("n_tokens"),
-        )
+def _sharded_tokens(docs_df: DataFrame, n_shards: int, with_tokens: bool = False) -> DataFrame:
+    """``(doc_id, n_tokens, shard[, toks])`` for every non-empty doc —
+    the deterministic portable-hash shard assignment every packing
+    entry point shares. ``with_tokens=True`` carries the token array
+    itself (the writer slices it in place, no re-tokenize join)."""
+    toks = tokens_col(F.col("text"))
+    cols = ["doc_id", F.size(toks).alias("n_tokens")]
+    if with_tokens:
+        cols.append(toks.alias("toks"))
+    return (
+        docs_df.select(*cols)
         .where(F.col("n_tokens") > 0)
         .withColumn(
             "shard",
@@ -71,10 +69,12 @@ def _chunk_overlaps(
             ).cast("int"),
         )
     )
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    spans = d.withColumn(
-        "tok_end", F.sum("n_tokens").over(w).cast("long")
-    ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+
+
+def _explode_chunks(spans: DataFrame, seq_len: int) -> DataFrame:
+    """Explode each document (carrying ``tok_start``/``tok_end``) to the
+    1+ windows its token range overlaps — linear in
+    CEIL(n_tokens / seq_len), not corpus²."""
     return spans.withColumn(
         "chunk_id",
         F.explode(
@@ -86,6 +86,30 @@ def _chunk_overlaps(
     )
 
 
+def _slice_bounds(seq_len: int) -> tuple:
+    """(lo, hi) token positions of a doc's contribution to chunk_id."""
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
+    hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len)
+    return lo, hi
+
+
+def _chunk_overlaps(
+    docs_df: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    with_tokens: bool = False,
+) -> DataFrame:
+    """Shared core of every packing entry point: tokenize, shard,
+    per-shard prefix sum, chunk explode. Token-less documents drop
+    (they contribute nothing to the stream)."""
+    d = _sharded_tokens(docs_df, n_shards, with_tokens=with_tokens)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = d.withColumn(
+        "tok_end", F.sum("n_tokens").over(w).cast("long")
+    ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    return _explode_chunks(spans, seq_len)
+
+
 def pack(
     docs_df: DataFrame, seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS
 ) -> DataFrame:
@@ -95,20 +119,16 @@ def pack(
     n_split_docs, first_doc, last_doc)`` where ``n_split_docs`` counts
     documents that cross into this window from an adjacent one.
     Within a shard every window except the final one holds exactly
-    ``seq_len`` tokens (pinned in tests); token-less documents are
-    dropped (they contribute nothing to the stream).
+    ``seq_len`` tokens (pinned in tests).
 
     Plan: one scan computes token counts → per-shard running sum
-    (window over ``n_shards`` independent partitions) → each document
-    explodes to the 1+ windows its token range [start, end) overlaps
-    (linear in CEIL(n_tokens / seq_len), not corpus²) → one groupBy
-    per (shard, window)."""
+    (window over ``n_shards`` independent partitions) → chunk explode →
+    one groupBy per (shard, window) that REUSES the shard
+    partitioning (no post-window exchange, plan-pinned)."""
     chunks = _chunk_overlaps(docs_df, seq_len, n_shards)
-    take = F.least(
-        F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len
-    ) - F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
+    lo, hi = _slice_bounds(seq_len)
     return (
-        chunks.withColumn("take", take)
+        chunks.withColumn("take", hi - lo)
         .groupBy("shard", "chunk_id")
         .agg(
             F.count("*").cast("int").alias("n_docs"),
@@ -184,12 +204,11 @@ def pack_assignments(
     doc_id, slice_start, slice_len)`` where ``slice_start`` is the
     1-based token offset INSIDE the document and ``slice_len`` how many
     of its tokens land in that window. This is the relation a shard
-    writer joins back to the token stream to emit physical training
-    files; every document appears in CEIL(n_tokens / seq_len) + 0/1
-    rows, so the relation is ~corpus-sized, never quadratic."""
+    writer materializes into physical training files; every document
+    appears in CEIL(n_tokens / seq_len) + 0/1 rows, so the relation is
+    ~corpus-sized, never quadratic."""
     chunks = _chunk_overlaps(docs_df, seq_len, n_shards)
-    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
-    hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len)
+    lo, hi = _slice_bounds(seq_len)
     return chunks.select(
         "shard",
         "chunk_id",
@@ -199,8 +218,9 @@ def pack_assignments(
     )
 
 
-def dedup_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """:func:`pack_assignments` over the `documents` table."""
+def pack_assignments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`pack_assignments` over the `documents` table (registry
+    wrapper)."""
     d = docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
@@ -255,41 +275,44 @@ def write_packed_shards(
     seq_len: int = SEQ_LEN,
     n_shards: int = N_SHARDS,
 ) -> DataFrame:
-    """Materialize the packing layout as the on-disk training artifact:
-    the assignments joined back to each document's token slice, written
-    ``partitionBy(shard)`` with rows sorted by (chunk_id, doc_id)
-    inside each shard — a trainer streams one shard directory per data-
-    parallel rank and concatenates ``slice_text`` in file order to get
-    exactly the packed token stream. Slicing reuses the already-computed
-    token array (one ``slice()`` per assignment row, linear); the write
-    shuffles once on shard (the partition column), nothing else.
+    """Materialize the packing layout as the on-disk training artifact,
+    written ``partitionBy(shard)`` with rows sorted by
+    (shard, chunk_id, doc_id) — a trainer streams one shard directory
+    per data-parallel rank and concatenates ``slice_text`` in file
+    order to get exactly the packed token stream.
+
+    Plan honesty: the token ARRAYS ride the one per-shard window
+    exchange (``_chunk_overlaps(with_tokens=True)``) and each slice is
+    cut in place with ``slice()`` — there is NO re-tokenize join and no
+    second corpus-sized exchange; the sort includes the partition
+    column so the dynamic-partition writer adds no sort of its own and
+    each shard file is a single contiguous (chunk_id, doc_id) run.
     Returns the rescanned relation."""
     d = docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
-    toks = d.select(
-        "doc_id", tokens_col(F.col("text")).alias("toks")
-    )
-    asg = pack_assignments(d, seq_len=seq_len, n_shards=n_shards)
-    sliced = asg.join(toks, "doc_id").select(
+    chunks = _chunk_overlaps(d, seq_len, n_shards, with_tokens=True)
+    lo, hi = _slice_bounds(seq_len)
+    slice_start = (lo - F.col("tok_start") + 1).cast("long")
+    slice_len = (hi - lo).cast("long")
+    sliced = chunks.select(
         "shard",
         "chunk_id",
         "doc_id",
-        "slice_start",
-        "slice_len",
+        slice_start.alias("slice_start"),
+        slice_len.alias("slice_len"),
         F.array_join(
             F.slice(
                 F.col("toks"),
-                F.col("slice_start").cast("int"),
-                F.col("slice_len").cast("int"),
+                slice_start.cast("int"),
+                slice_len.cast("int"),
             ),
             " ",
         ).alias("slice_text"),
     )
     (
-        sliced.repartition("shard")
-        .sortWithinPartitions("chunk_id", "doc_id")
+        sliced.sortWithinPartitions("shard", "chunk_id", "doc_id")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
@@ -313,50 +336,46 @@ def pack_incremental(
     spark: SparkSession,
     sf_dir: str,
     shard_state: DataFrame | None = None,
+    threshold: int | None = None,
     seq_len: int = SEQ_LEN,
     n_shards: int = N_SHARDS,
 ) -> DataFrame:
     """Ingest-time packing: extend each shard's packed token stream
-    with the batch (docs above the threshold) WITHOUT touching the
-    corpus — the per-shard work is one prefix sum over batch rows plus
-    a broadcast join against ``shard_state``, the ``(shard,
-    base_tokens)`` relation holding each shard's already-packed token
-    total (``n_shards`` rows — at 100 TB this is the persisted manifest
-    tail, kilobytes, while the corpus is never re-read). Returns the
-    batch's assignment rows, IDENTICAL to the full run's
-    ``pack_assignments`` restricted to batch docs (the oracle pins
+    with the batch (docs above ``threshold``) — one prefix sum over
+    BATCH rows plus a broadcast join against ``shard_state``, the
+    ``(shard, base_tokens)`` relation holding each shard's
+    already-packed token total (``n_shards`` rows — at 100 TB this is
+    the persisted manifest tail, kilobytes). Returns the batch's
+    assignment rows, IDENTICAL to the full run's
+    :func:`pack_assignments` restricted to batch docs (the oracle pins
     this), including windows that straddle the corpus/batch boundary —
     the base offset lands the first batch token mid-window exactly
-    where the full run puts it. ``shard_state=None`` recomputes the
-    state from the corpus slice (the pytest pin passes a precomputed
-    one and asserts equality)."""
+    where the full run puts it.
+
+    A real ingest passes BOTH ``threshold`` (the corpus high-water
+    doc_id) and ``shard_state`` from persisted metadata — then the only
+    source read is the batch slice (``doc_id > threshold`` pushes into
+    the scan; plan-pinned single-scan + broadcast). The registry/demo
+    defaults derive both from the corpus: ``threshold=None`` costs one
+    eager MAX(doc_id) aggregate (parquet column stats make it a
+    metadata-weight scan) and ``shard_state=None`` recomputes the
+    per-shard totals from the corpus slice."""
     d = docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
-    thr = (
-        d.agg(F.max("doc_id")).first()[0] * _INCR_NUM // _INCR_DEN
-    )
-    toks = d.select(
-        "doc_id",
-        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
-    ).where(F.col("n_tokens") > 0)
-    sharded = toks.withColumn(
-        "shard",
-        (
-            md5_long(
-                F.concat(F.lit(_SHARD_SEED), F.col("doc_id").cast("string"))
-            )
-            % n_shards
-        ).cast("int"),
-    )
+    if threshold is None:
+        threshold = (
+            d.agg(F.max("doc_id")).first()[0] * _INCR_NUM // _INCR_DEN
+        )
+    sharded = _sharded_tokens(d, n_shards)
     if shard_state is None:
         shard_state = (
-            sharded.where(F.col("doc_id") <= thr)
+            sharded.where(F.col("doc_id") <= threshold)
             .groupBy("shard")
             .agg(F.sum("n_tokens").cast("long").alias("base_tokens"))
         )
-    batch = sharded.where(F.col("doc_id") > thr)
+    batch = sharded.where(F.col("doc_id") > threshold)
     w = Window.partitionBy("shard").orderBy("doc_id")
     spans = (
         batch.withColumn(
@@ -369,17 +388,8 @@ def pack_incremental(
         )
         .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
     )
-    chunks = spans.withColumn(
-        "chunk_id",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("tok_start") / seq_len),
-                F.floor((F.col("tok_end") - 1) / seq_len),
-            )
-        ),
-    )
-    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
-    hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len)
+    chunks = _explode_chunks(spans, seq_len)
+    lo, hi = _slice_bounds(seq_len)
     return chunks.select(
         "shard",
         "chunk_id",

@@ -1,31 +1,43 @@
-"""End-to-end training-data curation pipeline: dedup → quality filter →
-language rollup, as ONE composed query.
+"""End-to-end training-data curation pipelines, each as ONE composed
+query.
 
 The individual operators (`dedup.dedup_exact`, `text.text_stats`,
-`text.lang_id`) are each oracle-graded standalone; a real corpus
-curation run composes them. Joining their three DataFrames would scan
-`documents` three times and shuffle twice just to reunite per-row
-columns that all derive from the same row — so the pipeline instead
-FUSES the per-row formulas into a single scan (identical expressions,
-imported from the same builders), then needs exactly two exchanges
-regardless of corpus size:
+`text.lang_id`, `pii.scrub_pii`, `packing.pack`) are each oracle-graded
+standalone; a real corpus curation run composes them. Joining their
+DataFrames would scan `documents` several times and shuffle repeatedly
+just to reunite per-row columns that all derive from the same row — so
+the pipelines instead FUSE the per-row formulas into a single scan.
+The fingerprint/quality/lang formulas exist ONCE in this module
+(:func:`_scored_cols` / :func:`_scored_ctes`), mirroring text_stats'
+and lang_id's definitions, so the two pipelines cannot drift apart.
+
+`curation_pipeline` (dedup → quality gate → language rollup) needs
+exactly two exchanges regardless of corpus size:
 
 1. one window over ``fingerprint`` for the deterministic min-doc_id
    dedup survivor (the same survivor rule `dedup.dedup_exact` grades);
 2. one tiny grouped aggregate over (language, quality-gate) cells.
 
-At 100 TB that is: one cold scan, one hash-partitioned exchange of
-(fingerprint-grouped) rows, one combiner-backed rollup of a handful of
-cells. No reference analog (the reference is training-only); the fused
-formulas are pinned per-operator by the standalone oracle entries and
-end-to-end by this query's own oracle.
+`pretraining_pipeline` (scrub → dedup → quality gate → packing
+manifest) needs two as well: the fingerprint window plus the per-shard
+packing prefix sum (its per-shard rollup reuses the shard
+partitioning). At 100 TB that is: one cold scan, two hash-partitioned
+exchanges, a combiner-backed rollup of a handful of cells. No
+reference analog (the reference is training-only); the fused formulas
+are pinned per-operator by the standalone oracle entries and
+end-to-end by each query's own oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from c4_5decisiontreebasedonmapreduce_spark.operators.packing import (
+    N_SHARDS,
+    SEQ_LEN,
+    _SHARD_SEED,
+)
 from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
     _STOP_LIST_SQL,
     DOCS_SQL,
@@ -36,14 +48,17 @@ from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
 
 QUALITY_GATE = 0.5
 
+# packing geometry is the packing module's, by reference — retuning
+# SEQ_LEN/N_SHARDS there keeps the pipeline manifest in sync
+PT_SEQ_LEN = SEQ_LEN
+PT_SHARDS = N_SHARDS
 
-def curation_pipeline(
-    spark: SparkSession, sf_dir: str, quality_gate: float = QUALITY_GATE
-) -> DataFrame:
-    """Per (predicted language, quality-gate outcome): surviving-doc
-    count, total regex tokens, and mean quality score after exact
-    dedup. ``passed`` rows are what a tokenizer run would consume."""
-    d = docs(spark, sf_dir)
+
+def _scored_cols() -> tuple[Column, Column, Column, Column]:
+    """``(fingerprint, n_tokens, quality_score, lang_pred)`` Column
+    expressions over the current ``text`` column — text_stats' quality
+    formula and lang_id's heuristic, verbatim, defined once for both
+    pipelines."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = tokens_col(F.col("text"))
     n_tokens = F.size(toks)
@@ -54,22 +69,72 @@ def curation_pipeline(
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    # text.text_stats' quality formula, verbatim
     quality = F.round(
         F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
         + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
         + F.lit(0.2) * F.greatest(F.lit(1.0) - punct_ratio * 10, F.lit(0.0)),
         6,
     )
-    # text.lang_id's heuristic, verbatim
     is_ascii = F.octet_length("text") == F.length("text")
     lang_pred = F.when(
         is_ascii & (n_tokens > 0) & (n_stop / n_tokens >= 0.05), "en"
     ).otherwise("und")
+    return F.md5(norm), n_tokens, quality, lang_pred
 
+
+def _tokens_sql(expr: str) -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        _tokens_sql as t,
+    )
+
+    return t(expr)
+
+
+def _scored_ctes(from_clause: str) -> str:
+    """The shared ``enriched``/``scored`` CTE pair (SQL twin of
+    :func:`_scored_cols`) over ``from_clause`` — a relation exposing
+    ``doc_id`` and ``text``."""
+    return f"""enriched AS (
+  SELECT doc_id,
+         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+             AS fingerprint,
+         LEN({_tokens_sql('text')}) AS n_tokens,
+         LEN(LIST_FILTER({_tokens_sql('text')},
+                         t -> LIST_CONTAINS({_STOP_LIST_SQL}, t))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?''"()-]', '', 'g'))
+             AS n_punct,
+         OCTET_LENGTH(ENCODE(text)) = LENGTH(text) AS is_ascii
+  FROM {from_clause}
+),
+scored AS (
+  SELECT doc_id, fingerprint, n_tokens,
+         ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
+             + 0.3 * LEAST(CASE WHEN n_tokens > 0
+                                THEN n_stop / CAST(n_tokens AS DOUBLE)
+                                ELSE 0.0 END * 5, 1.0)
+             + 0.2 * GREATEST(1.0 - CASE WHEN n_chars > 0
+                                         THEN n_punct / CAST(n_chars AS DOUBLE)
+                                         ELSE 0.0 END * 10, 0.0), 6)
+             AS quality_score,
+         CASE WHEN is_ascii AND n_tokens > 0
+                   AND n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM enriched
+)"""
+
+
+def curation_pipeline(
+    spark: SparkSession, sf_dir: str, quality_gate: float = QUALITY_GATE
+) -> DataFrame:
+    """Per (predicted language, quality-gate outcome): surviving-doc
+    count, total regex tokens, and mean quality score after exact
+    dedup. ``passed`` rows are what a tokenizer run would consume."""
+    d = docs(spark, sf_dir)
+    fingerprint, n_tokens, quality, lang_pred = _scored_cols()
     enriched = d.select(
         "doc_id",
-        F.md5(norm).alias("fingerprint"),
+        fingerprint.alias("fingerprint"),
         n_tokens.alias("n_tokens"),
         quality.alias("quality_score"),
         lang_pred.alias("lang_pred"),
@@ -105,43 +170,8 @@ def curation_pipeline(
     )
 
 
-def _tokens_sql(expr: str) -> str:
-    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
-        _tokens_sql as t,
-    )
-
-    return t(expr)
-
-
 CURATION_PIPELINE_SQL = f"""
-WITH enriched AS (
-  SELECT doc_id,
-         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
-             AS fingerprint,
-         LEN({_tokens_sql('text')}) AS n_tokens,
-         LEN(LIST_FILTER({_tokens_sql('text')},
-                         t -> LIST_CONTAINS({_STOP_LIST_SQL}, t))) AS n_stop,
-         LENGTH(text) AS n_chars,
-         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?''"()-]', '', 'g'))
-             AS n_punct,
-         OCTET_LENGTH(ENCODE(text)) = LENGTH(text) AS is_ascii
-  FROM {DOCS_SQL}
-),
-scored AS (
-  SELECT doc_id, fingerprint, n_tokens,
-         ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
-             + 0.3 * LEAST(CASE WHEN n_tokens > 0
-                                THEN n_stop / CAST(n_tokens AS DOUBLE)
-                                ELSE 0.0 END * 5, 1.0)
-             + 0.2 * GREATEST(1.0 - CASE WHEN n_chars > 0
-                                         THEN n_punct / CAST(n_chars AS DOUBLE)
-                                         ELSE 0.0 END * 10, 0.0), 6)
-             AS quality_score,
-         CASE WHEN is_ascii AND n_tokens > 0
-                   AND n_stop / CAST(n_tokens AS DOUBLE) >= 0.05
-              THEN 'en' ELSE 'und' END AS lang_pred
-  FROM enriched
-),
+WITH {_scored_ctes(DOCS_SQL)},
 survivors AS (
   SELECT * FROM (
     SELECT s.*, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
@@ -161,9 +191,6 @@ GROUP BY lang_pred, passed"""
 # ---------------------------------------------------------------------------
 # pretraining pipeline: scrub → dedup → quality gate → sequence packing
 
-PT_SEQ_LEN = 512
-PT_SHARDS = 8
-
 
 def pretraining_pipeline(
     spark: SparkSession,
@@ -178,22 +205,19 @@ def pretraining_pipeline(
     n_full_windows)``. What a user points at a raw corpus to get
     training shards out.
 
-    Scale shape: ONE corpus scan; the scrub/fingerprint/quality/lang
-    formulas (imported verbatim from their standalone operators) fuse
-    into the scan projection; then exactly TWO data-sized exchanges at
-    any scale — the fingerprint window for the dedup survivor and the
-    shard window for the packing prefix sum (the final per-shard
-    rollup reuses the shard partitioning, Catalyst-verified in
-    test_scale_plans.py). The per-stage semantics are each pinned by
-    their standalone oracle entries; the composition is pinned by this
-    query's own oracle."""
+    Scale shape: ONE corpus scan; the scrub/fingerprint/quality
+    formulas (shared with the standalone operators via
+    :func:`_scored_cols`) fuse into the scan projection; then exactly
+    TWO data-sized exchanges at any scale — the fingerprint window for
+    the dedup survivor and the shard window for the packing prefix sum
+    (the final per-shard rollup reuses the shard partitioning,
+    Catalyst-verified in test_scale_plans.py). The per-stage semantics
+    are each pinned by their standalone oracle entries; the
+    composition is pinned by this query's own oracle."""
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long,
     )
     from c4_5decisiontreebasedonmapreduce_spark.operators.pii import scrub_pii
-    from c4_5decisiontreebasedonmapreduce_spark.operators.packing import (
-        _SHARD_SEED,
-    )
 
     d = scrub_pii(docs(spark, sf_dir)).select(
         "doc_id", F.col("clean_text").alias("text")
@@ -201,25 +225,10 @@ def pretraining_pipeline(
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    toks = tokens_col(F.col("text"))
-    n_tokens = F.size(toks)
-    n_chars = F.length("text")
-    n_punct = n_chars - F.length(
-        F.regexp_replace(F.col("text"), r"[.,;:!?'\"()-]", "")
-    )
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    quality = F.round(
-        F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
-        + F.lit(0.2) * F.greatest(F.lit(1.0) - punct_ratio * 10, F.lit(0.0)),
-        6,
-    )
+    fingerprint, n_tokens, quality, _ = _scored_cols()
     enriched = d.select(
         "doc_id",
-        F.md5(norm).alias("fingerprint"),
+        fingerprint.alias("fingerprint"),
         n_tokens.alias("n_tokens"),
         quality.alias("quality_score"),
     )
@@ -267,9 +276,6 @@ def _pretraining_sql(
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long_sql,
     )
-    from c4_5decisiontreebasedonmapreduce_spark.operators.packing import (
-        _SHARD_SEED,
-    )
     from c4_5decisiontreebasedonmapreduce_spark.operators.pii import (
         EMAIL_RE,
         EMAIL_TOKEN,
@@ -291,30 +297,7 @@ WITH clean AS (
            '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS text
   FROM {DOCS_SQL}
 ),
-enriched AS (
-  SELECT doc_id,
-         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
-             AS fingerprint,
-         LEN({_tokens_sql('text')}) AS n_tokens,
-         LEN(LIST_FILTER({_tokens_sql('text')},
-                         t -> LIST_CONTAINS({_STOP_LIST_SQL}, t))) AS n_stop,
-         LENGTH(text) AS n_chars,
-         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?''"()-]', '', 'g'))
-             AS n_punct
-  FROM clean
-),
-scored AS (
-  SELECT doc_id, fingerprint, n_tokens,
-         ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
-             + 0.3 * LEAST(CASE WHEN n_tokens > 0
-                                THEN n_stop / CAST(n_tokens AS DOUBLE)
-                                ELSE 0.0 END * 5, 1.0)
-             + 0.2 * GREATEST(1.0 - CASE WHEN n_chars > 0
-                                         THEN n_punct / CAST(n_chars AS DOUBLE)
-                                         ELSE 0.0 END * 10, 0.0), 6)
-             AS quality_score
-  FROM enriched
-),
+{_scored_ctes("clean")},
 gated AS (
   SELECT doc_id, n_tokens,
          CAST({shard} % {n_shards} AS INT) AS shard

@@ -504,9 +504,6 @@ def vocab_coverage(
     rows at 100 TB, a trivial sort), never the token stream. Ties
     break lexicographically so the ranking is total and both engines
     agree."""
-    from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
-        load_table,  # noqa: F401  (docs() already imported at module top)
-    )
     from pyspark.sql import Window
 
     d = docs(spark, sf_dir)

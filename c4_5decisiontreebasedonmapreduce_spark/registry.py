@@ -1615,7 +1615,7 @@ _register("vocab_coverage", TX.vocab_coverage, TX.VOCAB_COVERAGE_SQL)
 # (document, window) overlap — what a shard writer joins back to the
 # token stream (write_packed_shards materializes it partitionBy(shard))
 _register(
-    "pack_assignments", PK.dedup_pack_assignments, PK.PACK_ASSIGNMENTS_SQL
+    "pack_assignments", PK.pack_assignments_query, PK.PACK_ASSIGNMENTS_SQL
 )
 
 # ingest-time packing: extend each shard's packed stream from the tiny

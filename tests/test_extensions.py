@@ -1311,7 +1311,7 @@ def test_pack_assignments_consistent_with_manifest(spark, sf_small):
     without gap or overlap."""
     from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
 
-    asg = PK.dedup_pack_assignments(spark, sf_small)
+    asg = PK.pack_assignments_query(spark, sf_small)
     rolled = {
         (r["shard"], r["chunk_id"]): (r["n"], r["tok"])
         for r in asg.groupBy("shard", "chunk_id")
@@ -1359,13 +1359,10 @@ def test_write_packed_shards_roundtrip(spark, sf_small, tmp_path):
         F.size(F.split(F.col("slice_text"), " ")) != F.col("slice_len")
     ).count()
     assert bad == 0
-    # stream equivalence on one shard: concat slices in (chunk, doc)
-    # order == concat whole docs in doc_id order
-    rows = (
-        out.where(F.col("shard") == 3)
-        .orderBy("chunk_id", "doc_id", "slice_start")
-        .collect()
-    )
+    # stream equivalence on one shard, in FILE order (no re-sort here:
+    # the writer's contract is that concatenation in file order IS the
+    # packed stream — the shard dir is one file, read as one partition)
+    rows = spark.read.parquet(path + "/shard=3").collect()
     got = " ".join(r["slice_text"] for r in rows)
     doc_ids = sorted({r["doc_id"] for r in rows})
     toks = {
@@ -1454,7 +1451,7 @@ def test_pack_incremental_equals_full_run_tail(spark, sf_small):
     full_tail = sorted(
         map(
             tuple,
-            PK.dedup_pack_assignments(spark, sf_small)
+            PK.pack_assignments_query(spark, sf_small)
             .where(F.col("doc_id") > thr)
             .collect(),
         )
@@ -1464,7 +1461,7 @@ def test_pack_incremental_equals_full_run_tail(spark, sf_small):
     # boundary coverage: at least one batch slice starts mid-window
     # (slice_start > 1 on its doc OR a window shared with corpus docs)
     state = (
-        PK.dedup_pack_assignments(spark, sf_small)
+        PK.pack_assignments_query(spark, sf_small)
         .where(F.col("doc_id") <= thr)
         .groupBy("shard")
         .agg(F.sum("slice_len").cast("long").alias("base_tokens"))
