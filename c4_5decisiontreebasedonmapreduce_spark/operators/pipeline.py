@@ -322,3 +322,15 @@ FROM spans GROUP BY shard"""
 
 
 PRETRAINING_PIPELINE_SQL = _pretraining_sql()
+
+
+# batch twin of streaming.windows.streaming_quality_gate: the gate
+# WITHOUT the dedup survivor filter (not streamable; see that docstring)
+QUALITY_GATE_ROLLUP_SQL = f"""
+WITH {_scored_ctes(DOCS_SQL)}
+SELECT lang_pred,
+       quality_score >= {QUALITY_GATE} AS passed,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM scored
+GROUP BY lang_pred, passed"""

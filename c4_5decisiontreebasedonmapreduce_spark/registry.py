@@ -1636,6 +1636,15 @@ _register(
 # file stream, stateless/append — shares the batch oracle
 _register("streaming_scrub_pii", SW.streaming_scrub_pii, PII.PII_SCRUB_SQL)
 
+# quality gating at INGEST: the shared scoring projection over the
+# stream + tiny (lang, passed) count state; oracle = the gate without
+# the (un-streamable) dedup survivor filter
+_register(
+    "streaming_quality_gate",
+    SW.streaming_quality_gate,
+    PL.QUALITY_GATE_ROLLUP_SQL,
+)
+
 
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)

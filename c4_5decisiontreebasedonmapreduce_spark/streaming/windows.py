@@ -705,3 +705,49 @@ def streaming_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating at INGEST: the curation gate's scoring projection
+    (`pipeline._scored_cols` — the same fused formulas the batch
+    pipelines grade) applied to the documents file stream, rolled up to
+    per-(predicted language, gate outcome) counts. The scoring is
+    stateless; the only state is the tiny (lang, passed) count cells —
+    bounded by the category cross product, not by traffic. Dedup is
+    deliberately absent here (a min-per-fingerprint window is not
+    streamable; ingest-time dedup is the incremental dedup family's
+    job) — so the batch twin oracle is the gate WITHOUT the survivor
+    filter."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pipeline import (
+        QUALITY_GATE,
+        _scored_cols,
+    )
+
+    docs = _docs_stream(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    _, n_tokens, quality, lang_pred = _scored_cols()
+    agg = (
+        docs.select(
+            lang_pred.alias("lang_pred"),
+            (quality >= QUALITY_GATE).alias("passed"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("lang_pred", "passed")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    name = f"stream_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

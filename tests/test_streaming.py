@@ -453,3 +453,43 @@ def test_streaming_decontaminate_state_survives_batches(
     # 2 was the last batch processed, and wave 2 contributed too
     assert any(r[0] <= cut for r in staged)
     assert any(r[0] > cut for r in staged)
+
+
+def test_streaming_quality_gate_equals_batch_gate(spark, sf_small):
+    """The ingest-time gate's drained cells equal the batch scoring
+    rolled up directly (no dedup — the documented difference from
+    pipeline_curation), and the cell totals conserve the corpus."""
+    from pyspark.sql import functions as F
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pipeline import (
+        QUALITY_GATE,
+        _scored_cols,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import (
+        windows as SW,
+    )
+
+    got = sorted(
+        map(tuple, SW.streaming_quality_gate(spark, sf_small).collect())
+    )
+    _, n_tokens, quality, lang_pred = _scored_cols()
+    want = sorted(
+        map(
+            tuple,
+            docs(spark, sf_small)
+            .select(
+                lang_pred.alias("lang_pred"),
+                (quality >= QUALITY_GATE).alias("passed"),
+                n_tokens.alias("n_tokens"),
+            )
+            .groupBy("lang_pred", "passed")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    assert sum(r[2] for r in got) == docs(spark, sf_small).count()
