@@ -268,6 +268,33 @@ FROM chunks"""
 PACK_ASSIGNMENTS_SQL = _pack_assignments_sql()
 
 
+def packed_slices(
+    docs_df: DataFrame, seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """The writer's relation: assignments with each ``slice_text`` cut
+    in place from the token array riding the per-shard window exchange
+    — one scan, one exchange, zero joins (plan-pinned)."""
+    chunks = _chunk_overlaps(docs_df, seq_len, n_shards, with_tokens=True)
+    lo, hi = _slice_bounds(seq_len)
+    slice_start = (lo - F.col("tok_start") + 1).cast("long")
+    slice_len = (hi - lo).cast("long")
+    return chunks.select(
+        "shard",
+        "chunk_id",
+        "doc_id",
+        slice_start.alias("slice_start"),
+        slice_len.alias("slice_len"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                slice_start.cast("int"),
+                slice_len.cast("int"),
+            ),
+            " ",
+        ).alias("slice_text"),
+    )
+
+
 def write_packed_shards(
     spark: SparkSession,
     sf_dir: str,
@@ -292,27 +319,9 @@ def write_packed_shards(
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
-    chunks = _chunk_overlaps(d, seq_len, n_shards, with_tokens=True)
-    lo, hi = _slice_bounds(seq_len)
-    slice_start = (lo - F.col("tok_start") + 1).cast("long")
-    slice_len = (hi - lo).cast("long")
-    sliced = chunks.select(
-        "shard",
-        "chunk_id",
-        "doc_id",
-        slice_start.alias("slice_start"),
-        slice_len.alias("slice_len"),
-        F.array_join(
-            F.slice(
-                F.col("toks"),
-                slice_start.cast("int"),
-                slice_len.cast("int"),
-            ),
-            " ",
-        ).alias("slice_text"),
-    )
     (
-        sliced.sortWithinPartitions("shard", "chunk_id", "doc_id")
+        packed_slices(d, seq_len, n_shards)
+        .sortWithinPartitions("shard", "chunk_id", "doc_id")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

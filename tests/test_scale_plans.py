@@ -702,3 +702,17 @@ def test_pack_incremental_state_join_is_broadcast(spark, sf_small):
     assert p.count(") Scan parquet") == 1, p
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_packed_slices_no_join_single_exchange(spark, sf_small):
+    """The shard writer's relation must cut slices from the token
+    arrays riding the ONE per-shard window exchange — no re-tokenize
+    join, no second corpus-sized shuffle, no Python."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    p = plan_of(PK.packed_slices(docs(spark, sf_small)))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count(") Scan parquet") == 1
+    assert p.count("hashpartitioning(") == 1  # the shard window only
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
