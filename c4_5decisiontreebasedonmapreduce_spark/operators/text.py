@@ -560,3 +560,109 @@ ranked AS (
 SELECT CAST(rank AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
        ROUND(cum / CAST(total AS DOUBLE), 6) AS coverage
 FROM ranked WHERE rank <= {VOCAB_TOP_K}"""
+
+
+# OOV grading default: deliberately BELOW the synthetic corpus's 31-token
+# vocabulary so the sf-scale oracle grade exercises real OOV mass (a real
+# corpus uses 1e4-1e5 here)
+VOCAB_OOV_TOP_K = 16
+
+
+def vocab_oov(
+    spark: SparkSession, sf_dir: str, top_k: int = VOCAB_OOV_TOP_K
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``top_k`` vocabulary — :func:`vocab_coverage`'s companion (that
+    one says what a K-entry vocab covers corpus-wide; this one says
+    which DOCUMENTS it serves badly, the signal a tokenizer-aware
+    quality gate filters on). Returns ``(doc_id, n_tokens, n_oov,
+    oov_rate)``; token-less documents report rate 0.
+
+    One corpus scan: the per-(doc, token) count relation is
+    checkpointed and feeds BOTH the vocab derivation (re-aggregate by
+    token — the same global ranking as vocab_coverage) and the per-doc
+    OOV join; the vocab side is top_k rows, so Catalyst broadcasts it
+    and the per-doc pass never shuffles the token stream again."""
+    from pyspark.sql import Window
+
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    by_doc = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("token"), "doc_id")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    vocab = (
+        by_doc.groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("token")
+    )
+    per_doc = (
+        by_doc.join(F.broadcast(vocab), "token", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").cast("long").alias("n_oov"))
+    )
+    totals = by_doc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens")
+    )
+    return (
+        d.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_oov", F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_rate"),
+        )
+    )
+
+
+VOCAB_OOV_SQL = f"""
+WITH by_doc AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (
+    SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token FROM {DOCS_SQL}
+  ) GROUP BY doc_id, token
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token,
+           ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, token ASC) AS rank
+    FROM by_doc GROUP BY token
+  ) WHERE rank <= {VOCAB_OOV_TOP_K}
+),
+oov AS (
+  SELECT b.doc_id, CAST(SUM(b.cnt) AS BIGINT) AS n_oov
+  FROM by_doc b ANTI JOIN vocab v ON b.token = v.token
+  GROUP BY b.doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+  FROM by_doc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(t.n_tokens, 0) AS n_tokens,
+       COALESCE(o.n_oov, 0) AS n_oov,
+       CASE WHEN COALESCE(t.n_tokens, 0) > 0
+            THEN ROUND(COALESCE(o.n_oov, 0)
+                       / CAST(t.n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS oov_rate
+FROM (SELECT doc_id FROM {DOCS_SQL}) d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN oov o ON d.doc_id = o.doc_id"""

@@ -1611,6 +1611,11 @@ _register("pack_sequences", PK.pack_sequences, PK.PACK_SEQUENCES_SQL)
 # never the token stream)
 _register("vocab_coverage", TX.vocab_coverage, TX.VOCAB_COVERAGE_SQL)
 
+# ...and its per-document companion: OOV rate against that vocabulary
+# (one checkpointed (doc, token) count relation feeds both the vocab
+# derivation and the broadcast anti-join)
+_register("vocab_oov", TX.vocab_oov, TX.VOCAB_OOV_SQL)
+
 # the token-level layout beneath the manifest: one row per
 # (document, window) overlap — what a shard writer joins back to the
 # token stream (write_packed_shards materializes it partitionBy(shard))

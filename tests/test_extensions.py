@@ -1549,3 +1549,33 @@ def test_scrub_pii_cross_engine_fuzz(spark):
         con.close()
     assert got == want
     assert sum(v[1] + v[2] + v[3] for v in got.values()) > 0
+
+
+def test_vocab_oov_consistency(spark, sf_small):
+    """OOV bookkeeping: n_oov <= n_tokens everywhere; per-doc n_tokens
+    matches the tokenizer; corpus OOV mass equals total tokens minus
+    the top-K vocab head's counts (the quantity vocab_coverage reports
+    as uncovered)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import text as T
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        docs as load_docs,
+        tokens_col,
+    )
+
+    out = T.vocab_oov(spark, sf_small)
+    assert out.where(F.col("n_oov") > F.col("n_tokens")).count() == 0
+    tok = {
+        r["doc_id"]: r["n"]
+        for r in load_docs(spark, sf_small)
+        .select("doc_id", F.size(tokens_col(F.col("text"))).alias("n"))
+        .collect()
+    }
+    rows = out.collect()
+    assert all(tok[r["doc_id"]] == r["n_tokens"] for r in rows)
+    total = sum(tok.values())
+    head = (
+        T.vocab_coverage(spark, sf_small, top_k=T.VOCAB_OOV_TOP_K)
+        .agg(F.sum("cnt"))
+        .first()[0]
+    )
+    assert sum(r["n_oov"] for r in rows) == total - head
