@@ -1650,6 +1650,15 @@ _register(
     PL.QUALITY_GATE_ROLLUP_SQL,
 )
 
+# the continuous training-data production loop: ordered micro-batches
+# pack-append against versioned per-shard offset state; drained union
+# hash-equals the batch pack_assignments over the whole corpus
+_register(
+    "streaming_pack_ingest",
+    SW.streaming_pack_ingest,
+    PK.PACK_ASSIGNMENTS_SQL,
+)
+
 
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)

@@ -25,7 +25,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
@@ -751,3 +751,183 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _pack_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+    seq_len: int,
+    n_shards: int,
+) -> None:
+    """foreachBatch body of :func:`streaming_pack_ingest`: pack ONE
+    micro-batch of fresh documents against the persisted per-shard
+    offset state and append its assignment rows. Idempotence is
+    layered like :func:`_upsert_batch`: a committed-batch marker skips
+    re-delivered batch ids, and the batch output goes to its own
+    ``batch=<id>`` subdirectory written with overwrite — a re-run
+    without the marker rewrites the identical rows. State advances by
+    the batch's per-shard token sums (full outer merge, then an
+    atomic-enough checkpoint-then-overwrite since the state is
+    n_shards rows)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        packing as PK,
+    )
+
+    spark = batch_df.sparkSession
+    marker = os.path.join(out_dir, "_commits", str(batch_id))
+    if os.path.exists(marker):
+        return  # fast-skip; correctness does NOT depend on this (below)
+    batch = batch_df.localCheckpoint(eager=True)
+    sharded = PK._sharded_tokens(batch, n_shards).localCheckpoint(eager=True)
+    # versioned state: batch i always reads v(i-1), never "latest" — so
+    # an at-least-once re-delivery of batch i recomputes from the SAME
+    # pre-state and rewrites byte-identical output + v(i), no marker
+    # needed for correctness (n_shards rows per version; a production
+    # impl compacts old versions)
+    prev = os.path.join(state_dir, f"v{batch_id - 1}")
+    if batch_id > 0 and os.path.isdir(prev):
+        state = spark.read.parquet(prev).localCheckpoint(eager=True)
+    else:
+        state = spark.createDataFrame([], "shard int, base_tokens long")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = (
+        sharded.withColumn(
+            "rel_end", F.sum("n_tokens").over(w).cast("long")
+        )
+        .join(F.broadcast(state), "shard", "left")
+        .withColumn(
+            "tok_end",
+            F.col("rel_end") + F.coalesce("base_tokens", F.lit(0)),
+        )
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    )
+    chunks = PK._explode_chunks(spans, seq_len)
+    lo, hi = PK._slice_bounds(seq_len)
+    asg = chunks.select(
+        "shard",
+        "chunk_id",
+        "doc_id",
+        (lo - F.col("tok_start") + 1).cast("long").alias("slice_start"),
+        (hi - lo).cast("long").alias("slice_len"),
+    )
+    asg.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}")
+    )
+    batch_sums = sharded.groupBy("shard").agg(
+        F.sum("n_tokens").cast("long").alias("add_tokens")
+    )
+    new_state = (
+        state.join(batch_sums, "shard", "full")
+        .select(
+            "shard",
+            (
+                F.coalesce("base_tokens", F.lit(0))
+                + F.coalesce("add_tokens", F.lit(0))
+            ).alias("base_tokens"),
+        )
+        .localCheckpoint(eager=True)  # break the read-write cycle
+    )
+    new_state.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{batch_id}")
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    open(marker, "w").close()
+
+
+def streaming_pack_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """The CONTINUOUS training-data production loop: fresh documents
+    arrive in doc_id order (how a real ingest assigns monotonically
+    increasing ids), each micro-batch packs against the persisted
+    per-shard offset state and appends its assignment rows, and the
+    state advances (versioned per batch id: re-delivered batches read
+    the same pre-state and rewrite identical output, so at-least-once
+    delivery is exactly-once on disk) — the corpus is NEVER re-read.
+    The drained union of
+    all batches' assignments is IDENTICAL to the batch
+    ``pack_assignments`` over the whole corpus (the shared oracle pins
+    this hash-exact): contiguous ascending doc_id batches extend each
+    shard's stream exactly where the full run puts every slice.
+
+    The demo stages the documents table as ``n_batches`` contiguous
+    doc_id ranges (one file each, ``maxFilesPerTrigger=1`` → one
+    micro-batch per file, processed in staging order)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        packing as PK,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    d = docs(spark, sf_dir).select("doc_id", "text")
+    ids = sorted(r["doc_id"] for r in d.select("doc_id").collect())
+    bounds = [
+        ids[min(len(ids) - 1, (i + 1) * len(ids) // n_batches - 1)]
+        for i in range(n_batches)
+    ]
+    stage = tempfile.mkdtemp(prefix="pack_ingest_src_")
+    lo = None
+    for i, hi in enumerate(bounds):
+        part = d.where(
+            (F.col("doc_id") <= hi)
+            & (F.lit(True) if lo is None else (F.col("doc_id") > lo))
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, f"b{i:03d}")
+        )
+        lo = hi
+    # flatten: the file source wants files in ONE dir, ordered
+    flat = (
+        os.path.join(work_dir, "flat")
+        if work_dir
+        else tempfile.mkdtemp(prefix="pack_ingest_flat_")
+    )
+    os.makedirs(flat, exist_ok=True)
+    for i in range(n_batches):
+        src_dir = os.path.join(stage, f"b{i:03d}")
+        fn = next(
+            n for n in sorted(os.listdir(src_dir)) if n.endswith(".parquet")
+        )
+        os.link(
+            os.path.join(src_dir, fn), os.path.join(flat, f"{i:03d}.parquet")
+        )
+    state_dir = (
+        os.path.join(work_dir, "state")
+        if work_dir
+        else tempfile.mkdtemp(prefix="pack_ingest_state_") + "/s"
+    )
+    out_dir = (
+        os.path.join(work_dir, "out")
+        if work_dir
+        else tempfile.mkdtemp(prefix="pack_ingest_out_")
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .load(flat)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: _pack_ingest_batch(
+                b, i, state_dir, out_dir, PK.SEQ_LEN, PK.N_SHARDS
+            )
+        )
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="pack_ingest_ckpt_"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(os.path.join(out_dir, "batch=*")).select(
+        "shard", "chunk_id", "doc_id", "slice_start", "slice_len"
+    )

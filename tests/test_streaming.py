@@ -493,3 +493,69 @@ def test_streaming_quality_gate_equals_batch_gate(spark, sf_small):
     )
     assert got == want
     assert sum(r[2] for r in got) == docs(spark, sf_small).count()
+
+
+def test_streaming_pack_ingest_equals_batch_and_redelivery_idempotent(
+    spark, sf_small, tmp_path
+):
+    """The continuous packing loop: (a) the drained union of all
+    micro-batches' assignment rows equals the batch pack_assignments
+    over the whole corpus, hash-exact, including windows straddling
+    batch boundaries; (b) re-delivering a committed batch — marker
+    removed, simulating an at-least-once restart — recomputes from the
+    SAME versioned pre-state and leaves output and state byte-equal."""
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import (
+        windows as SW,
+    )
+
+    work = str(tmp_path / "ingest")
+    got = sorted(
+        map(
+            tuple,
+            SW.streaming_pack_ingest(spark, sf_small, work_dir=work).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, PK.pack_assignments_query(spark, sf_small).collect())
+    )
+    assert got == want and len(got) > 0
+    # batches really were split (state versions v0..v2 exist)
+    state_dir = os.path.join(work, "state")
+    assert {f"v{i}" for i in range(3)} <= set(os.listdir(state_dir))
+    # re-deliver batch 1: drop its marker, re-run the foreachBatch body
+    # on the same staged file — output rows and post-state must not move
+    out_dir = os.path.join(work, "out")
+    before_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(out_dir, "batch=1")).collect(),
+        )
+    )
+    before_state = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(state_dir, "v1")).collect(),
+        )
+    )
+    os.remove(os.path.join(out_dir, "_commits", "1"))
+    batch1 = spark.read.parquet(os.path.join(work, "flat", "001.parquet"))
+    SW._pack_ingest_batch(
+        batch1, 1, state_dir, out_dir, PK.SEQ_LEN, PK.N_SHARDS
+    )
+    after_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(out_dir, "batch=1")).collect(),
+        )
+    )
+    after_state = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(state_dir, "v1")).collect(),
+        )
+    )
+    assert after_rows == before_rows
+    assert after_state == before_state
