@@ -341,6 +341,36 @@ def write_packed_shards(
 _INCR_NUM, _INCR_DEN = 9, 10
 
 
+def extend_with_state(
+    sharded_batch: DataFrame, shard_state: DataFrame, seq_len: int
+) -> DataFrame:
+    """Shared batch-packing tail of :func:`pack_incremental` and the
+    streaming ingest loop: per-shard prefix sum over the batch, base
+    offsets from the broadcast ``(shard, base_tokens)`` state, chunk
+    explode, assignment select."""
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = (
+        sharded_batch.withColumn(
+            "rel_end", F.sum("n_tokens").over(w).cast("long")
+        )
+        .join(F.broadcast(shard_state), "shard", "left")
+        .withColumn(
+            "tok_end",
+            F.col("rel_end") + F.coalesce("base_tokens", F.lit(0)),
+        )
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    )
+    chunks = _explode_chunks(spans, seq_len)
+    lo, hi = _slice_bounds(seq_len)
+    return chunks.select(
+        "shard",
+        "chunk_id",
+        "doc_id",
+        (lo - F.col("tok_start") + 1).cast("long").alias("slice_start"),
+        (hi - lo).cast("long").alias("slice_len"),
+    )
+
+
 def pack_incremental(
     spark: SparkSession,
     sf_dir: str,
@@ -385,27 +415,7 @@ def pack_incremental(
             .agg(F.sum("n_tokens").cast("long").alias("base_tokens"))
         )
     batch = sharded.where(F.col("doc_id") > threshold)
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    spans = (
-        batch.withColumn(
-            "rel_end", F.sum("n_tokens").over(w).cast("long")
-        )
-        .join(F.broadcast(shard_state), "shard", "left")
-        .withColumn(
-            "tok_end",
-            F.col("rel_end") + F.coalesce("base_tokens", F.lit(0)),
-        )
-        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
-    )
-    chunks = _explode_chunks(spans, seq_len)
-    lo, hi = _slice_bounds(seq_len)
-    return chunks.select(
-        "shard",
-        "chunk_id",
-        "doc_id",
-        (lo - F.col("tok_start") + 1).cast("long").alias("slice_start"),
-        (hi - lo).cast("long").alias("slice_len"),
-    )
+    return extend_with_state(batch, shard_state, seq_len)
 
 
 PACK_INCREMENTAL_SQL = f"""

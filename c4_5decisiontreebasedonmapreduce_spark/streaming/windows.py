@@ -779,39 +779,29 @@ def _pack_ingest_batch(
     marker = os.path.join(out_dir, "_commits", str(batch_id))
     if os.path.exists(marker):
         return  # fast-skip; correctness does NOT depend on this (below)
-    batch = batch_df.localCheckpoint(eager=True)
-    sharded = PK._sharded_tokens(batch, n_shards).localCheckpoint(eager=True)
+    # one materialization per batch: sharded feeds both the assignment
+    # write and the state sum (batch_df itself is consumed exactly once)
+    sharded = PK._sharded_tokens(batch_df, n_shards).localCheckpoint(
+        eager=True
+    )
     # versioned state: batch i always reads v(i-1), never "latest" — so
     # an at-least-once re-delivery of batch i recomputes from the SAME
     # pre-state and rewrites byte-identical output + v(i), no marker
     # needed for correctness (n_shards rows per version; a production
-    # impl compacts old versions)
+    # impl compacts versions BEHIND the earliest re-deliverable batch).
+    # A missing v(i-1) for i > 0 is corruption, never a fresh start —
+    # falling back to empty state would silently pack from offset 0
     prev = os.path.join(state_dir, f"v{batch_id - 1}")
-    if batch_id > 0 and os.path.isdir(prev):
+    if batch_id > 0:
+        if not os.path.isdir(prev):
+            raise RuntimeError(
+                f"pack-ingest state {prev} missing for batch {batch_id}; "
+                "refusing to pack from offset 0"
+            )
         state = spark.read.parquet(prev).localCheckpoint(eager=True)
     else:
         state = spark.createDataFrame([], "shard int, base_tokens long")
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    spans = (
-        sharded.withColumn(
-            "rel_end", F.sum("n_tokens").over(w).cast("long")
-        )
-        .join(F.broadcast(state), "shard", "left")
-        .withColumn(
-            "tok_end",
-            F.col("rel_end") + F.coalesce("base_tokens", F.lit(0)),
-        )
-        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
-    )
-    chunks = PK._explode_chunks(spans, seq_len)
-    lo, hi = PK._slice_bounds(seq_len)
-    asg = chunks.select(
-        "shard",
-        "chunk_id",
-        "doc_id",
-        (lo - F.col("tok_start") + 1).cast("long").alias("slice_start"),
-        (hi - lo).cast("long").alias("slice_len"),
-    )
+    asg = PK.extend_with_state(sharded, state, seq_len)
     asg.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch={batch_id}")
     )
@@ -865,10 +855,14 @@ def streaming_pack_ingest(
 
     d = docs(spark, sf_dir).select("doc_id", "text")
     ids = sorted(r["doc_id"] for r in d.select("doc_id").collect())
-    bounds = [
-        ids[min(len(ids) - 1, (i + 1) * len(ids) // n_batches - 1)]
-        for i in range(n_batches)
-    ]
+    # contiguous ascending ranges; clamp indices >= 0 and dedupe so a
+    # corpus smaller than n_batches yields fewer (never overlapping)
+    # batches instead of re-delivering the tail doc
+    bounds: list = []
+    for i in range(n_batches):
+        j = max(0, min(len(ids) - 1, (i + 1) * len(ids) // n_batches - 1))
+        if not bounds or ids[j] > bounds[-1]:
+            bounds.append(ids[j])
     stage = tempfile.mkdtemp(prefix="pack_ingest_src_")
     lo = None
     for i, hi in enumerate(bounds):
@@ -887,14 +881,24 @@ def streaming_pack_ingest(
         else tempfile.mkdtemp(prefix="pack_ingest_flat_")
     )
     os.makedirs(flat, exist_ok=True)
-    for i in range(n_batches):
+    import shutil
+    import time
+
+    base = time.time() - 3600  # past-dated, strictly increasing
+    for i in range(len(bounds)):
         src_dir = os.path.join(stage, f"b{i:03d}")
         fn = next(
             n for n in sorted(os.listdir(src_dir)) if n.endswith(".parquet")
         )
-        os.link(
-            os.path.join(src_dir, fn), os.path.join(flat, f"{i:03d}.parquet")
-        )
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        # copy (not hard-link): tolerates work_dir on another filesystem
+        # and work_dir reuse (overwrite), and gives each file its own
+        # inode so the mtime pin below cannot alias
+        shutil.copyfile(os.path.join(src_dir, fn), dst)
+        # the FileStreamSource orders by modification time — pin it
+        # strictly increasing so batch order IS doc_id order, instead
+        # of trusting sub-millisecond write timing
+        os.utime(dst, (base + 10 * i, base + 10 * i))
     state_dir = (
         os.path.join(work_dir, "state")
         if work_dir

@@ -559,3 +559,37 @@ def test_streaming_pack_ingest_equals_batch_and_redelivery_idempotent(
     )
     assert after_rows == before_rows
     assert after_state == before_state
+
+
+def test_streaming_pack_ingest_corpus_smaller_than_batches(
+    spark, tmp_path
+):
+    """A corpus with fewer documents than n_batches must yield fewer
+    (never overlapping) micro-batches — the bounds clamp regression:
+    before it, the tail doc was delivered twice, double-counting its
+    tokens in shard state."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import (
+        windows as SW,
+    )
+
+    sf = str(tmp_path / "tiny")
+    spark.createDataFrame(
+        [
+            (1, "a b c d e", "en", "s", 9),
+            (2, "f g h i j k", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(sf + "/documents.parquet")
+    got = sorted(
+        map(
+            tuple,
+            SW.streaming_pack_ingest(
+                spark, sf, n_batches=3, work_dir=str(tmp_path / "w")
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, PK.pack_assignments_query(spark, sf).collect()))
+    assert got == want
+    # no duplicate (doc, chunk) assignment rows
+    assert len(got) == len({(r[2], r[1]) for r in got})
