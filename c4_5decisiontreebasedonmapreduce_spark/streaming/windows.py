@@ -854,15 +854,21 @@ def streaming_pack_ingest(
     from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
 
     d = docs(spark, sf_dir).select("doc_id", "text")
-    ids = sorted(r["doc_id"] for r in d.select("doc_id").collect())
-    # contiguous ascending ranges; clamp indices >= 0 and dedupe so a
-    # corpus smaller than n_batches yields fewer (never overlapping)
-    # batches instead of re-delivering the tail doc
+    # contiguous ascending doc_id ranges from a DISTRIBUTED percentile
+    # (never a driver-side collect of the id column — this splitter is
+    # demo staging, but it should still be corpus-scale clean); dedupe
+    # keeps a corpus smaller than n_batches from re-delivering its tail
+    qs = ", ".join(str((i + 1) / n_batches) for i in range(n_batches))
+    row = d.agg(
+        F.expr(f"percentile(doc_id, array({qs}))").alias("b"),
+        F.max("doc_id").alias("mx"),
+    ).first()
+    raw = [int(x) for x in row["b"]]
+    raw[-1] = row["mx"]  # the last range must reach the corpus max
     bounds: list = []
-    for i in range(n_batches):
-        j = max(0, min(len(ids) - 1, (i + 1) * len(ids) // n_batches - 1))
-        if not bounds or ids[j] > bounds[-1]:
-            bounds.append(ids[j])
+    for b in raw:
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
     stage = tempfile.mkdtemp(prefix="pack_ingest_src_")
     lo = None
     for i, hi in enumerate(bounds):
