@@ -1084,3 +1084,102 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01'
   AND l_shipdate < TIMESTAMP '1996-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24"""
+
+
+# ---------------------------------------------------------------------------
+# batch CDC MERGE — the lakehouse upsert primitive, in one query
+
+def merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: apply a change set
+    (op ∈ I/U/D keyed by o_orderkey) to a base snapshot in ONE
+    key-partitioned full-outer join — matched U replaces the row,
+    matched D drops it, unmatched I inserts, everything else carries
+    over. The batch twin of the streaming upsert sink
+    (`streaming/windows.py::_upsert_batch`), and exactly what a
+    transactional table format's MERGE compiles to; at 100 TB both
+    sides shuffle once on the key (AQE skew-handles a hot key) and no
+    second pass exists.
+
+    The demo derives base and changes deterministically from `orders`
+    so both engines see identical inputs: base = keys with
+    ``o_orderkey % 4 != 0``; inserts = the % 4 == 0 keys; updates
+    (price × 1.1, status 'U') = remaining % 5 == 0 keys; deletes =
+    remaining % 7 == 0 keys."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base = o.where(k % 4 != 0)
+    changes = (
+        o.withColumn(
+            "op",
+            F.when(k % 4 == 0, "I")
+            .when(k % 5 == 0, "U")
+            .when(k % 7 == 0, "D"),
+        )
+        .where(F.col("op").isNotNull())
+        .select(
+            "o_orderkey",
+            "op",
+            F.when(F.col("op") == "U", F.lit("U"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("c_status"),
+            # decimal, not double: price*1.1 lands on exact .005
+            # halves whose double-rounding direction differs between
+            # engines; decimal(18,2) * decimal(2,1) is exact, and
+            # ROUND on decimals is half-up in both
+            F.when(
+                F.col("op") == "U",
+                F.round(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    * F.lit("1.1").cast("decimal(2,1)"),
+                    2,
+                ),
+            )
+            .otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("c_price"),
+        )
+    )
+    merged = base.join(changes, "o_orderkey", "full_outer").where(
+        F.coalesce("op", F.lit("")) != "D"
+    )
+    return merged.select(
+        "o_orderkey",
+        F.when(F.col("op").isin("I", "U"), F.col("c_status"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.round(
+            F.when(F.col("op").isin("I", "U"), F.col("c_price")).otherwise(
+                F.col("o_totalprice")
+            ),
+            2,
+        ).alias("o_totalprice"),
+    )
+
+
+MERGE_CDC_SQL = """
+WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+base AS (SELECT * FROM o WHERE o_orderkey % 4 <> 0),
+changes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'I'
+              WHEN o_orderkey % 5 = 0 THEN 'U'
+              WHEN o_orderkey % 7 = 0 THEN 'D' END AS op,
+         CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 5 = 0 THEN 'U'
+              ELSE o_orderstatus END AS c_status,
+         CAST(CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 5 = 0
+                   THEN ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST('1.1' AS DECIMAL(2,1)), 2)
+                   ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+              AS DOUBLE) AS c_price
+  FROM o
+  WHERE o_orderkey % 4 = 0 OR o_orderkey % 5 = 0 OR o_orderkey % 7 = 0
+)
+SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+       CASE WHEN c.op IN ('I', 'U') THEN c.c_status
+            ELSE b.o_orderstatus END AS o_orderstatus,
+       ROUND(CASE WHEN c.op IN ('I', 'U') THEN c.c_price
+                  ELSE b.o_totalprice END, 2) AS o_totalprice
+FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE COALESCE(c.op, '') <> 'D'"""

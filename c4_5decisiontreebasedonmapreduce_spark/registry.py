@@ -1650,6 +1650,11 @@ _register(
     PL.QUALITY_GATE_ROLLUP_SQL,
 )
 
+# batch CDC MERGE (the lakehouse upsert primitive): one key-partitioned
+# full-outer join applies an I/U/D change set to a snapshot — the batch
+# twin of the streaming upsert sink
+_register("merge_cdc", R.merge_cdc, R.MERGE_CDC_SQL)
+
 # the continuous training-data production loop: ordered micro-batches
 # pack-append against versioned per-shard offset state; drained union
 # hash-equals the batch pack_assignments over the whole corpus

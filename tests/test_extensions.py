@@ -1579,3 +1579,42 @@ def test_vocab_oov_consistency(spark, sf_small):
         .first()[0]
     )
     assert sum(r["n_oov"] for r in rows) == total - head
+
+
+def test_merge_cdc_semantics(spark, sf_small):
+    """MERGE bookkeeping on the deterministic change set: deleted keys
+    are gone, inserted keys are present, updated rows carry the change
+    (status 'U', price strictly raised), untouched rows are
+    byte-identical to the base — and the row count balances exactly as
+    base − deletes + inserts."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        relational as R,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
+        load_table,
+    )
+
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    n_base = o.where(k % 4 != 0).count()
+    n_ins = o.where(k % 4 == 0).count()
+    n_del = o.where((k % 4 != 0) & (k % 5 != 0) & (k % 7 == 0)).count()
+    out = R.merge_cdc(spark, sf_small)
+    assert out.count() == n_base - n_del + n_ins
+    assert (
+        out.where((k % 4 != 0) & (k % 5 != 0) & (k % 7 == 0)).count() == 0
+    )
+    assert out.where(k % 4 == 0).count() == n_ins
+    upd = out.where((k % 4 != 0) & (k % 5 == 0))
+    assert upd.where(F.col("o_orderstatus") != "U").count() == 0
+    raised = upd.alias("m").join(o.alias("b"), "o_orderkey").where(
+        F.col("m.o_totalprice") <= F.col("b.o_totalprice")
+    )
+    assert raised.count() == 0
+    untouched = out.where((k % 4 != 0) & (k % 5 != 0) & (k % 7 != 0))
+    base_untouched = o.where((k % 4 != 0) & (k % 5 != 0) & (k % 7 != 0))
+    assert sorted(map(tuple, untouched.collect())) == sorted(
+        map(tuple, base_untouched.collect())
+    )
