@@ -48,6 +48,7 @@ PROBE_QUERIES = [
     "sessionize",
     "level_stats",
     "numeric_best_split",
+    "merge_cdc",
 ]
 
 WARM_REPS = 2
