@@ -1618,3 +1618,42 @@ def test_merge_cdc_semantics(spark, sf_small):
     assert sorted(map(tuple, untouched.collect())) == sorted(
         map(tuple, base_untouched.collect())
     )
+
+
+def test_span_apply_duplicate_chain(spark):
+    """Three identical documents: the smallest doc_id keeps its text,
+    BOTH later copies lose the entire shared passage (each is doc_b to
+    at least one smaller canonical), and a second detect pass over the
+    cleaned corpus is empty."""
+    t = " ".join(f"w{i}" for i in range(1, 15))
+    d = _docs_df(spark, [t, t, t])
+    out = {r["doc_id"]: r for r in D.span_apply(d).collect()}
+    assert out[1]["clean_text"] == t and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 14
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 14
+    cleaned = D.span_apply(d).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    assert D.span_matches(cleaned).count() == 0
+
+
+def test_pack_incremental_empty_batch(spark, sf_small):
+    """A threshold at/above the corpus max yields an EMPTY batch — the
+    incremental pack must return zero rows, not crash (the quiet-period
+    ingest tick)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        docs as load_docs,
+    )
+
+    mx = load_docs(spark, sf_small).agg(F.max("doc_id")).first()[0]
+    state = spark.createDataFrame(
+        [(i, 100) for i in range(PK.N_SHARDS)], "shard int, base_tokens long"
+    )
+    out = PK.pack_incremental(
+        spark, sf_small, shard_state=state, threshold=int(mx)
+    )
+    assert out.count() == 0
+    assert out.columns == [
+        "shard", "chunk_id", "doc_id", "slice_start", "slice_len",
+    ]
