@@ -760,6 +760,7 @@ def _pack_ingest_batch(
     out_dir: str,
     seq_len: int,
     n_shards: int,
+    keep_versions: int | None = None,
 ) -> None:
     """foreachBatch body of :func:`streaming_pack_ingest`: pack ONE
     micro-batch of fresh documents against the persisted per-shard
@@ -787,8 +788,10 @@ def _pack_ingest_batch(
     # versioned state: batch i always reads v(i-1), never "latest" — so
     # an at-least-once re-delivery of batch i recomputes from the SAME
     # pre-state and rewrites byte-identical output + v(i), no marker
-    # needed for correctness (n_shards rows per version; a production
-    # impl compacts versions BEHIND the earliest re-deliverable batch).
+    # needed for correctness (n_shards rows per version;
+    # ``keep_versions`` compacts versions BEHIND the earliest
+    # re-deliverable batch — older re-deliveries then fail LOUDLY via
+    # the missing-state check below, never silently).
     # A missing v(i-1) for i > 0 is corruption, never a fresh start —
     # falling back to empty state would silently pack from offset 0
     prev = os.path.join(state_dir, f"v{batch_id - 1}")
@@ -822,6 +825,18 @@ def _pack_ingest_batch(
     new_state.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"v{batch_id}")
     )
+    if keep_versions is not None:
+        import shutil
+
+        for name in os.listdir(state_dir):
+            if (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and int(name[1:]) <= batch_id - keep_versions
+            ):
+                shutil.rmtree(
+                    os.path.join(state_dir, name), ignore_errors=True
+                )
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     open(marker, "w").close()
 
@@ -831,6 +846,7 @@ def streaming_pack_ingest(
     sf_dir: str,
     n_batches: int = 3,
     work_dir: str | None = None,
+    keep_versions: int | None = None,
 ) -> DataFrame:
     """The CONTINUOUS training-data production loop: fresh documents
     arrive in doc_id order (how a real ingest assigns monotonically
@@ -925,7 +941,13 @@ def streaming_pack_ingest(
     q = (
         stream.writeStream.foreachBatch(
             lambda b, i: _pack_ingest_batch(
-                b, i, state_dir, out_dir, PK.SEQ_LEN, PK.N_SHARDS
+                b,
+                i,
+                state_dir,
+                out_dir,
+                PK.SEQ_LEN,
+                PK.N_SHARDS,
+                keep_versions=keep_versions,
             )
         )
         .option(

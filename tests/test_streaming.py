@@ -593,3 +593,53 @@ def test_streaming_pack_ingest_corpus_smaller_than_batches(
     assert got == want
     # no duplicate (doc, chunk) assignment rows
     assert len(got) == len({(r[2], r[1]) for r in got})
+
+
+def test_streaming_pack_ingest_state_compaction(spark, sf_small, tmp_path):
+    """With keep_versions=2 the state directory holds only the last two
+    versions after the run, the drained result still equals the batch
+    pack, the LAST batch remains re-deliverable (reads the retained
+    v(n-1)), and a re-delivery of a COMPACTED batch fails loudly
+    instead of silently packing from offset 0."""
+    import os
+
+    import pytest
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import (
+        windows as SW,
+    )
+
+    work = str(tmp_path / "w")
+    got = sorted(
+        map(
+            tuple,
+            SW.streaming_pack_ingest(
+                spark, sf_small, work_dir=work, keep_versions=2
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, PK.pack_assignments_query(spark, sf_small).collect())
+    )
+    assert got == want
+    state_dir = os.path.join(work, "state")
+    versions = sorted(n for n in os.listdir(state_dir) if n.startswith("v"))
+    assert versions == ["v1", "v2"]
+    out_dir = os.path.join(work, "out")
+    flat = os.path.join(work, "flat")
+    # last batch re-deliverable: marker dropped, body re-runs cleanly
+    os.remove(os.path.join(out_dir, "_commits", "2"))
+    batch2 = spark.read.parquet(os.path.join(flat, "002.parquet"))
+    SW._pack_ingest_batch(
+        batch2, 2, state_dir, out_dir, PK.SEQ_LEN, PK.N_SHARDS,
+        keep_versions=2,
+    )
+    # compacted batch 1 (v0 gone): loud failure, no silent offset-0 pack
+    os.remove(os.path.join(out_dir, "_commits", "1"))
+    batch1 = spark.read.parquet(os.path.join(flat, "001.parquet"))
+    with pytest.raises(RuntimeError, match="state .* missing"):
+        SW._pack_ingest_batch(
+            batch1, 1, state_dir, out_dir, PK.SEQ_LEN, PK.N_SHARDS,
+            keep_versions=2,
+        )
