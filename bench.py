@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "tfidf",
     "quality_signals",
     "sample_stratified",
+    "sample_mixture",
     "pipeline_curation",
     "dedup_exact",
     "dedup_exact_incremental_persisted",

@@ -180,6 +180,136 @@ def sample_token_budget(
     )
 
 
+# target mixture for epoch-aware resampling, in integer PER-MILLE so
+# `weight_pm * budget * 1000` stays exact integer arithmetic in BOTH
+# engines (a float weight like 0.3 is decimal-exact in DuckDB VALUES but
+# binary-inexact as a Spark double — the ppm threshold could round apart
+# at a floor boundary). Sources absent from the dict are deliberately
+# excluded: a mixture IS the explicit allowlist of what trains.
+MIXTURE_WEIGHTS_PM: dict[str, int] = {
+    "src0": 500,
+    "src1": 300,
+    "src2": 200,
+}
+MIX_TOKEN_BUDGET = 10_000
+_MIX_SEED = "mix|"
+
+
+def sample_mixture(
+    spark: SparkSession, sf_dir: str, budget: int = MIX_TOKEN_BUDGET
+) -> DataFrame:
+    """Epoch-aware mixture resampling: hit a target per-source token
+    MIX (``MIXTURE_WEIGHTS_PM``, per-mille of ``budget``) where scarce
+    domains may need MORE than one pass over their data — the
+    "2.3 epochs of Wikipedia" knob of an LLM training mix, which
+    :func:`sample_token_budget` (pure downsampling, rate ≤ 1) cannot
+    express. ``rate_s = weight_s · budget / total_tokens_s`` may exceed
+    1: each document is emitted ``floor(rate)`` times (full epochs) plus
+    one more iff ``h(doc_id) mod M < frac(rate)·M`` — the same
+    deterministic portable-hash Bernoulli as the rest of this module, so
+    the expected token mass per source is exactly ``weight_s · budget``
+    and re-runs/backfills reproduce the SAME (doc, epoch) rows.
+
+    Scale shape: one corpus scan; the per-source totals aggregate is
+    sources-sized and broadcast back; the epoch fan-out is a generated
+    column (``explode(sequence)``) next to the scan — no shuffle of the
+    corpus, no driver loop. The rate is carried as an integer
+    ppm (``floor(weight_pm · budget · 1000 / total)``) so the
+    full-epoch/fractional split is engine-exact (no float equality at
+    the floor boundary).
+
+    The reference has no sampling (SURVEY §2.C extension surface); the
+    epoch fan-out reuses its expand-candidates explode shape
+    (MyMapper.java:61-78) pointed at corpus repetition.
+    """
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        tokens_col,
+    )
+
+    d = docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    weights = spark.createDataFrame(
+        sorted(MIXTURE_WEIGHTS_PM.items()), "source string, weight_pm long"
+    )
+    totals = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    rate_ppm = F.floor(
+        (F.col("weight_pm") * budget * 1000).cast("double")
+        / F.col("total_tokens")
+    ).cast("long")
+    rates = F.broadcast(
+        totals.join(F.broadcast(weights), "source")
+        .select("source", rate_ppm.alias("rate_ppm"))
+    )
+    u = (
+        md5_long(F.concat(F.lit(_MIX_SEED), F.col("doc_id").cast("string")))
+        % _MOD
+    )
+    n_copies = (
+        F.expr(f"rate_ppm div {_MOD}")
+        + F.when(u < F.col("rate_ppm") % _MOD, 1).otherwise(0)
+    ).cast("long")
+    return (
+        d.join(rates, "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            n_copies.alias("n_copies"),
+        )
+        .where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("epoch"),
+        )
+    )
+
+
+def _sample_mixture_sql(budget: int = MIX_TOKEN_BUDGET) -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        _tokens_sql,
+    )
+
+    w_values = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(MIXTURE_WEIGHTS_PM.items())
+    )
+    u = md5_long_sql(
+        "CONCAT('" + _MIX_SEED + "', CAST(toks.doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, LEN({_tokens_sql('text')}) AS n_tokens
+  FROM {DOCS_SQL}
+),
+w(source, weight_pm) AS (VALUES {w_values}),
+rates AS (
+  SELECT toks.source,
+         CAST(FLOOR(CAST(CAST(w.weight_pm AS BIGINT) * {budget} * 1000
+                         AS DOUBLE)
+                    / SUM(toks.n_tokens)) AS BIGINT) AS rate_ppm
+  FROM toks JOIN w USING (source) GROUP BY toks.source, w.weight_pm
+),
+j AS (
+  SELECT toks.doc_id, toks.source, toks.n_tokens,
+         rates.rate_ppm // {_MOD}
+         + CASE WHEN {u} % {_MOD} < rates.rate_ppm % {_MOD}
+                THEN 1 ELSE 0 END AS n_copies
+  FROM toks JOIN rates USING (source)
+)
+SELECT doc_id, source, n_tokens,
+       CAST(UNNEST(generate_series(1, n_copies)) AS BIGINT) AS epoch
+FROM j WHERE n_copies >= 1"""
+
+
+SAMPLE_MIXTURE_SQL = _sample_mixture_sql()
+
+
 def _sample_token_budget_sql(budget: int = TOKEN_BUDGET) -> str:
     from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
         _tokens_sql,

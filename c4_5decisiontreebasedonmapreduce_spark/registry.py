@@ -1436,6 +1436,15 @@ _register(
     SMP.SAMPLE_TOKEN_BUDGET_SQL,
 )
 
+# epoch-aware mixture resampling: target per-source token mix where
+# scarce domains repeat (rate > 1 → integer epochs + hash-Bernoulli
+# fractional remainder); integer-ppm rates keep both engines exact
+_register(
+    "sample_mixture",
+    SMP.sample_mixture,
+    SMP.SAMPLE_MIXTURE_SQL,
+)
+
 
 def _c45_train_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-schema training stress (VERDICT r7 item 4): the 33-attribute

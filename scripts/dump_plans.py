@@ -132,6 +132,13 @@ HEADLINE = {
         "read): partition-pruned scan of the committed files; writes are "
         "idempotent across restarts (exactly-once pin)"
     ),
+    "sample_mixture": (
+        "epoch-aware mixture resampling: per-source totals aggregated "
+        "map-side-combined (the plan's ONE exchange carries sources x "
+        "partitions partial rows), rates broadcast back, epoch fan-out "
+        "is explode(sequence) next to the scan — the corpus is never "
+        "shuffled"
+    ),
     # --- remaining bench-tracked queries (r8: PLANS covers the whole
     # bench set except the driver-loop trio c45_train / c45_predict /
     # argmax_per_group, whose returned relations are driver-built

@@ -261,6 +261,35 @@ def test_sample_coverage_flags_unconfigured_stratum(spark, sf_small):
     assert cov2["tlh"].n_kept == 0 and cov2["tlh"].n_docs == 1
 
 
+def test_sample_mixture_epochs_and_token_mass(spark, sf_small):
+    """The mixture contract: (a) upsampling really engages — at the test
+    scale every configured source's rate exceeds 1, so full epochs
+    appear; (b) per-doc copies are dense 1..n (floor(rate) full epochs +
+    at most one Bernoulli extra, never a gap); (c) realized token mass
+    per source lands near weight·budget (exp. exact; ±20% tolerates the
+    fractional-Bernoulli variance at 25 docs/source); (d) deterministic:
+    re-running emits the SAME (doc, epoch) rows."""
+    import collections
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import sampling as SMP
+
+    rows = SMP.sample_mixture(spark, sf_small).collect()
+    again = SMP.sample_mixture(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    per_doc = collections.defaultdict(list)
+    tok = collections.Counter()
+    for r in rows:
+        per_doc[r.doc_id].append(r.epoch)
+        tok[r.source] += r.n_tokens
+    assert max(max(e) for e in per_doc.values()) >= 2  # real upsampling
+    for eps in per_doc.values():
+        assert sorted(eps) == list(range(1, len(eps) + 1))  # dense 1..n
+    assert set(tok) == set(SMP.MIXTURE_WEIGHTS_PM)
+    for src, w_pm in SMP.MIXTURE_WEIGHTS_PM.items():
+        target = w_pm * SMP.MIX_TOKEN_BUDGET / 1000
+        assert abs(tok[src] - target) / target < 0.20, (src, tok[src], target)
+
+
 def test_asof_forward_fixture_has_no_ties(spark, sf_small, sf_oracle):
     """asof_join_forward's deterministic tie-break (min event_id at an
     equal (user_id, ts)) could diverge from DuckDB's arbitrary ASOF tie

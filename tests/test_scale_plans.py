@@ -127,6 +127,7 @@ _SCAN_BUDGET = {
     # creation, so the query's own final plan re-reads no parquet at all
     "quality_signals": 0,
     "sample_stratified": 1,  # scan → broadcast rate dim → pushable filter
+    "sample_mixture": 2,  # doc side + the per-source totals pass
     "q5_local_supplier": 6,  # one scan per joined table
     "multimodal_frames": 0,  # both consumers read the decode checkpoint
     "c45_predict": 1,  # trie CASE WHEN evaluates in the scan's one pass
@@ -311,6 +312,20 @@ def test_sample_stratified_broadcasts_rates(spark, sf_small):
     p = plan_of(QUERIES["sample_stratified"](spark, sf_small))
     assert "BroadcastHashJoin" in p, p
     assert p.count(") Exchange") == 0, p
+
+
+def test_sample_mixture_corpus_never_shuffled(spark, sf_small):
+    """The epoch fan-out must stay NEXT TO THE SCAN: the corpus side is
+    scan → project → broadcast join → explode with zero exchanges of
+    document rows; the only Exchange in the plan is the per-source
+    totals aggregate, and it must sit ABOVE a partial_sum (map-side
+    combine), so it carries sources×partitions partial rows, never the
+    corpus."""
+    p = plan_of(QUERIES["sample_mixture"](spark, sf_small))
+    assert p.count("BroadcastHashJoin") >= 2, p  # rates dim + totals
+    assert p.count(") Exchange") == 1, p  # the totals partial-agg only
+    # detail order: the partial_sum HashAggregate is the Exchange's child
+    assert "partial_sum" in p[: p.index(") Exchange")], p
 
 
 def test_bucketed_fact_join_no_shuffle(spark, sf_small, tmp_path):
