@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "quality_signals",
     "sample_stratified",
     "sample_mixture",
+    "sample_temperature",
     "pipeline_curation",
     "dedup_exact",
     "dedup_exact_incremental_persisted",

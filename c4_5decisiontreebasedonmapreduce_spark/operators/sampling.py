@@ -333,3 +333,128 @@ WHERE {u} % {_MOD} < CAST(FLOOR(tot.rate * {_MOD}) AS BIGINT)"""
 
 
 SAMPLE_TOKEN_BUDGET_SQL = _sample_token_budget_sql()
+
+
+# temperature-scaled mixture (UNIMAX / mT5-style): per-source shares
+# derived FROM THE DATA, p_s ∝ total_tokens_s^(1/τ), instead of a
+# hand-configured weight dict. τ is fixed at 2 so the scaling power is
+# SQRT — the one non-trivial power that IEEE 754 requires correctly
+# rounded, making floor(sqrt(T)) bit-identical across engines (a
+# general POW(x, 1/τ) may differ in the last ulp between libm
+# implementations, which could flip an integer-ppm floor boundary).
+TEMP_TOKEN_BUDGET = 40_000
+_TEMP_SEED = "temp|"
+
+
+def sample_temperature(
+    spark: SparkSession, sf_dir: str, budget: int = TEMP_TOKEN_BUDGET
+) -> DataFrame:
+    """Temperature-scaled mixture resampling: like
+    :func:`sample_mixture`, but the per-source shares are DERIVED from
+    the corpus instead of configured — ``p_s ∝ total_tokens_s^(1/2)``
+    (temperature τ = 2), the standard multilingual-pretraining move
+    (mT5/UNIMAX) that upweights scarce sources toward uniform without
+    hand-tuning a weight per source. Each document is emitted
+    ``floor(rate_s)`` full epochs plus one more iff
+    ``h(doc_id) mod M < frac(rate_s)·M`` — deterministic, so re-runs
+    and backfills reproduce the SAME (doc, epoch) rows.
+
+    Engine-exact arithmetic: ``w_s = floor(sqrt(T_s))`` (IEEE sqrt is
+    correctly rounded — identical in Spark and DuckDB), ``W = Σ w_s``
+    (integer, order-independent), and
+    ``rate_ppm = ((budget·10⁶·w_s) div W) div T_s`` — the nested
+    integer floor-div equals ``floor(budget·10⁶·w_s / (W·T_s))``
+    without ever forming the denominator product, so nothing overflows
+    int64 below ~10¹³ tokens per source (≫ 100 TB of text).
+
+    Scale shape: one corpus scan; the per-source totals aggregate is
+    sources-sized, the share normalization is a window over that tiny
+    aggregated relation (sources × 1 rows — never the corpus), and the
+    epoch fan-out is ``explode(sequence)`` next to the scan."""
+    from pyspark.sql import Window
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        tokens_col,
+    )
+
+    d = docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    w = F.floor(F.sqrt(F.col("total_tokens"))).cast("long")
+    totals = (
+        d.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+        .select("source", "total_tokens", w.alias("w"))
+        # normalizer over the sources-sized aggregate only (tiny)
+        .withColumn(
+            "w_sum", F.sum("w").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    rate_ppm = F.expr(
+        f"(({budget}L * 1000000L * w) div w_sum) div total_tokens"
+    )
+    rates = F.broadcast(
+        totals.select("source", rate_ppm.alias("rate_ppm"))
+    )
+    u = (
+        md5_long(F.concat(F.lit(_TEMP_SEED), F.col("doc_id").cast("string")))
+        % _MOD
+    )
+    n_copies = (
+        F.expr(f"rate_ppm div {_MOD}")
+        + F.when(u < F.col("rate_ppm") % _MOD, 1).otherwise(0)
+    ).cast("long")
+    return (
+        d.join(rates, "source")
+        .select("doc_id", "source", "n_tokens", n_copies.alias("n_copies"))
+        .where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("epoch"),
+        )
+    )
+
+
+def _sample_temperature_sql(budget: int = TEMP_TOKEN_BUDGET) -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        _tokens_sql,
+    )
+
+    u = md5_long_sql(
+        "CONCAT('" + _TEMP_SEED + "', CAST(toks.doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, LEN({_tokens_sql('text')}) AS n_tokens
+  FROM {DOCS_SQL}
+),
+tot AS (
+  SELECT source, SUM(n_tokens) AS total_tokens,
+         CAST(FLOOR(SQRT(SUM(n_tokens))) AS BIGINT) AS w
+  FROM toks GROUP BY source
+),
+rates AS (
+  SELECT source,
+         ((CAST({budget} AS BIGINT) * 1000000 * w) // SUM(w) OVER ())
+           // total_tokens AS rate_ppm
+  FROM tot
+),
+j AS (
+  SELECT toks.doc_id, toks.source, toks.n_tokens,
+         CAST(rates.rate_ppm // {_MOD}
+              + CASE WHEN {u} % {_MOD} < rates.rate_ppm % {_MOD}
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM toks JOIN rates USING (source)
+)
+SELECT doc_id, source, n_tokens,
+       CAST(UNNEST(generate_series(1, n_copies)) AS BIGINT) AS epoch
+FROM j WHERE n_copies >= 1"""
+
+
+SAMPLE_TEMPERATURE_SQL = _sample_temperature_sql()

@@ -1445,6 +1445,15 @@ _register(
     SMP.SAMPLE_MIXTURE_SQL,
 )
 
+# temperature-scaled mixture: per-source shares derived from the data
+# (p_s ∝ sqrt(total_tokens_s), mT5/UNIMAX τ=2) instead of a configured
+# weight dict; same deterministic epoch fan-out as sample_mixture
+_register(
+    "sample_temperature",
+    SMP.sample_temperature,
+    SMP.SAMPLE_TEMPERATURE_SQL,
+)
+
 
 def _c45_train_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-schema training stress (VERDICT r7 item 4): the 33-attribute

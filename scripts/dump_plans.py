@@ -139,6 +139,13 @@ HEADLINE = {
         "is explode(sequence) next to the scan — the corpus is never "
         "shuffled"
     ),
+    "sample_temperature": (
+        "temperature-scaled mixture (p ~ sqrt(T_s), mT5/UNIMAX tau=2): "
+        "shares derived in a window over the sources-sized aggregate; "
+        "both exchanges live under the rates-dim BroadcastExchange — "
+        "the corpus side is scan -> broadcast join -> explode, zero "
+        "document-row exchanges"
+    ),
     # --- remaining bench-tracked queries (r8: PLANS covers the whole
     # bench set except the driver-loop trio c45_train / c45_predict /
     # argmax_per_group, whose returned relations are driver-built

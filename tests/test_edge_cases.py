@@ -290,6 +290,50 @@ def test_sample_mixture_epochs_and_token_mass(spark, sf_small):
         assert abs(tok[src] - target) / target < 0.20, (src, tok[src], target)
 
 
+def test_sample_temperature_flattens_toward_uniform(spark, sf_small):
+    """Temperature contract (τ=2, p ∝ sqrt(T)): (a) upsampling engages
+    (full epochs appear at the test scale); (b) per-doc epochs are dense
+    1..n; (c) realized token mass per source lands near its DERIVED
+    share w_s/W · budget (±25% — 25 docs/source Bernoulli variance);
+    (d) the shares are COMPRESSED relative to the natural token
+    distribution — the whole point of temperature scaling: the
+    max/min share ratio must sit strictly between 1 and the raw
+    max/min token ratio; (e) deterministic re-run."""
+    import collections
+    import math
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import sampling as SMP
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs, tokens_col
+
+    rows = SMP.sample_temperature(spark, sf_small).collect()
+    again = SMP.sample_temperature(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    per_doc = collections.defaultdict(list)
+    tok = collections.Counter()
+    for r in rows:
+        per_doc[r.doc_id].append(r.epoch)
+        tok[r.source] += r.n_tokens
+    assert max(max(e) for e in per_doc.values()) >= 2  # real upsampling
+    for eps in per_doc.values():
+        assert sorted(eps) == list(range(1, len(eps) + 1))  # dense 1..n
+    totals = {
+        r.source: r.total
+        for r in docs(spark, sf_small)
+        .select("source", F.size(tokens_col(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    w = {s: math.floor(math.sqrt(t)) for s, t in totals.items()}
+    W = sum(w.values())
+    for src, t in totals.items():
+        target = w[src] / W * SMP.TEMP_TOKEN_BUDGET
+        assert abs(tok[src] - target) / target < 0.25, (src, tok[src], target)
+    nat_ratio = max(totals.values()) / min(totals.values())
+    share_ratio = max(w.values()) / min(w.values())
+    assert 1.0 < share_ratio < nat_ratio  # flattened, not uniform
+
+
 def test_asof_forward_fixture_has_no_ties(spark, sf_small, sf_oracle):
     """asof_join_forward's deterministic tie-break (min event_id at an
     equal (user_id, ts)) could diverge from DuckDB's arbitrary ASOF tie

@@ -128,6 +128,7 @@ _SCAN_BUDGET = {
     "quality_signals": 0,
     "sample_stratified": 1,  # scan → broadcast rate dim → pushable filter
     "sample_mixture": 2,  # doc side + the per-source totals pass
+    "sample_temperature": 2,  # doc side + the per-source totals pass
     "q5_local_supplier": 6,  # one scan per joined table
     "multimodal_frames": 0,  # both consumers read the decode checkpoint
     "c45_predict": 1,  # trie CASE WHEN evaluates in the scan's one pass
@@ -326,6 +327,23 @@ def test_sample_mixture_corpus_never_shuffled(spark, sf_small):
     assert p.count(") Exchange") == 1, p  # the totals partial-agg only
     # detail order: the partial_sum HashAggregate is the Exchange's child
     assert "partial_sum" in p[: p.index(") Exchange")], p
+
+
+def test_sample_temperature_corpus_never_shuffled(spark, sf_small):
+    """Same contract for the data-derived-share variant: both exchanges
+    (the per-source totals partial agg and the single-partition window
+    that normalizes the 20-row aggregate into shares) live under the
+    BroadcastExchange of the rates dim — the corpus side is scan →
+    broadcast join → explode, zero exchanges of document rows."""
+    p = plan_of(QUERIES["sample_temperature"](spark, sf_small))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert p.count(") Exchange") == 2, p  # totals agg + tiny window
+    assert "partial_sum" in p[: p.index(") Exchange")], p
+    # both exchanges are descendants of the rates-dim BroadcastExchange
+    # (details are numbered bottom-up, children before ancestors), so
+    # they feed the broadcast side, never the streamed corpus
+    assert p.rindex(") Exchange") < p.index(") BroadcastExchange"), p
 
 
 def test_bucketed_fact_join_no_shuffle(spark, sf_small, tmp_path):
