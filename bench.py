@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "tokenize",
     "tfidf",
     "quality_signals",
+    "repetition_signals",
     "sample_stratified",
     "sample_mixture",
     "sample_temperature",

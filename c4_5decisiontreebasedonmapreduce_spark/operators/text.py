@@ -483,6 +483,132 @@ SELECT doc_id,
 FROM r"""
 
 
+def repetition_signals(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
+    """Gopher LINE/PARAGRAPH-level repetition signals (Rae et al. 2021
+    §A1.1): the duplicate-line fraction, duplicate-line CHARACTER
+    fraction, and duplicate-paragraph fraction that catch copy-pasted
+    boilerplate :func:`quality_signals`' token-level ratios miss (a page
+    whose nav header repeats 40× has healthy type/token ratios but a
+    huge dup-line fraction).
+
+    Units: lines split on ``\\n``, paragraphs on ``\\n\\n``; segments are
+    trimmed and empties dropped before counting. For each unit,
+    ``dup_frac = (n - n_distinct) / n`` (every occurrence beyond a
+    segment's first is a duplicate) and the char variant weights each
+    duplicate occurrence by its length. Keep gate: both line fractions
+    ≤ 0.30 and the paragraph fraction ≤ 0.30 (the Gopher thresholds).
+
+    Scale shape — the interesting part: ALL of a document's lines live
+    inside its own row, so the whole computation is array higher-order
+    functions (``array_distinct`` / ``aggregate``) in ONE codegen'd
+    projection next to the scan — zero exchanges, zero joins, zero
+    explodes (contrast: the token-level signals need two grouped counts
+    because top-fractions compare across the corpus-exploded relation).
+    Pass ``d`` to score an injected relation (the synthetic corpus is
+    single-line; tests inject multi-line fixtures)."""
+    if d is None:
+        d = docs(spark, sf_dir)
+
+    def segs(sep: str):
+        # NB: single-arg lambda — passing F.trim itself would get the
+        # element AND index (trim's optional trimStr overload)
+        return F.filter(
+            F.transform(F.split(F.col("text"), sep), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+
+    def chars_of(col: str):
+        return F.aggregate(
+            F.col(col), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+
+    # staged projections so each expensive array expression is built
+    # ONCE and referenced by name downstream — CollapseProject keeps
+    # multiply-referenced non-cheap expressions in their own Project
+    # instead of re-inlining the split/trim/filter per signal
+    staged = d.select(
+        "doc_id", segs("\n").alias("lines"), segs("\n\n").alias("paras")
+    ).select(
+        "doc_id",
+        "lines",
+        F.array_distinct("lines").alias("dlines"),
+        "paras",
+        F.array_distinct("paras").alias("dparas"),
+    )
+
+    def frac(num, den):
+        return F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        )
+
+    n_l, nd_l = F.size("lines"), F.size("dlines")
+    n_p, nd_p = F.size("paras"), F.size("dparas")
+    chars, dchars = chars_of("lines"), chars_of("dlines")
+    out = staged.select(
+        "doc_id",
+        n_l.cast("long").alias("n_lines"),
+        frac(n_l - nd_l, n_l).alias("dup_line_frac"),
+        frac(chars - dchars, chars).alias("dup_line_char_frac"),
+        n_p.cast("long").alias("n_paras"),
+        frac(n_p - nd_p, n_p).alias("dup_para_frac"),
+    )
+    keep = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.30)
+        & (F.col("dup_para_frac") <= 0.30)
+    )
+    return out.select("*", keep.alias("keep"))
+
+
+def _rep_sql_segs(sep_sql: str) -> str:
+    return (
+        f"LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, {sep_sql}),"
+        " s -> TRIM(s)), s -> s <> '')"
+    )
+
+
+REPETITION_SIGNALS_SQL = f"""
+WITH segs AS (
+  SELECT doc_id,
+         {_rep_sql_segs("chr(10)")} AS lines,
+         {_rep_sql_segs("chr(10) || chr(10)")} AS paras
+  FROM {DOCS_SQL}
+),
+m AS (
+  SELECT doc_id,
+         LEN(lines) AS n_lines,
+         LEN(lines) - LEN(LIST_DISTINCT(lines)) AS dup_lines,
+         COALESCE(LIST_SUM(LIST_TRANSFORM(lines, x -> LENGTH(x))), 0)
+           AS chars,
+         COALESCE(LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(lines),
+                                          x -> LENGTH(x))), 0) AS dchars,
+         LEN(paras) AS n_paras,
+         LEN(paras) - LEN(LIST_DISTINCT(paras)) AS dup_paras
+  FROM segs
+),
+r AS (
+  SELECT doc_id, n_lines,
+    CASE WHEN n_lines > 0
+         THEN ROUND(dup_lines / CAST(n_lines AS DOUBLE), 6) ELSE 0.0 END
+      AS dup_line_frac,
+    CASE WHEN chars > 0
+         THEN ROUND((chars - dchars) / CAST(chars AS DOUBLE), 6)
+         ELSE 0.0 END AS dup_line_char_frac,
+    n_paras,
+    CASE WHEN n_paras > 0
+         THEN ROUND(dup_paras / CAST(n_paras AS DOUBLE), 6) ELSE 0.0 END
+      AS dup_para_frac
+  FROM m
+)
+SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       n_paras, dup_para_frac,
+       (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.30
+          AND dup_para_frac <= 0.30) AS keep
+FROM r"""
+
+
 # ---------------------------------------------------------------------------
 # vocabulary coverage — tokenizer-prep analytics
 

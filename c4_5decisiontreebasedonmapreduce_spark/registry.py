@@ -1117,6 +1117,15 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
 )
 
 _register("quality_signals", TX.quality_signals, TX.QUALITY_SIGNALS_SQL)
+
+# Gopher line/paragraph repetition signals: a document's segments all
+# live inside its own row, so the whole score is array higher-order
+# functions in one codegen'd projection — zero exchanges/joins/explodes
+_register(
+    "repetition_signals",
+    TX.repetition_signals,
+    TX.REPETITION_SIGNALS_SQL,
+)
 _register("sample_stratified", SMP.sample_stratified, SMP.SAMPLE_STRATIFIED_SQL)
 # watermarked stream-stream join (bounded-state contract in the
 # docstring); the oracle is the equivalent batch range join

@@ -63,6 +63,12 @@ HEADLINE = {
         "scan → broadcast rate dim → scalar hash predicate; zero exchanges "
         "of the corpus"
     ),
+    "repetition_signals": (
+        "Gopher line/paragraph dup fractions: a doc's segments live in "
+        "its own row, so the whole score is array higher-order functions "
+        "in staged projections over ONE scan — zero exchanges, joins, "
+        "explodes; each split/trim built once and shared"
+    ),
     "quality_signals": (
         "token arrays checkpointed once; token/bigram grouped counts and "
         "per-doc stats all read the materialized relation (scan budget 0)"

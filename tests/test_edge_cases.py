@@ -334,6 +334,56 @@ def test_sample_temperature_flattens_toward_uniform(spark, sf_small):
     assert 1.0 < share_ratio < nat_ratio  # flattened, not uniform
 
 
+def test_repetition_signals_on_multiline_fixture(spark, sf_small):
+    """The synthetic corpus is single-line (all fractions 0), so the
+    REAL semantics are pinned on an injected multi-line fixture:
+    boilerplate nav repeated 3x (dup_line_frac = 2/4, char frac
+    weighted by length), a paragraph duplicated once, trimmed/empty
+    segments dropped, and an empty document scoring all-zero keep=true.
+    The same fixture is cross-checked against the DuckDB oracle text
+    run over a fixture `documents` view — both engines, one contract."""
+    import duckdb
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX
+
+    rows = [
+        # 4 non-empty lines: nav/nav/nav/content -> dup_line_frac=0.5;
+        # chars: nav(3x9)+body(22)=49, distinct 9+22=31 -> 18/49
+        (1, "home|nav|x\n  \nhome|nav|x\nhome|nav|x\nactual body text here!"),
+        # paragraphs: A, B, A -> dup_para_frac=1/3; lines all distinct
+        (2, "para A\n\npara B unique\n\npara A"),
+        (3, ""),  # empty doc: zero segments, all fracs 0, keep
+        (4, "one line only"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in TX.repetition_signals(spark, "", d=d).collect()
+    }
+    assert got[1].n_lines == 4 and got[1].dup_line_frac == 0.5
+    # "home|nav|x" is 10 chars: 4 lines = 3*10+22=52 chars, dups 20/52
+    assert got[1].dup_line_char_frac == round(20 / 52, 6)
+    assert not got[1].keep
+    assert got[2].n_paras == 3 and got[2].dup_para_frac == round(1 / 3, 6)
+    # "para A" duplicates as a LINE too (blank lines dropped): 3 lines
+    assert got[2].dup_line_frac == round(1 / 3, 6) and not got[2].keep
+    assert got[3].n_lines == 0 and got[3].dup_line_frac == 0.0
+    assert got[3].keep and got[4].keep
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, E{v!r}, 'en', 'src0', {len(v)})" for i, v in rows
+        )
+        + ") t(doc_id, text, lang, source, n_chars)"
+    )
+    oracle = {
+        r[0]: r for r in con.execute(TX.REPETITION_SIGNALS_SQL).fetchall()
+    }
+    for doc_id, r in got.items():
+        assert tuple(r) == oracle[doc_id], (doc_id, tuple(r), oracle[doc_id])
+
+
 def test_asof_forward_fixture_has_no_ties(spark, sf_small, sf_oracle):
     """asof_join_forward's deterministic tie-break (min event_id at an
     equal (user_id, ts)) could diverge from DuckDB's arbitrary ASOF tie

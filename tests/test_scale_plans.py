@@ -129,6 +129,7 @@ _SCAN_BUDGET = {
     "sample_stratified": 1,  # scan → broadcast rate dim → pushable filter
     "sample_mixture": 2,  # doc side + the per-source totals pass
     "sample_temperature": 2,  # doc side + the per-source totals pass
+    "repetition_signals": 1,  # one projection pass, nothing else
     "q5_local_supplier": 6,  # one scan per joined table
     "multimodal_frames": 0,  # both consumers read the decode checkpoint
     "c45_predict": 1,  # trie CASE WHEN evaluates in the scan's one pass
@@ -344,6 +345,20 @@ def test_sample_temperature_corpus_never_shuffled(spark, sf_small):
     # (details are numbered bottom-up, children before ancestors), so
     # they feed the broadcast side, never the streamed corpus
     assert p.rindex(") Exchange") < p.index(") BroadcastExchange"), p
+
+
+def test_repetition_signals_is_one_projection(spark, sf_small):
+    """Line/paragraph repetition scoring must be a single codegen'd
+    projection over the scan: a document's segments all live inside its
+    own row, so there is NO exchange, NO join, and NO explode anywhere —
+    the cheapest possible 100 TB quality pass (contrast quality_signals,
+    whose corpus-relative top-fractions genuinely need grouped counts)."""
+    p = plan_of(QUERIES["repetition_signals"](spark, sf_small))
+    for op in ("Exchange", "Join", "Generate", "HashAggregate", "Sort"):
+        assert op not in p, (op, p)
+    # the staged projections must NOT re-inline the expensive array
+    # builds per signal: exactly one line-split and one para-split
+    assert p.count("split(text") == 2, p
 
 
 def test_bucketed_fact_join_no_shuffle(spark, sf_small, tmp_path):
