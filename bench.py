@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "tfidf",
     "quality_signals",
     "repetition_signals",
+    "lm_perplexity",
+    "shuffle_deterministic",
     "sample_stratified",
     "sample_mixture",
     "sample_temperature",

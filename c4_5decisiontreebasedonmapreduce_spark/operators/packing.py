@@ -423,3 +423,71 @@ SELECT * FROM ({PACK_ASSIGNMENTS_SQL}
 )
 WHERE doc_id > (SELECT (MAX(doc_id) * {_INCR_NUM}) // {_INCR_DEN}
                 FROM documents)"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle
+
+_ORDER_SEED = "shuffleord|"
+
+
+def shuffle_deterministic(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Reproducible RANDOM training order — the global shuffle every
+    pre-training run does before packing so adjacent/corpus-ordered
+    documents (same crawl, same site, same dump file) don't land in the
+    same batch. The packing family deliberately concatenates in doc_id
+    order WITHIN its hash shards (:func:`_chunk_overlaps`); this
+    operator produces the randomized manifest you'd feed it instead:
+    shard by one portable hash, order within each shard by a SECOND
+    independent hash (doc_id as the final tie-break), and number the
+    positions per shard.
+
+    Scale shape: the per-shard ``row_number`` runs over ``n_shards``
+    independent window partitions — one exchange on shard, per-shard
+    in-memory sorts, never a global sort or single-partition funnel
+    (thousands of shards at cluster scale, same knob as packing).
+    Deterministic end-to-end: both hashes are pure functions of doc_id,
+    so re-runs, backfills, and the DuckDB oracle reproduce the SAME
+    (shard, pos) for every document."""
+    d = docs(spark, sf_dir)
+    shard_h = md5_long(
+        F.concat(F.lit(_SHARD_SEED), F.col("doc_id").cast("string"))
+    )
+    order_h = md5_long(
+        F.concat(F.lit(_ORDER_SEED), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("order_h", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            (shard_h % n_shards).cast("int").alias("shard"),
+            order_h.alias("order_h"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def _shuffle_deterministic_sql(n_shards: int = N_SHARDS) -> str:
+    shard = md5_long_sql(
+        "CONCAT('" + _SHARD_SEED + "', CAST(doc_id AS VARCHAR))"
+    )
+    order_h = md5_long_sql(
+        "CONCAT('" + _ORDER_SEED + "', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST({shard} % {n_shards} AS INT) AS shard,
+         {order_h} AS order_h
+  FROM {DOCS_SQL}
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY order_h, doc_id) AS BIGINT) AS pos
+FROM keyed"""
+
+
+SHUFFLE_DETERMINISTIC_SQL = _shuffle_deterministic_sql()

@@ -458,3 +458,97 @@ FROM j WHERE n_copies >= 1"""
 
 
 SAMPLE_TEMPERATURE_SQL = _sample_temperature_sql()
+
+
+# soft dedup (SemDeDup-style keep-one-in-expectation): instead of hard
+# survivor selection, keep each member of a duplicate cluster with
+# probability 1/|cluster| — expected ONE survivor per cluster, but the
+# survivor varies by hash, which preserves intra-cluster diversity
+# across re-mixes while still collapsing duplicate mass.
+_SOFT_SEED = "softdedup|"
+
+
+def sample_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-mass downweighting as SAMPLING: every document in a
+    near-dup cluster (``dedup_cluster``'s connected components) keeps
+    with probability ``1/cluster_size`` via the deterministic
+    portable-hash predicate ``u < floor(M / size)`` (exact integer
+    threshold — no float boundary), unclustered documents always keep.
+    Expected survivors per cluster = 1, like hard dedup, but the kept
+    member varies by hash instead of always min-doc_id — the
+    "soft dedup" curation move that keeps duplicate-cluster DIVERSITY
+    in the mix while collapsing its mass.
+
+    Scale shape: the cluster relation is near-dup-sized (small next to
+    the corpus); its size rollup is cluster-count-sized. Neither join
+    is broadcast-HINTED (a 100 TB near-dup relation can be large) —
+    AQE broadcasts at small scale, and the corpus-side join key is
+    doc_id, so a doc_id-bucketed persisted cluster table would make the
+    big join shuffle-free on the corpus side (the same amortization as
+    the persisted dedup corpora). Deterministic end-to-end."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        dedup_cluster,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    cluster = dedup_cluster(spark, sf_dir)
+    sizes = cluster.groupBy("cluster_rep").agg(
+        F.count("*").alias("cluster_size")
+    )
+    member = cluster.join(sizes, "cluster_rep").select(
+        "doc_id", "cluster_size"
+    )
+    u = (
+        md5_long(F.concat(F.lit(_SOFT_SEED), F.col("doc_id").cast("string")))
+        % _MOD
+    )
+    return (
+        docs(spark, sf_dir)
+        .select("doc_id")
+        .join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+        )
+        .where(u < F.expr(f"{_MOD} div cluster_size"))
+    )
+
+
+SAMPLE_SOFTDEDUP_SQL_TEMPLATE = """
+WITH cluster AS ({cluster_sql}
+),
+sizes AS (
+  SELECT cluster_rep, COUNT(*) AS cluster_size
+  FROM cluster GROUP BY cluster_rep
+),
+member AS (
+  SELECT cluster.doc_id, sizes.cluster_size
+  FROM cluster JOIN sizes USING (cluster_rep)
+),
+scored AS (
+  SELECT documents.doc_id,
+         CAST(COALESCE(member.cluster_size, 1) AS BIGINT) AS cluster_size
+  FROM {docs_sql} LEFT JOIN member ON documents.doc_id = member.doc_id
+)
+SELECT doc_id, cluster_size FROM scored
+WHERE {u} % {mod} < {mod} // cluster_size"""
+
+
+def _sample_softdedup_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        DEDUP_CLUSTER_SQL,
+    )
+
+    return SAMPLE_SOFTDEDUP_SQL_TEMPLATE.format(
+        cluster_sql=DEDUP_CLUSTER_SQL.strip(),
+        docs_sql=DOCS_SQL,
+        u=md5_long_sql(
+            "CONCAT('" + _SOFT_SEED + "', CAST(doc_id AS VARCHAR))"
+        ),
+        mod=_MOD,
+    )
+
+
+SAMPLE_SOFTDEDUP_SQL = _sample_softdedup_sql()

@@ -264,6 +264,151 @@ SELECT tf.doc_id, tf.token, tf.tf, df.df,
 FROM tf JOIN df USING (token) CROSS JOIN n"""
 
 
+LM_VOCAB_TOP = 50_000
+LM_UNK = "<unk>"
+
+
+def lm_perplexity(
+    spark: SparkSession,
+    sf_dir: str,
+    top_v: int = LM_VOCAB_TOP,
+    d: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring WITHOUT an external
+    model: train an add-one-smoothed bigram LM on the corpus itself in
+    one pass, then score every document's average per-bigram surprisal
+    ``bits = mean(-log2 p(w_i | w_{i-1}))`` — low = fluent/templated,
+    high = noise. The vocabulary is the top ``top_v`` unigrams by
+    (count DESC, token ASC — a deterministic tie-break); everything
+    else maps to ``<unk>``, so the LM tables are bounded by the
+    configured vocabulary, never by the corpus.
+
+    ``p(w2|w1) = (C(w1,w2) + 1) / (C(w1·) + V)`` where ``C(w1·)``
+    counts w1 as a bigram PREFIX (so the conditional normalizes) and
+    ``V`` = realized vocabulary + 1 for unk. Documents with < 2 tokens
+    emit no bigrams and are absent from the result (pinned in tests).
+
+    Scale shape (mirrors :func:`tfidf`): the token-array relation is
+    checkpointed once and feeds the vocab count, the bigram build, and
+    the scoring join; bigrams come straight off the array
+    (``explode(sequence)`` + ``element_at`` — no per-doc window, so no
+    corpus shuffle to build them); the vocab is a
+    ``TakeOrderedAndProject`` top-V broadcast back onto the stream; the
+    per-(doc, bigram) counts are aggregated first so the LM joins touch
+    the distinct-bigram relation, not raw occurrences. The LM count
+    tables are deliberately NOT broadcast-hinted — V = 50k means up to
+    V² bigram rows at web scale; AQE broadcasts them at small scale on
+    its own (same rationale as tfidf's df relation). Pass ``d`` to
+    score an injected relation (tests hand-compute a tiny LM and force
+    the unk path with a small ``top_v``)."""
+    if d is None:
+        d = docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).localCheckpoint()
+    vocab = (
+        base.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(top_v)
+        .select("token")
+    )
+    v_size = vocab.select((F.count("*") + 1).alias("v"))
+    n = F.size("toks")
+    bg = base.where(n >= 2).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n - 1)).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("pos")).alias("w1raw"),
+        F.element_at("toks", F.col("pos") + 1).alias("w2raw"),
+    )
+
+    def unk_map(raw: str, out: str):
+        alias = f"v_{out}"
+        return (
+            F.when(
+                F.col(f"{alias}.token").isNotNull(), F.col(raw)
+            ).otherwise(F.lit(LM_UNK)).alias(out)
+        )
+
+    mapped = (
+        bg.join(
+            F.broadcast(vocab.alias("v_w1")),
+            F.col("w1raw") == F.col("v_w1.token"),
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.alias("v_w2")),
+            F.col("w2raw") == F.col("v_w2.token"),
+            "left",
+        )
+        .select("doc_id", unk_map("w1raw", "w1"), unk_map("w2raw", "w2"))
+    )
+    dbg = (
+        mapped.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    bc = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    uc = dbg.groupBy("w1").agg(F.sum("c").alias("c1"))
+    bits = -F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+    return (
+        dbg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v_size))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * bits) / F.sum("c"), 6
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
+def _lm_perplexity_sql(top_v: int = LM_VOCAB_TOP) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM {DOCS_SQL}
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT UNNEST(toks) AS token FROM base
+  ) GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT {top_v}
+),
+vsize AS (SELECT COUNT(*) + 1 AS v FROM vocab),
+bgr AS (
+  SELECT doc_id, toks[pos] AS w1raw, toks[pos + 1] AS w2raw
+  FROM (
+    SELECT doc_id, toks,
+           UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS pos
+    FROM base WHERE LEN(toks) >= 2
+  )
+),
+mapped AS (
+  SELECT doc_id,
+         CASE WHEN v1.token IS NOT NULL THEN w1raw ELSE '{LM_UNK}' END AS w1,
+         CASE WHEN v2.token IS NOT NULL THEN w2raw ELSE '{LM_UNK}' END AS w2
+  FROM bgr LEFT JOIN vocab v1 ON bgr.w1raw = v1.token
+           LEFT JOIN vocab v2 ON bgr.w2raw = v2.token
+),
+dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM mapped GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, SUM(c) AS c12 FROM dbg GROUP BY 1, 2),
+uc AS (SELECT w1, SUM(c) AS c1 FROM dbg GROUP BY 1)
+SELECT dbg.doc_id,
+       CAST(SUM(dbg.c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(dbg.c * -LOG2((bc.c12 + 1) / CAST(uc.c1 + vsize.v AS DOUBLE)))
+             / SUM(dbg.c), 6) AS bits_per_bigram
+FROM dbg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vsize
+GROUP BY dbg.doc_id"""
+
+
+LM_PERPLEXITY_SQL = _lm_perplexity_sql()
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: MD5 of whitespace-normalized lowercased text
     (exact-dup key) plus a 60-bit integer rolling-hash-style variant."""

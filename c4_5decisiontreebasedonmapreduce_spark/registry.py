@@ -1118,6 +1118,15 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
 
 _register("quality_signals", TX.quality_signals, TX.QUALITY_SIGNALS_SQL)
 
+# corpus-self-trained bigram LM surprisal (the CCNet perplexity-filter
+# pattern without an external model): vocab-bounded LM tables, bigrams
+# built straight off the token arrays (no per-doc window shuffle)
+_register(
+    "lm_perplexity",
+    TX.lm_perplexity,
+    TX.LM_PERPLEXITY_SQL,
+)
+
 # Gopher line/paragraph repetition signals: a document's segments all
 # live inside its own row, so the whole score is array higher-order
 # functions in one codegen'd projection — zero exchanges/joins/explodes
@@ -1463,6 +1472,15 @@ _register(
     SMP.SAMPLE_TEMPERATURE_SQL,
 )
 
+# soft dedup: keep each near-dup cluster member with probability
+# 1/|cluster| (deterministic hash) — expected one survivor per cluster,
+# hash-varied instead of always min-doc_id
+_register(
+    "sample_softdedup",
+    SMP.sample_softdedup,
+    SMP.SAMPLE_SOFTDEDUP_SQL,
+)
+
 
 def _c45_train_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-schema training stress (VERDICT r7 item 4): the 33-attribute
@@ -1654,6 +1672,14 @@ _register(
 # (shard, base_tokens) state — pinned identical to the full run's batch
 # tail; the corpus is never re-read when state is passed
 _register("pack_incremental", PK.pack_incremental, PK.PACK_INCREMENTAL_SQL)
+
+# reproducible random training order: shard by one portable hash,
+# order within shards by a second — per-shard row_number, no global sort
+_register(
+    "shuffle_deterministic",
+    PK.shuffle_deterministic,
+    PK.SHUFFLE_DETERMINISTIC_SQL,
+)
 
 # the WHOLE pre-training prep as one declarative query: scrub → exact
 # dedup → quality gate → packing manifest; one scan, two data-sized

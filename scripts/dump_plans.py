@@ -63,6 +63,18 @@ HEADLINE = {
         "scan → broadcast rate dim → scalar hash predicate; zero exchanges "
         "of the corpus"
     ),
+    "lm_perplexity": (
+        "corpus-self-trained bigram LM surprisal: token arrays and "
+        "per-(doc,bigram) counts checkpointed (0 parquet scans in the "
+        "final plan), bigrams built off the arrays (no per-doc window), "
+        "vocab top-V via TakeOrderedAndProject, LM joins unhinted "
+        "(AQE-broadcast at small scale, V-bounded at large)"
+    ),
+    "shuffle_deterministic": (
+        "reproducible random training order: ONE exchange on the hash "
+        "shard + per-shard window sorts — never a global sort or "
+        "single-partition funnel"
+    ),
     "repetition_signals": (
         "Gopher line/paragraph dup fractions: a doc's segments live in "
         "its own row, so the whole score is array higher-order functions "

@@ -384,6 +384,92 @@ def test_repetition_signals_on_multiline_fixture(spark, sf_small):
         assert tuple(r) == oracle[doc_id], (doc_id, tuple(r), oracle[doc_id])
 
 
+def test_lm_perplexity_hand_computed_with_unk(spark, sf_small):
+    """Pins the bigram-LM semantics on a 2-doc fixture with top_v=2 so
+    the unk path engages: corpus "a b a b a" + "a c", vocab {a, b},
+    c → <unk>, V = 3. Prefix counts C(a·)=3, C(b·)=2; add-one probs
+    p(b|a)=3/6, p(a|b)=3/5, p(unk|a)=2/6 — doc1 averages
+    (2·1 + 2·log2(5/3))/4 bits over its 4 bigrams, doc2 scores
+    log2(3) on its single bigram. A third single-token document emits
+    no bigrams and must be ABSENT, not zero."""
+    import math
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX
+
+    d = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in TX.lm_perplexity(spark, "", top_v=2, d=d).collect()
+    }
+    assert set(got) == {1, 2}  # the 1-token doc emits no bigrams
+    assert got[1].n_bigrams == 4
+    assert got[1].bits_per_bigram == round(
+        (2 * 1.0 + 2 * math.log2(5 / 3)) / 4, 6
+    )
+    assert got[2].n_bigrams == 1
+    assert got[2].bits_per_bigram == round(math.log2(3), 6)
+
+
+def test_shuffle_deterministic_randomizes_within_shards(spark, sf_small):
+    """The training-order manifest must (a) cover every document exactly
+    once, (b) number positions densely 1..n per shard, (c) actually
+    RANDOMIZE — within at least one shard the hash order must disagree
+    with doc_id order (a manifest that returns corpus order is the bug
+    this operator exists to prevent), and (d) reproduce identically."""
+    import collections
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    rows = PK.shuffle_deterministic(spark, sf_small).collect()
+    again = PK.shuffle_deterministic(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    n_docs = docs(spark, sf_small).count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append((r.pos, r.doc_id))
+    scrambled = 0
+    for members in by_shard.values():
+        members.sort()
+        assert [p for p, _ in members] == list(range(1, len(members) + 1))
+        ids = [d for _, d in members]
+        if ids != sorted(ids):
+            scrambled += 1
+    assert scrambled >= 1, "hash order degenerated to corpus order"
+
+
+def test_sample_softdedup_collapses_duplicate_mass(spark, sf_small):
+    """Soft dedup contract: every UNclustered document keeps
+    (cluster_size = 1 → threshold = M, always true); clustered documents
+    keep with probability 1/size, so across the fixture's near-dup
+    clusters the kept count must be strictly below full membership
+    (duplicate mass actually collapses); deterministic re-run."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import sampling as SMP
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        dedup_cluster,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    kept = {r.doc_id: r.cluster_size
+            for r in SMP.sample_softdedup(spark, sf_small).collect()}
+    again = {r.doc_id: r.cluster_size
+             for r in SMP.sample_softdedup(spark, sf_small).collect()}
+    assert kept == again
+    clustered = {r.doc_id for r in dedup_cluster(spark, sf_small).collect()}
+    all_ids = {r.doc_id for r in docs(spark, sf_small).select("doc_id").collect()}
+    unclustered = all_ids - clustered
+    assert unclustered <= set(kept)  # singletons always keep
+    assert all(kept[d] == 1 for d in unclustered)
+    kept_clustered = set(kept) & clustered
+    assert len(kept_clustered) < len(clustered)  # mass collapsed
+    assert all(kept[d] >= 2 for d in kept_clustered)
+
+
 def test_asof_forward_fixture_has_no_ties(spark, sf_small, sf_oracle):
     """asof_join_forward's deterministic tie-break (min event_id at an
     equal (user_id, ts)) could diverge from DuckDB's arbitrary ASOF tie

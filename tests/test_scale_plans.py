@@ -130,6 +130,10 @@ _SCAN_BUDGET = {
     "sample_mixture": 2,  # doc side + the per-source totals pass
     "sample_temperature": 2,  # doc side + the per-source totals pass
     "repetition_signals": 1,  # one projection pass, nothing else
+    # token arrays + per-(doc,bigram) counts both checkpointed; the
+    # final plan reads only the two materialized relations
+    "lm_perplexity": 0,
+    "shuffle_deterministic": 1,  # scan → shard exchange → per-shard sort
     "q5_local_supplier": 6,  # one scan per joined table
     "multimodal_frames": 0,  # both consumers read the decode checkpoint
     "c45_predict": 1,  # trie CASE WHEN evaluates in the scan's one pass
@@ -359,6 +363,36 @@ def test_repetition_signals_is_one_projection(spark, sf_small):
     # the staged projections must NOT re-inline the expensive array
     # builds per signal: exactly one line-split and one para-split
     assert p.count("split(text") == 2, p
+
+
+def test_lm_perplexity_no_window_no_cartesian(spark, sf_small):
+    """The bigram build must come straight off the token arrays
+    (explode(sequence) + element_at), NEVER a per-doc lead() window —
+    a window would shuffle the whole exploded corpus by doc_id before
+    a single count happens. The top-V vocabulary must be a
+    TakeOrderedAndProject (streaming top-K), not a global Sort, and
+    the only Cross join is the broadcast single-row V scalar."""
+    df = QUERIES["lm_perplexity"](spark, sf_small)
+    df.count()  # executed (AQE-final) plan
+    p = plan_of(df)
+    assert "Window" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+    assert ") Sort" not in p, p  # no standalone global-sort node
+
+
+def test_shuffle_deterministic_no_global_sort(spark, sf_small):
+    """The training-order shuffle must be ONE exchange on the shard key
+    plus per-shard sorts — a Window partitioned by shard, never an
+    empty-partition window or a global Sort (either would funnel the
+    corpus through one task)."""
+    p = plan_of(QUERIES["shuffle_deterministic"](spark, sf_small))
+    assert p.count(") Exchange") == 1, p
+    assert "hashpartitioning(shard" in p, p
+    assert "partitionBy=[shard" not in p or "Window" in p  # sanity
+    # the sort is the window's per-partition sort, keyed by shard first
+    sort_line = next(l for l in p.splitlines() if "Arguments: [shard" in l)
+    assert "ASC NULLS FIRST" in sort_line, sort_line
 
 
 def test_bucketed_fact_join_no_shuffle(spark, sf_small, tmp_path):
