@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "quality_signals",
     "repetition_signals",
     "lm_perplexity",
+    "lm_perplexity_persisted",
     "shuffle_deterministic",
     "sample_stratified",
     "sample_mixture",

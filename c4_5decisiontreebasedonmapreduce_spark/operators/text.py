@@ -306,7 +306,24 @@ def lm_perplexity(
     base = d.select(
         "doc_id", tokens_col(F.col("text")).alias("toks")
     ).localCheckpoint()
-    vocab = (
+    vocab = _lm_vocab(base, top_v)
+    v_size = vocab.select((F.count("*") + 1).alias("v"))
+    dbg = (
+        _lm_unk_mapped(_lm_bigram_rows(base), vocab)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    bc = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    uc = dbg.groupBy("w1").agg(F.sum("c").alias("c1"))
+    return _lm_doc_bits(dbg, bc, uc, v_size)
+
+
+def _lm_vocab(base: DataFrame, top_v: int) -> DataFrame:
+    """Top-``top_v`` unigrams of a ``(doc_id, toks)`` relation with the
+    deterministic (count DESC, token ASC) tie-break — a streaming top-K
+    (TakeOrderedAndProject), never a global sort."""
+    return (
         base.select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("c"))
@@ -314,9 +331,13 @@ def lm_perplexity(
         .limit(top_v)
         .select("token")
     )
-    v_size = vocab.select((F.count("*") + 1).alias("v"))
+
+
+def _lm_bigram_rows(base: DataFrame) -> DataFrame:
+    """``(doc_id, w1raw, w2raw)`` adjacent-bigram occurrences straight
+    off the token arrays — no per-doc window, no corpus shuffle."""
     n = F.size("toks")
-    bg = base.where(n >= 2).select(
+    return base.where(n >= 2).select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), n - 1)).alias("pos"),
         "toks",
@@ -326,6 +347,11 @@ def lm_perplexity(
         F.element_at("toks", F.col("pos") + 1).alias("w2raw"),
     )
 
+
+def _lm_unk_mapped(bg: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Map both bigram slots through the (broadcast) vocabulary —
+    out-of-vocabulary tokens become ``<unk>``."""
+
     def unk_map(raw: str, out: str):
         alias = f"v_{out}"
         return (
@@ -334,7 +360,7 @@ def lm_perplexity(
             ).otherwise(F.lit(LM_UNK)).alias(out)
         )
 
-    mapped = (
+    return (
         bg.join(
             F.broadcast(vocab.alias("v_w1")),
             F.col("w1raw") == F.col("v_w1.token"),
@@ -347,17 +373,24 @@ def lm_perplexity(
         )
         .select("doc_id", unk_map("w1raw", "w1"), unk_map("w2raw", "w2"))
     )
-    dbg = (
-        mapped.groupBy("doc_id", "w1", "w2")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+
+
+def _lm_doc_bits(
+    dbg: DataFrame, bc: DataFrame, uc: DataFrame, v_size: DataFrame
+) -> DataFrame:
+    """Per-doc average surprisal from per-(doc, bigram) counts and the
+    LM count tables. LEFT joins with 0 defaults so the same path scores
+    bigrams the LM never saw (the persisted train/score split) —
+    equivalent to inner joins when the LM was trained on the scored
+    corpus itself. ``uc`` is broadcast-hinted: it has at most V+1 rows
+    BY CONSTRUCTION (w1 ∈ vocab ∪ unk), unlike the V²-bounded ``bc``."""
+    bits = -F.log2(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
     )
-    bc = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
-    uc = dbg.groupBy("w1").agg(F.sum("c").alias("c1"))
-    bits = -F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
     return (
-        dbg.join(bc, ["w1", "w2"])
-        .join(uc, "w1")
+        dbg.join(bc, ["w1", "w2"], "left")
+        .join(F.broadcast(uc), "w1", "left")
         .crossJoin(F.broadcast(v_size))
         .groupBy("doc_id")
         .agg(
@@ -367,6 +400,175 @@ def lm_perplexity(
             ).alias("bits_per_bigram"),
         )
     )
+
+
+# train/score split for the persisted LM (the "train offline, score at
+# ingest" shape): the LM trains on the corpus slice, arriving documents
+# are the held-out batch slice — the same deterministic doc_id split
+# convention as the incremental dedup family (dedup.py INCR_BATCH_*),
+# restated locally to keep text ↔ dedup import-acyclic.
+LM_BATCH_MOD = 10
+LM_BATCH_REM = 7
+
+
+def write_lm_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "lm_bigrams",
+    n_buckets: int = 8,
+    path: str | None = None,
+    top_v: int = LM_VOCAB_TOP,
+) -> DataFrame:
+    """Persist the bigram LM trained on the CORPUS slice
+    (``doc_id % LM_BATCH_MOD != LM_BATCH_REM``) as three tables:
+    ``{table}`` — (w1, w2, c12) bigram counts BUCKETED BY (w1, w2), the
+    scoring join's key, so every future scoring batch joins the LM with
+    NO Exchange on the LM side (the amortization of
+    ``dedup.write_incremental_corpus``, applied to model state);
+    ``{table}_prefix`` — (w1, c1) prefix counts and ``{table}_vocab`` —
+    both ≤ V+1 rows by construction, read + broadcast at score time.
+    Training runs ONCE; every micro-batch/ingest scoring pass afterwards
+    touches only batch-sized data plus these tables."""
+    d = docs(spark, sf_dir).where(
+        (F.col("doc_id") % LM_BATCH_MOD) != LM_BATCH_REM
+    )
+    base = d.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).localCheckpoint()
+    vocab = _lm_vocab(base, top_v)
+    occ = (
+        _lm_unk_mapped(_lm_bigram_rows(base), vocab)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint()  # feeds the bigram table AND the prefix rollup
+    )
+    writer = (
+        occ.write.mode("overwrite")
+        .bucketBy(n_buckets, "w1", "w2")
+        .sortBy("w1", "w2")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    uc_writer = (
+        occ.groupBy("w1").agg(F.sum("c12").alias("c1")).write
+        .mode("overwrite")
+    )
+    if path is not None:
+        uc_writer = uc_writer.option("path", path + "_prefix")
+    uc_writer.saveAsTable(f"{table}_prefix")
+    v_writer = vocab.write.mode("overwrite")
+    if path is not None:
+        v_writer = v_writer.option("path", path + "_vocab")
+    v_writer.saveAsTable(f"{table}_vocab")
+    return spark.table(table)
+
+
+def lm_perplexity_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str | None = None,
+) -> DataFrame:
+    """Score the BATCH slice (``doc_id % LM_BATCH_MOD == LM_BATCH_REM``
+    — the arriving documents) against the PERSISTED bigram LM
+    (:func:`write_lm_table`): the ingest-time quality scoring every
+    CCNet-style pipeline runs, with the model trained offline. Unseen
+    bigrams back off through the LEFT-join defaults
+    (``(0+1)/(c1+V)``, or ``1/V`` for a prefix the LM never saw).
+
+    Scale shape: only batch-sized relations are computed here — the
+    corpus appears solely through the three persisted tables; the
+    bigram-count join reads the LM side pre-partitioned on (w1, w2)
+    (bucketed scan, zero LM-side Exchange — plan-pinned); vocab and
+    prefix tables are ≤ V+1 rows and broadcast. Pass ``table=None``
+    to compute the LM in-memory (the untabled twin, used by the
+    equality pin)."""
+    if table is not None:
+        bc = spark.table(table)
+        uc = spark.table(f"{table}_prefix")
+        vocab = spark.table(f"{table}_vocab")
+    else:
+        d = docs(spark, sf_dir).where(
+            (F.col("doc_id") % LM_BATCH_MOD) != LM_BATCH_REM
+        )
+        base = d.select(
+            "doc_id", tokens_col(F.col("text")).alias("toks")
+        ).localCheckpoint()
+        vocab = _lm_vocab(base, LM_VOCAB_TOP)
+        bc = (
+            _lm_unk_mapped(_lm_bigram_rows(base), vocab)
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("c12"))
+            .localCheckpoint()
+        )
+        uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v_size = vocab.select((F.count("*") + 1).alias("v"))
+    batch = docs(spark, sf_dir).where(
+        (F.col("doc_id") % LM_BATCH_MOD) == LM_BATCH_REM
+    )
+    base_b = batch.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    dbg = (
+        _lm_unk_mapped(_lm_bigram_rows(base_b), F.broadcast(vocab))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    return _lm_doc_bits(dbg, bc, uc, v_size)
+
+
+def _lm_persisted_sql(top_v: int = LM_VOCAB_TOP) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM {DOCS_SQL}
+),
+train AS (SELECT * FROM base WHERE doc_id % {LM_BATCH_MOD} <> {LM_BATCH_REM}),
+score AS (SELECT * FROM base WHERE doc_id % {LM_BATCH_MOD} = {LM_BATCH_REM}),
+vocab AS (
+  SELECT token FROM (
+    SELECT UNNEST(toks) AS token FROM train
+  ) GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT {top_v}
+),
+vsize AS (SELECT COUNT(*) + 1 AS v FROM vocab),
+bgr_t AS (
+  SELECT toks[pos] AS w1raw, toks[pos + 1] AS w2raw
+  FROM (
+    SELECT toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS pos
+    FROM train WHERE LEN(toks) >= 2
+  )
+),
+mapped_t AS (
+  SELECT CASE WHEN v1.token IS NOT NULL THEN w1raw ELSE '{LM_UNK}' END AS w1,
+         CASE WHEN v2.token IS NOT NULL THEN w2raw ELSE '{LM_UNK}' END AS w2
+  FROM bgr_t LEFT JOIN vocab v1 ON bgr_t.w1raw = v1.token
+             LEFT JOIN vocab v2 ON bgr_t.w2raw = v2.token
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM mapped_t GROUP BY 1, 2),
+uc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+bgr_s AS (
+  SELECT doc_id, toks[pos] AS w1raw, toks[pos + 1] AS w2raw
+  FROM (
+    SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS pos
+    FROM score WHERE LEN(toks) >= 2
+  )
+),
+mapped_s AS (
+  SELECT doc_id,
+         CASE WHEN v1.token IS NOT NULL THEN w1raw ELSE '{LM_UNK}' END AS w1,
+         CASE WHEN v2.token IS NOT NULL THEN w2raw ELSE '{LM_UNK}' END AS w2
+  FROM bgr_s LEFT JOIN vocab v1 ON bgr_s.w1raw = v1.token
+             LEFT JOIN vocab v2 ON bgr_s.w2raw = v2.token
+),
+dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM mapped_s GROUP BY 1, 2, 3)
+SELECT dbg.doc_id,
+       CAST(SUM(dbg.c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(dbg.c * -LOG2((COALESCE(bc.c12, 0) + 1)
+                               / CAST(COALESCE(uc.c1, 0) + vsize.v AS DOUBLE)))
+             / SUM(dbg.c), 6) AS bits_per_bigram
+FROM dbg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+CROSS JOIN vsize
+GROUP BY dbg.doc_id"""
+
+
+LM_PERSISTED_SQL = _lm_persisted_sql()
 
 
 def _lm_perplexity_sql(top_v: int = LM_VOCAB_TOP) -> str:

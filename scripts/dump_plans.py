@@ -70,6 +70,12 @@ HEADLINE = {
         "vocab top-V via TakeOrderedAndProject, LM joins unhinted "
         "(AQE-broadcast at small scale, V-bounded at large)"
     ),
+    "lm_perplexity_persisted": (
+        "ingest scoring against the persisted corpus-trained LM: only "
+        "batch-sized relations computed; the (w1,w2)-bucketed bigram "
+        "table joins with zero LM-side Exchange; vocab/prefix tables "
+        "are V-bounded broadcasts"
+    ),
     "shuffle_deterministic": (
         "reproducible random training order: ONE exchange on the hash "
         "shard + per-shard window sorts — never a global sort or "

@@ -40,6 +40,8 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D  # noqa:
 from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import pii as PII  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import pipeline as PL  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import sampling as SMP  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (  # noqa: E402
     load_table,
 )
@@ -101,6 +103,10 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("scrub_pii", PII.pii_scrub),
             ("pack_sequences", PK.pack_sequences),
             ("pipeline_pretraining", PL.pretraining_pipeline),
+            ("lm_perplexity", TX.lm_perplexity),
+            ("repetition_signals", TX.repetition_signals),
+            ("shuffle_deterministic", PK.shuffle_deterministic),
+            ("sample_mixture", SMP.sample_mixture),
         ):
             t0 = time.perf_counter()
             rec[f"{name}_rows"] = fn(spark, tmp).count()

@@ -1657,3 +1657,31 @@ def test_pack_incremental_empty_batch(spark, sf_small):
     assert out.columns == [
         "shard", "chunk_id", "doc_id", "slice_start", "slice_len",
     ]
+
+
+def test_lm_persisted_matches_inmemory(spark, sf_small, tmp_path):
+    """Batch scores joined against the PERSISTED bucketed LM tables are
+    byte-identical to the in-memory train/score twin — the persistence
+    is pure amortization, not a semantic fork (the exact-dedup
+    persistence contract, applied to model state)."""
+    TXX.write_lm_table(
+        spark,
+        sf_small,
+        table="lm_eq_test",
+        path=str(tmp_path / "lm_eq"),
+    )
+    try:
+        got = sorted(
+            tuple(r)
+            for r in TXX.lm_perplexity_persisted(
+                spark, sf_small, table="lm_eq_test"
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in TXX.lm_perplexity_persisted(spark, sf_small).collect()
+        )
+        assert got == want and got
+    finally:
+        for t in ("lm_eq_test", "lm_eq_test_prefix", "lm_eq_test_vocab"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

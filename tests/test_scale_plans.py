@@ -395,6 +395,45 @@ def test_shuffle_deterministic_no_global_sort(spark, sf_small):
     assert "ASC NULLS FIRST" in sort_line, sort_line
 
 
+def test_lm_persisted_table_join_no_shuffle(spark, sf_small, tmp_path):
+    """The persisted bigram-LM table (bucketed by the scoring join's
+    (w1, w2) key) must join the batch's per-(doc, bigram) counts with NO
+    Exchange on the LM side — model state is the big static side of
+    every ingest-scoring join, and re-shuffling it per batch would erase
+    the write-once amortization. Mirrors
+    test_incremental_persisted_corpus_join_no_shuffle."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX
+
+    table = "lm_plan_test"
+    bc = TX.write_lm_table(
+        spark, sf_small, table=table, n_buckets=8,
+        path=str(tmp_path / "lm_bigrams"),
+    )
+    vocab = spark.table(f"{table}_vocab")
+    batch = TX.docs(spark, sf_small).where(
+        (F.col("doc_id") % TX.LM_BATCH_MOD) == TX.LM_BATCH_REM
+    ).select("doc_id", TX.tokens_col(F.col("text")).alias("toks"))
+    dbg = (
+        TX._lm_unk_mapped(TX._lm_bigram_rows(batch), vocab)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = dbg.join(bc, ["w1", "w2"], "left")
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Bucketed: true" in p, p
+        assert p.count(") Exchange") == 1, p  # the batch side only
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in (table, f"{table}_prefix", f"{table}_vocab"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_bucketed_fact_join_no_shuffle(spark, sf_small, tmp_path):
     """Fact-to-fact co-location (sources/layout.py): orders and lineitem
     written bucketed by orderkey into the same bucket count must join
