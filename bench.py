@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "scrub_pii",
     "pack_sequences",
     "pipeline_pretraining",
+    "pipeline_mixture_pack",
     "similarity_topk",
 ]
 

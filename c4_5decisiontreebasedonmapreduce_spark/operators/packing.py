@@ -151,16 +151,25 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack(d)
 
 
-def _pack_sql(seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS) -> str:
+def _pack_sql(
+    seq_len: int = SEQ_LEN,
+    n_shards: int = N_SHARDS,
+    source_sql: str = DOCS_SQL,
+    prelude: str = "",
+) -> str:
+    """``prelude`` inserts extra CTEs ahead of the pack chain (the
+    mixture pipeline prepends its virtual-document CTEs and points
+    ``source_sql`` at them); defaults reproduce PACK_SEQUENCES_SQL
+    byte-for-byte."""
     shard = md5_long_sql(
         "CONCAT('" + _SHARD_SEED + "', CAST(doc_id AS VARCHAR))"
     )
     return f"""
-WITH toks AS (
+WITH {prelude}toks AS (
   SELECT doc_id,
          CAST(LEN({_tokens_sql('text')}) AS BIGINT) AS n_tokens,
          CAST({shard} % {n_shards} AS INT) AS shard
-  FROM {DOCS_SQL}
+  FROM {source_sql}
 ),
 spans AS (
   SELECT doc_id, n_tokens, shard,
@@ -491,3 +500,85 @@ FROM keyed"""
 
 
 SHUFFLE_DETERMINISTIC_SQL = _shuffle_deterministic_sql()
+
+
+# ---------------------------------------------------------------------------
+# mixture → pack: the domain-weighted corpus-to-shards pipeline
+
+# virtual-document key: doc_id·1000 + epoch. Collision needs ≥ 1000
+# epochs of one document (a mixture rate of 10⁹ ppm·1000 — no real
+# config) and int64 overflow needs doc_id > 9.2e15; both are documented
+# bounds, not runtime checks.
+_EPOCH_KEY_BASE = 1000
+
+
+def pipeline_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end domain-weighted pipeline: epoch-aware mixture
+    resampling (``sampling.sample_mixture`` — scarce sources repeat,
+    dominant ones downsample) feeding :func:`pack` — i.e. "2.3 epochs
+    of Wikipedia" flowing all the way into fixed-length training
+    windows. Each (doc, epoch) emission becomes a VIRTUAL document
+    (key ``doc_id·1000 + epoch``), so repeated epochs of one document
+    land in different hash shards and different stream positions —
+    repetition spreads across the training run instead of clumping.
+
+    Scale shape: the mixture half never shuffles the corpus (broadcast
+    rates + explode next to the scan); the packing half is the standard
+    per-shard prefix sum over ``n_shards`` independent window
+    partitions. One corpus scan end to end."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
+        sample_mixture,
+    )
+
+    m = sample_mixture(spark, sf_dir, keep_text=True)
+    vdocs = m.select(
+        (F.col("doc_id") * _EPOCH_KEY_BASE + F.col("epoch")).alias("doc_id"),
+        "text",
+    )
+    return pack(vdocs)
+
+
+def _mixture_pack_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
+        MIX_TOKEN_BUDGET,
+        MIXTURE_WEIGHTS_PM,
+        _MIX_SEED,
+        _MOD,
+    )
+
+    w_values = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(MIXTURE_WEIGHTS_PM.items())
+    )
+    u = md5_long_sql(
+        "CONCAT('" + _MIX_SEED + "', CAST(mtoks.doc_id AS VARCHAR))"
+    )
+    prelude = f"""mtoks AS (
+  SELECT doc_id, text, source, LEN({_tokens_sql('text')}) AS n_tokens
+  FROM {DOCS_SQL}
+),
+w(source, weight_pm) AS (VALUES {w_values}),
+mrates AS (
+  SELECT mtoks.source,
+         CAST(FLOOR(CAST(CAST(w.weight_pm AS BIGINT) * {MIX_TOKEN_BUDGET}
+                         * 1000 AS DOUBLE)
+                    / SUM(mtoks.n_tokens)) AS BIGINT) AS rate_ppm
+  FROM mtoks JOIN w USING (source) GROUP BY mtoks.source, w.weight_pm
+),
+mj AS (
+  SELECT mtoks.doc_id, mtoks.text,
+         mrates.rate_ppm // {_MOD}
+         + CASE WHEN {u} % {_MOD} < mrates.rate_ppm % {_MOD}
+                THEN 1 ELSE 0 END AS n_copies
+  FROM mtoks JOIN mrates USING (source)
+),
+vdocs AS (
+  SELECT doc_id * {_EPOCH_KEY_BASE}
+           + CAST(UNNEST(generate_series(1, n_copies)) AS BIGINT) AS doc_id,
+         text
+  FROM mj WHERE n_copies >= 1
+),
+"""
+    return _pack_sql(source_sql="vdocs", prelude=prelude)
+
+
+PIPELINE_MIXTURE_PACK_SQL = _mixture_pack_sql()

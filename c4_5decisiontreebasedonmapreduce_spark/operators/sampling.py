@@ -196,7 +196,10 @@ _MIX_SEED = "mix|"
 
 
 def sample_mixture(
-    spark: SparkSession, sf_dir: str, budget: int = MIX_TOKEN_BUDGET
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = MIX_TOKEN_BUDGET,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Epoch-aware mixture resampling: hit a target per-source token
     MIX (``MIXTURE_WEIGHTS_PM``, per-mille of ``budget``) where scarce
@@ -226,10 +229,12 @@ def sample_mixture(
         tokens_col,
     )
 
+    text_cols = ["text"] if keep_text else []
     d = docs(spark, sf_dir).select(
         "doc_id",
         "source",
         F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        *text_cols,
     )
     weights = spark.createDataFrame(
         sorted(MIXTURE_WEIGHTS_PM.items()), "source string, weight_pm long"
@@ -258,6 +263,7 @@ def sample_mixture(
             "source",
             "n_tokens",
             n_copies.alias("n_copies"),
+            *text_cols,
         )
         .where(F.col("n_copies") >= 1)
         .select(
@@ -267,6 +273,7 @@ def sample_mixture(
             F.explode(
                 F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
             ).alias("epoch"),
+            *text_cols,
         )
     )
 

@@ -1720,6 +1720,15 @@ _register(
     PK.SHUFFLE_DETERMINISTIC_SQL,
 )
 
+# the domain-weighted end-to-end: mixture epochs become virtual
+# documents (doc_id·1000 + epoch) flowing straight into the packer —
+# one corpus scan, corpus never shuffled on the mixture half
+_register(
+    "pipeline_mixture_pack",
+    PK.pipeline_mixture_pack,
+    PK.PIPELINE_MIXTURE_PACK_SQL,
+)
+
 # the WHOLE pre-training prep as one declarative query: scrub → exact
 # dedup → quality gate → packing manifest; one scan, two data-sized
 # exchanges at any scale (plan-pinned)

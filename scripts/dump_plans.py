@@ -70,6 +70,12 @@ HEADLINE = {
         "vocab top-V via TakeOrderedAndProject, LM joins unhinted "
         "(AQE-broadcast at small scale, V-bounded at large)"
     ),
+    "pipeline_mixture_pack": (
+        "mixture epochs as virtual documents (doc_id*1000 + epoch) "
+        "flowing into the per-shard packer: broadcast rates + explode "
+        "next to the scan, then the standard n_shards-parallel prefix "
+        "sum — one corpus scan end to end"
+    ),
     "lm_perplexity_persisted": (
         "ingest scoring against the persisted corpus-trained LM: only "
         "batch-sized relations computed; the (w1,w2)-bucketed bigram "

@@ -470,6 +470,54 @@ def test_sample_softdedup_collapses_duplicate_mass(spark, sf_small):
     assert all(kept[d] >= 2 for d in kept_clustered)
 
 
+def test_pipeline_mixture_pack_conserves_epoch_token_mass(spark, sf_small):
+    """The mixture→pack composition must pack EXACTLY the mixture's
+    emitted token mass (every epoch of every sampled doc, nothing else),
+    and repeated epochs of one document must be independent virtual
+    documents — landing in ≥ 2 different hash shards for at least one
+    upsampled doc (repetition spreads across the training run instead
+    of clumping into one shard)."""
+    import collections
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.operators import sampling as SMP
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long,
+    )
+
+    m = SMP.sample_mixture(spark, sf_small).collect()
+    mixture_tokens = sum(r.n_tokens for r in m)
+    packed = PK.pipeline_mixture_pack(spark, sf_small).collect()
+    assert sum(r.n_tokens for r in packed) == mixture_tokens
+    # per-shard windows: all but the last hold exactly SEQ_LEN tokens
+    last_chunk = collections.defaultdict(int)
+    for r in packed:
+        last_chunk[r.shard] = max(last_chunk[r.shard], r.chunk_id)
+    assert all(
+        r.n_tokens == PK.SEQ_LEN
+        for r in packed
+        if r.chunk_id < last_chunk[r.shard]
+    )
+    # an upsampled doc's epochs are distinct virtual docs in ≥ 2 shards
+    epochs = collections.Counter(r.doc_id for r in m)
+    multi = [d for d, n in epochs.items() if n >= 2]
+    assert multi
+    vkeys = spark.createDataFrame(
+        [(d * PK._EPOCH_KEY_BASE + e,) for d in multi
+         for e in range(1, epochs[d] + 1)],
+        "doc_id long",
+    ).select(
+        "doc_id",
+        (md5_long(F.concat(F.lit(PK._SHARD_SEED),
+                           F.col("doc_id").cast("string")))
+         % PK.N_SHARDS).alias("shard"),
+    ).collect()
+    shards_of = collections.defaultdict(set)
+    for r in vkeys:
+        shards_of[r.doc_id // PK._EPOCH_KEY_BASE].add(r.shard)
+    assert any(len(s) >= 2 for s in shards_of.values())
+
+
 def test_asof_forward_fixture_has_no_ties(spark, sf_small, sf_oracle):
     """asof_join_forward's deterministic tie-break (min event_id at an
     equal (user_id, ts)) could diverge from DuckDB's arbitrary ASOF tie
