@@ -49,7 +49,9 @@ BENCH_QUERIES = [
     # relational surface
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
+    "q10_returned_items",
     "join_broadcast",
     "window_funcs",
     "asof_join",

@@ -1183,3 +1183,99 @@ SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
                   ELSE b.o_totalprice END, 2) AS o_totalprice
 FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
 WHERE COALESCE(c.op, '') <> 'D'"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-decorrelated semi-join + grouped count —
+    orders in a quarter having at least one returned line, counted per
+    priority. (The stock Q4 predicate is l_commitdate < l_receiptdate;
+    this schema carries neither column, so the existence test is
+    ``l_returnflag = 'R'`` — the shape under test is the correlated
+    EXISTS Catalyst rewrites to a LEFT SEMI join, not the predicate.)
+
+    Scale shape: the orders scan carries the pushed date range; the
+    semi-join probes a returned-lines projection that never expands
+    orders rows (semi, not inner — no duplicate-count bug); the final
+    aggregate is priorities-sized with map-side partials."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(
+            li.where(F.col("l_returnflag") == "R").select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-table join (customer ⋈ orders ⋈ lineitem ⋈
+    nation) over a quarter's RETURNED lines, revenue per customer,
+    deterministic top-20 (revenue DESC, custkey ASC tie-break — both
+    engines must select the same 20 rows). Columns trimmed to this
+    schema (no address/phone/comment in the synthetic customer).
+
+    Scale shape: customer and nation broadcast off the one
+    lineitem ⋈ orders pass (orders carries the pushed date range,
+    lineitem the returnflag filter); the only data-sized exchange is
+    the per-customer aggregate; top-20 is TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,6)")
+        - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(
+            li.where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # round the EXACT decimal sum, then cast: rounding after the
+        # lossy double cast flipped a .595 boundary vs DuckDB at sf0.01
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1.0 AS DECIMAL(18,6))
+              - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+      AS revenue
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20"""

@@ -1330,6 +1330,10 @@ _register(
     D.DEDUP_EXACT_INCR_SQL,
 )
 _register("agg_percentiles", R.percentiles_by_flag, R.PERCENTILES_SQL)
+# TPC-H Q4/Q10 shapes: EXISTS→semi-join + count, and the 4-table
+# returned-items top-20 (dims broadcast off one fact pass)
+_register("q4_order_priority", R.q4_order_priority, R.Q4_SQL)
+_register("q10_returned_items", R.q10_returned_items, R.Q10_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental
 # clustering shares dedup_cluster's oracle (identical output, pinned

@@ -101,6 +101,15 @@ HEADLINE = {
         "dedup + quality gate + language rollup fused into ONE scan of "
         "documents"
     ),
+    "q4_order_priority": (
+        "EXISTS as LEFT SEMI join (no fact-row duplication) with the "
+        "quarter's range pushed to the orders scan; priorities-sized agg"
+    ),
+    "q10_returned_items": (
+        "4-table returned-items: customer/nation broadcast off one "
+        "lineitem x orders pass (returnflag + date pushed); top-20 via "
+        "TakeOrderedAndProject"
+    ),
     "q5_local_supplier": (
         "6-table join: every dimension broadcast off one fact pass; the "
         "only shuffle is the 25-group final aggregation"

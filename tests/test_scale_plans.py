@@ -134,6 +134,8 @@ _SCAN_BUDGET = {
     # final plan reads only the two materialized relations
     "lm_perplexity": 0,
     "shuffle_deterministic": 1,  # scan → shard exchange → per-shard sort
+    "q4_order_priority": 2,  # orders + the returned-lines projection
+    "q10_returned_items": 4,  # one scan per joined table
     "q5_local_supplier": 6,  # one scan per joined table
     "multimodal_frames": 0,  # both consumers read the decode checkpoint
     "c45_predict": 1,  # trie CASE WHEN evaluates in the scan's one pass
@@ -432,6 +434,25 @@ def test_lm_persisted_table_join_no_shuffle(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in (table, f"{table}_prefix", f"{table}_vocab"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q4_semi_join_with_pushed_range(spark, sf_small):
+    """Q4's EXISTS must execute as a LEFT SEMI join (orders rows never
+    duplicate against multi-line orders) with the quarter's date range
+    pushed into the orders scan."""
+    p = plan_of(QUERIES["q4_order_priority"](spark, sf_small))
+    assert "LeftSemi" in p, p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" in p, p
+
+
+def test_q10_dims_broadcast_one_fact_pass(spark, sf_small):
+    """Q10: customer and nation broadcast off the single
+    lineitem ⋈ orders pass; the returnflag filter reaches the lineitem
+    scan; top-20 via TakeOrderedAndProject, never a global sort."""
+    p = plan_of(QUERIES["q10_returned_items"](spark, sf_small))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "EqualTo(l_returnflag,R)" in p, p
 
 
 def test_bucketed_fact_join_no_shuffle(spark, sf_small, tmp_path):
