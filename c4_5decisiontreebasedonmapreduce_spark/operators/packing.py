@@ -49,11 +49,18 @@ def _sharded_tokens(docs_df: DataFrame, n_shards: int, with_tokens: bool = False
     """``(doc_id, n_tokens, shard[, toks])`` for every non-empty doc —
     the deterministic portable-hash shard assignment every packing
     entry point shares. ``with_tokens=True`` carries the token array
-    itself (the writer slices it in place, no re-tokenize join)."""
-    toks = tokens_col(F.col("text"))
-    cols = ["doc_id", F.size(toks).alias("n_tokens")]
-    if with_tokens:
-        cols.append(toks.alias("toks"))
+    itself (the writer slices it in place, no re-tokenize join). A
+    precomputed ``n_tokens`` column on ``docs_df`` is used as-is when
+    only counts are needed — the mixture pipeline threads
+    ``sample_mixture``'s counts through so an upsampled document's
+    epoch copies are never re-tokenized per copy."""
+    if not with_tokens and "n_tokens" in docs_df.columns:
+        cols = ["doc_id", F.col("n_tokens").cast("int").alias("n_tokens")]
+    else:
+        toks = tokens_col(F.col("text"))
+        cols = ["doc_id", F.size(toks).alias("n_tokens")]
+        if with_tokens:
+            cols.append(toks.alias("toks"))
     return (
         docs_df.select(*cols)
         .where(F.col("n_tokens") > 0)
@@ -156,6 +163,7 @@ def _pack_sql(
     n_shards: int = N_SHARDS,
     source_sql: str = DOCS_SQL,
     prelude: str = "",
+    n_tokens_sql: str | None = None,
 ) -> str:
     """``prelude`` inserts extra CTEs ahead of the pack chain (the
     mixture pipeline prepends its virtual-document CTEs and points
@@ -164,10 +172,11 @@ def _pack_sql(
     shard = md5_long_sql(
         "CONCAT('" + _SHARD_SEED + "', CAST(doc_id AS VARCHAR))"
     )
+    count = n_tokens_sql or f"CAST(LEN({_tokens_sql('text')}) AS BIGINT)"
     return f"""
 WITH {prelude}toks AS (
   SELECT doc_id,
-         CAST(LEN({_tokens_sql('text')}) AS BIGINT) AS n_tokens,
+         {count} AS n_tokens,
          CAST({shard} % {n_shards} AS INT) AS shard
   FROM {source_sql}
 ),
@@ -523,62 +532,45 @@ def pipeline_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition spreads across the training run instead of clumping.
 
     Scale shape: the mixture half never shuffles the corpus (broadcast
-    rates + explode next to the scan); the packing half is the standard
+    rates + explode next to the scan; its per-source totals aggregate is
+    the second of the plan's TWO corpus scans — the same audited budget
+    as `sample_mixture` itself); the packing half is the standard
     per-shard prefix sum over ``n_shards`` independent window
-    partitions. One corpus scan end to end."""
+    partitions."""
     from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
         sample_mixture,
     )
 
-    m = sample_mixture(spark, sf_dir, keep_text=True)
+    m = sample_mixture(spark, sf_dir)
     vdocs = m.select(
         (F.col("doc_id") * _EPOCH_KEY_BASE + F.col("epoch")).alias("doc_id"),
-        "text",
+        "n_tokens",  # precomputed — epoch copies are never re-tokenized
     )
     return pack(vdocs)
 
 
 def _mixture_pack_sql() -> str:
     from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
-        MIX_TOKEN_BUDGET,
-        MIXTURE_WEIGHTS_PM,
-        _MIX_SEED,
-        _MOD,
+        mixture_prelude_sql,
     )
 
-    w_values = ", ".join(
-        f"('{k}', {v})" for k, v in sorted(MIXTURE_WEIGHTS_PM.items())
-    )
-    u = md5_long_sql(
-        "CONCAT('" + _MIX_SEED + "', CAST(mtoks.doc_id AS VARCHAR))"
-    )
-    prelude = f"""mtoks AS (
-  SELECT doc_id, text, source, LEN({_tokens_sql('text')}) AS n_tokens
-  FROM {DOCS_SQL}
-),
-w(source, weight_pm) AS (VALUES {w_values}),
-mrates AS (
-  SELECT mtoks.source,
-         CAST(FLOOR(CAST(CAST(w.weight_pm AS BIGINT) * {MIX_TOKEN_BUDGET}
-                         * 1000 AS DOUBLE)
-                    / SUM(mtoks.n_tokens)) AS BIGINT) AS rate_ppm
-  FROM mtoks JOIN w USING (source) GROUP BY mtoks.source, w.weight_pm
-),
-mj AS (
-  SELECT mtoks.doc_id, mtoks.text,
-         mrates.rate_ppm // {_MOD}
-         + CASE WHEN {u} % {_MOD} < mrates.rate_ppm % {_MOD}
-                THEN 1 ELSE 0 END AS n_copies
-  FROM mtoks JOIN mrates USING (source)
-),
+    # mixture CTEs come from sampling's ONE builder (prefixed "m" to
+    # avoid the pack chain's own `toks`), so the pipeline oracle can
+    # never drift from the registered sample_mixture oracle; vdocs
+    # carries the mixture's n_tokens so epoch copies aren't re-counted
+    prelude = f"""{mixture_prelude_sql(prefix="m")},
 vdocs AS (
   SELECT doc_id * {_EPOCH_KEY_BASE}
            + CAST(UNNEST(generate_series(1, n_copies)) AS BIGINT) AS doc_id,
-         text
+         n_tokens
   FROM mj WHERE n_copies >= 1
 ),
 """
-    return _pack_sql(source_sql="vdocs", prelude=prelude)
+    return _pack_sql(
+        source_sql="vdocs",
+        prelude=prelude,
+        n_tokens_sql="CAST(n_tokens AS BIGINT)",
+    )
 
 
 PIPELINE_MIXTURE_PACK_SQL = _mixture_pack_sql()

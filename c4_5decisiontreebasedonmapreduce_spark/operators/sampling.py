@@ -278,37 +278,51 @@ def sample_mixture(
     )
 
 
-def _sample_mixture_sql(budget: int = MIX_TOKEN_BUDGET) -> str:
+def mixture_prelude_sql(
+    budget: int = MIX_TOKEN_BUDGET, prefix: str = ""
+) -> str:
+    """The mixture oracle's CTE chain (``{prefix}toks`` /
+    ``{prefix}rates`` / ``{prefix}j`` — prefix the names when embedding
+    into a query with its own CTEs), emitted from ONE builder so the
+    registered `sample_mixture` oracle and every composed pipeline
+    oracle (e.g. `pipeline_mixture_pack`) pin the SAME rate/Bernoulli
+    arithmetic — a second hand-kept copy could silently drift."""
     from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
         _tokens_sql,
     )
 
+    t, r, j = f"{prefix}toks", f"{prefix}rates", f"{prefix}j"
+    w = f"{prefix}w"
     w_values = ", ".join(
         f"('{k}', {v})" for k, v in sorted(MIXTURE_WEIGHTS_PM.items())
     )
     u = md5_long_sql(
-        "CONCAT('" + _MIX_SEED + "', CAST(toks.doc_id AS VARCHAR))"
+        "CONCAT('" + _MIX_SEED + f"', CAST({t}.doc_id AS VARCHAR))"
     )
-    return f"""
-WITH toks AS (
+    return f"""{t} AS (
   SELECT doc_id, source, LEN({_tokens_sql('text')}) AS n_tokens
   FROM {DOCS_SQL}
 ),
-w(source, weight_pm) AS (VALUES {w_values}),
-rates AS (
-  SELECT toks.source,
-         CAST(FLOOR(CAST(CAST(w.weight_pm AS BIGINT) * {budget} * 1000
+{w}(source, weight_pm) AS (VALUES {w_values}),
+{r} AS (
+  SELECT {t}.source,
+         CAST(FLOOR(CAST(CAST({w}.weight_pm AS BIGINT) * {budget} * 1000
                          AS DOUBLE)
-                    / SUM(toks.n_tokens)) AS BIGINT) AS rate_ppm
-  FROM toks JOIN w USING (source) GROUP BY toks.source, w.weight_pm
+                    / SUM({t}.n_tokens)) AS BIGINT) AS rate_ppm
+  FROM {t} JOIN {w} USING (source) GROUP BY {t}.source, {w}.weight_pm
 ),
-j AS (
-  SELECT toks.doc_id, toks.source, toks.n_tokens,
-         rates.rate_ppm // {_MOD}
-         + CASE WHEN {u} % {_MOD} < rates.rate_ppm % {_MOD}
+{j} AS (
+  SELECT {t}.doc_id, {t}.source, {t}.n_tokens,
+         {r}.rate_ppm // {_MOD}
+         + CASE WHEN {u} % {_MOD} < {r}.rate_ppm % {_MOD}
                 THEN 1 ELSE 0 END AS n_copies
-  FROM toks JOIN rates USING (source)
-)
+  FROM {t} JOIN {r} USING (source)
+)"""
+
+
+def _sample_mixture_sql(budget: int = MIX_TOKEN_BUDGET) -> str:
+    return f"""
+WITH {mixture_prelude_sql(budget)}
 SELECT doc_id, source, n_tokens,
        CAST(UNNEST(generate_series(1, n_copies)) AS BIGINT) AS epoch
 FROM j WHERE n_copies >= 1"""
@@ -496,7 +510,6 @@ def sample_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
         dedup_cluster,
     )
-    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
 
     cluster = dedup_cluster(spark, sf_dir)
     sizes = cluster.groupBy("cluster_rep").agg(

@@ -411,6 +411,61 @@ LM_BATCH_MOD = 10
 LM_BATCH_REM = 7
 
 
+def _lm_vocab_cte_sql(src: str, top_v: int) -> str:
+    return f"""vocab AS (
+  SELECT token FROM (
+    SELECT UNNEST(toks) AS token FROM {src}
+  ) GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT {top_v}
+),
+vsize AS (SELECT COUNT(*) + 1 AS v FROM vocab)"""
+
+
+def _lm_bigram_map_cte_sql(src: str, bgr: str, mapped: str, with_doc: bool) -> str:
+    """The bigram-build + unk-map CTE pair over ``src`` — ONE emitter
+    for the in-session oracle and both halves (train/score) of the
+    persisted oracle, so a position-bound or unk-map fix can never be
+    applied to one copy and missed in another."""
+    doc = "doc_id, " if with_doc else ""
+    return f"""{bgr} AS (
+  SELECT {doc}toks[pos] AS w1raw, toks[pos + 1] AS w2raw
+  FROM (
+    SELECT {doc}toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS pos
+    FROM {src} WHERE LEN(toks) >= 2
+  )
+),
+{mapped} AS (
+  SELECT {doc}CASE WHEN v1.token IS NOT NULL THEN w1raw ELSE '{LM_UNK}' END AS w1,
+         CASE WHEN v2.token IS NOT NULL THEN w2raw ELSE '{LM_UNK}' END AS w2
+  FROM {bgr} LEFT JOIN vocab v1 ON {bgr}.w1raw = v1.token
+             LEFT JOIN vocab v2 ON {bgr}.w2raw = v2.token
+)"""
+
+
+def _lm_train(
+    spark: SparkSession, sf_dir: str, top_v: int
+) -> tuple:
+    """Train the corpus-slice bigram LM once: ``(vocab, bigram counts,
+    prefix counts)``. The ONE build shared by :func:`write_lm_table`
+    and :func:`lm_perplexity_persisted`'s untabled twin — the
+    persisted-vs-in-memory equality pin is structural, not two
+    hand-kept copies."""
+    d = docs(spark, sf_dir).where(
+        (F.col("doc_id") % LM_BATCH_MOD) != LM_BATCH_REM
+    )
+    base = d.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).localCheckpoint()
+    vocab = _lm_vocab(base, top_v)
+    bc = (
+        _lm_unk_mapped(_lm_bigram_rows(base), vocab)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint()  # feeds the bigram table AND the prefix rollup
+    )
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return vocab, bc, uc
+
+
 def write_lm_table(
     spark: SparkSession,
     sf_dir: str,
@@ -429,19 +484,7 @@ def write_lm_table(
     both ≤ V+1 rows by construction, read + broadcast at score time.
     Training runs ONCE; every micro-batch/ingest scoring pass afterwards
     touches only batch-sized data plus these tables."""
-    d = docs(spark, sf_dir).where(
-        (F.col("doc_id") % LM_BATCH_MOD) != LM_BATCH_REM
-    )
-    base = d.select(
-        "doc_id", tokens_col(F.col("text")).alias("toks")
-    ).localCheckpoint()
-    vocab = _lm_vocab(base, top_v)
-    occ = (
-        _lm_unk_mapped(_lm_bigram_rows(base), vocab)
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("c12"))
-        .localCheckpoint()  # feeds the bigram table AND the prefix rollup
-    )
+    vocab, occ, _uc = _lm_train(spark, sf_dir, top_v)
     writer = (
         occ.write.mode("overwrite")
         .bucketBy(n_buckets, "w1", "w2")
@@ -450,10 +493,7 @@ def write_lm_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
-    uc_writer = (
-        occ.groupBy("w1").agg(F.sum("c12").alias("c1")).write
-        .mode("overwrite")
-    )
+    uc_writer = _uc.write.mode("overwrite")
     if path is not None:
         uc_writer = uc_writer.option("path", path + "_prefix")
     uc_writer.saveAsTable(f"{table}_prefix")
@@ -488,20 +528,7 @@ def lm_perplexity_persisted(
         uc = spark.table(f"{table}_prefix")
         vocab = spark.table(f"{table}_vocab")
     else:
-        d = docs(spark, sf_dir).where(
-            (F.col("doc_id") % LM_BATCH_MOD) != LM_BATCH_REM
-        )
-        base = d.select(
-            "doc_id", tokens_col(F.col("text")).alias("toks")
-        ).localCheckpoint()
-        vocab = _lm_vocab(base, LM_VOCAB_TOP)
-        bc = (
-            _lm_unk_mapped(_lm_bigram_rows(base), vocab)
-            .groupBy("w1", "w2")
-            .agg(F.count("*").alias("c12"))
-            .localCheckpoint()
-        )
-        uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        vocab, bc, uc = _lm_train(spark, sf_dir, LM_VOCAB_TOP)
     v_size = vocab.select((F.count("*") + 1).alias("v"))
     batch = docs(spark, sf_dir).where(
         (F.col("doc_id") % LM_BATCH_MOD) == LM_BATCH_REM
@@ -522,41 +549,11 @@ WITH base AS (
 ),
 train AS (SELECT * FROM base WHERE doc_id % {LM_BATCH_MOD} <> {LM_BATCH_REM}),
 score AS (SELECT * FROM base WHERE doc_id % {LM_BATCH_MOD} = {LM_BATCH_REM}),
-vocab AS (
-  SELECT token FROM (
-    SELECT UNNEST(toks) AS token FROM train
-  ) GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT {top_v}
-),
-vsize AS (SELECT COUNT(*) + 1 AS v FROM vocab),
-bgr_t AS (
-  SELECT toks[pos] AS w1raw, toks[pos + 1] AS w2raw
-  FROM (
-    SELECT toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS pos
-    FROM train WHERE LEN(toks) >= 2
-  )
-),
-mapped_t AS (
-  SELECT CASE WHEN v1.token IS NOT NULL THEN w1raw ELSE '{LM_UNK}' END AS w1,
-         CASE WHEN v2.token IS NOT NULL THEN w2raw ELSE '{LM_UNK}' END AS w2
-  FROM bgr_t LEFT JOIN vocab v1 ON bgr_t.w1raw = v1.token
-             LEFT JOIN vocab v2 ON bgr_t.w2raw = v2.token
-),
+{_lm_vocab_cte_sql('train', top_v)},
+{_lm_bigram_map_cte_sql('train', 'bgr_t', 'mapped_t', with_doc=False)},
 bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM mapped_t GROUP BY 1, 2),
 uc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
-bgr_s AS (
-  SELECT doc_id, toks[pos] AS w1raw, toks[pos + 1] AS w2raw
-  FROM (
-    SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS pos
-    FROM score WHERE LEN(toks) >= 2
-  )
-),
-mapped_s AS (
-  SELECT doc_id,
-         CASE WHEN v1.token IS NOT NULL THEN w1raw ELSE '{LM_UNK}' END AS w1,
-         CASE WHEN v2.token IS NOT NULL THEN w2raw ELSE '{LM_UNK}' END AS w2
-  FROM bgr_s LEFT JOIN vocab v1 ON bgr_s.w1raw = v1.token
-             LEFT JOIN vocab v2 ON bgr_s.w2raw = v2.token
-),
+{_lm_bigram_map_cte_sql('score', 'bgr_s', 'mapped_s', with_doc=True)},
 dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM mapped_s GROUP BY 1, 2, 3)
 SELECT dbg.doc_id,
        CAST(SUM(dbg.c) AS BIGINT) AS n_bigrams,
@@ -576,27 +573,8 @@ def _lm_perplexity_sql(top_v: int = LM_VOCAB_TOP) -> str:
 WITH base AS (
   SELECT doc_id, {_tokens_sql('text')} AS toks FROM {DOCS_SQL}
 ),
-vocab AS (
-  SELECT token FROM (
-    SELECT UNNEST(toks) AS token FROM base
-  ) GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT {top_v}
-),
-vsize AS (SELECT COUNT(*) + 1 AS v FROM vocab),
-bgr AS (
-  SELECT doc_id, toks[pos] AS w1raw, toks[pos + 1] AS w2raw
-  FROM (
-    SELECT doc_id, toks,
-           UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS pos
-    FROM base WHERE LEN(toks) >= 2
-  )
-),
-mapped AS (
-  SELECT doc_id,
-         CASE WHEN v1.token IS NOT NULL THEN w1raw ELSE '{LM_UNK}' END AS w1,
-         CASE WHEN v2.token IS NOT NULL THEN w2raw ELSE '{LM_UNK}' END AS w2
-  FROM bgr LEFT JOIN vocab v1 ON bgr.w1raw = v1.token
-           LEFT JOIN vocab v2 ON bgr.w2raw = v2.token
-),
+{_lm_vocab_cte_sql('base', top_v)},
+{_lm_bigram_map_cte_sql('base', 'bgr', 'mapped', with_doc=True)},
 dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM mapped GROUP BY 1, 2, 3),
 bc AS (SELECT w1, w2, SUM(c) AS c12 FROM dbg GROUP BY 1, 2),
 uc AS (SELECT w1, SUM(c) AS c1 FROM dbg GROUP BY 1)
@@ -844,8 +822,9 @@ def repetition_signals(
     trimmed and empties dropped before counting. For each unit,
     ``dup_frac = (n - n_distinct) / n`` (every occurrence beyond a
     segment's first is a duplicate) and the char variant weights each
-    duplicate occurrence by its length. Keep gate: both line fractions
-    ≤ 0.30 and the paragraph fraction ≤ 0.30 (the Gopher thresholds).
+    duplicate occurrence by its length. Keep gate (the Gopher Table A1
+    thresholds): dup-line and dup-paragraph fractions ≤ 0.30, dup-line
+    CHARACTER fraction ≤ 0.20.
 
     Scale shape — the interesting part: ALL of a document's lines live
     inside its own row, so the whole computation is array higher-order
@@ -903,7 +882,7 @@ def repetition_signals(
     )
     keep = (
         (F.col("dup_line_frac") <= 0.30)
-        & (F.col("dup_line_char_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
         & (F.col("dup_para_frac") <= 0.30)
     )
     return out.select("*", keep.alias("keep"))
@@ -951,7 +930,7 @@ r AS (
 )
 SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
        n_paras, dup_para_frac,
-       (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.30
+       (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
           AND dup_para_frac <= 0.30) AS keep
 FROM r"""
 

@@ -74,7 +74,8 @@ HEADLINE = {
         "mixture epochs as virtual documents (doc_id*1000 + epoch) "
         "flowing into the per-shard packer: broadcast rates + explode "
         "next to the scan, then the standard n_shards-parallel prefix "
-        "sum — one corpus scan end to end"
+        "sum — two corpus scans (doc side + per-source totals), like "
+        "sample_mixture itself"
     ),
     "lm_perplexity_persisted": (
         "ingest scoring against the persisted corpus-trained LM: only "

@@ -136,6 +136,7 @@ _SCAN_BUDGET = {
     "shuffle_deterministic": 1,  # scan → shard exchange → per-shard sort
     "q4_order_priority": 2,  # orders + the returned-lines projection
     "q10_returned_items": 4,  # one scan per joined table
+    "pipeline_mixture_pack": 2,  # sample_mixture's own audited budget
     "q5_local_supplier": 6,  # one scan per joined table
     "multimodal_frames": 0,  # both consumers read the decode checkpoint
     "c45_predict": 1,  # trie CASE WHEN evaluates in the scan's one pass
@@ -391,7 +392,10 @@ def test_shuffle_deterministic_no_global_sort(spark, sf_small):
     p = plan_of(QUERIES["shuffle_deterministic"](spark, sf_small))
     assert p.count(") Exchange") == 1, p
     assert "hashpartitioning(shard" in p, p
-    assert "partitionBy=[shard" not in p or "Window" in p  # sanity
+    # the window itself must be PARTITIONED by shard — an empty
+    # partition spec (windowspecdefinition(order_h... with no shard)
+    # would funnel the whole corpus through one task
+    assert "windowspecdefinition(shard" in p, p
     # the sort is the window's per-partition sort, keyed by shard first
     sort_line = next(l for l in p.splitlines() if "Arguments: [shard" in l)
     assert "ASC NULLS FIRST" in sort_line, sort_line

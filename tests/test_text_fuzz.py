@@ -41,7 +41,7 @@ def _ref_signals(text: str) -> tuple:
     lf = round((n_l - nd_l) / n_l, 6) if n_l else 0.0
     cf = round((chars - dchars) / chars, 6) if chars else 0.0
     pf = round((n_p - nd_p) / n_p, 6) if n_p else 0.0
-    return (n_l, lf, cf, n_p, pf, lf <= 0.30 and cf <= 0.30 and pf <= 0.30)
+    return (n_l, lf, cf, n_p, pf, lf <= 0.30 and cf <= 0.20 and pf <= 0.30)
 
 
 @settings(max_examples=8, deadline=None)
