@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "pipeline_pretraining",
     "pipeline_mixture_pack",
+    "corpus_report",
     "similarity_topk",
 ]
 

@@ -334,3 +334,67 @@ SELECT lang_pred,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM scored
 GROUP BY lang_pred, passed"""
+
+
+def corpus_report(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
+    """The corpus-health dashboard in ONE query — the first thing an
+    operator of a 100 TB ingest looks at each morning: per source, the
+    document/token volumes, mean quality and gate pass count (the SAME
+    shared scoring projection the curation pipelines grade), exact-dup
+    document count (docs whose normalized fingerprint appears ≥ 2×
+    anywhere in the corpus — duplicates cross sources, so the
+    fingerprint rollup is global), and the predicted-English count.
+
+    Scale shape: one corpus scan computes every per-doc signal
+    (checkpointed — it feeds the global fingerprint rollup AND the
+    per-source report); the fingerprint join is the one data-sized
+    exchange (dup detection is inherently fingerprint-keyed); the
+    report itself is a sources-sized aggregate with map-side partials.
+    Pass ``d`` to report on an injected relation (tests pin the
+    cross-source dup semantics)."""
+    fp, n_tokens, quality, lang_pred = _scored_cols()
+    if d is None:
+        d = docs(spark, sf_dir)
+    d = d.select(
+        "doc_id",
+        "source",
+        fp.alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+    ).localCheckpoint()
+    fpc = d.groupBy("fingerprint").agg(F.count("*").alias("fp_count"))
+    return (
+        d.join(fpc, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.count(
+                F.when(F.col("quality_score") >= QUALITY_GATE, 1)
+            ).alias("n_pass"),
+            F.count(F.when(F.col("fp_count") >= 2, 1)).alias("n_exact_dup"),
+            F.count(F.when(F.col("lang_pred") == "en", 1)).alias("n_en"),
+        )
+    )
+
+
+CORPUS_REPORT_SQL = f"""
+WITH {_scored_ctes(DOCS_SQL)},
+src AS (SELECT doc_id, source FROM {DOCS_SQL}),
+fpc AS (SELECT fingerprint, COUNT(*) AS fp_count FROM scored GROUP BY 1)
+SELECT src.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(scored.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(AVG(scored.quality_score), 6) AS avg_quality,
+       COUNT(CASE WHEN scored.quality_score >= {QUALITY_GATE} THEN 1 END)
+           AS n_pass,
+       COUNT(CASE WHEN fpc.fp_count >= 2 THEN 1 END) AS n_exact_dup,
+       COUNT(CASE WHEN scored.lang_pred = 'en' THEN 1 END) AS n_en
+FROM scored
+JOIN src USING (doc_id)
+JOIN fpc USING (fingerprint)
+GROUP BY src.source"""

@@ -1742,6 +1742,11 @@ _register(
     PL.PRETRAINING_PIPELINE_SQL,
 )
 
+# the corpus-health dashboard: per-source volumes, mean quality + gate
+# pass count (shared scoring projection), global exact-dup document
+# count, predicted-English count — one scan, one fingerprint exchange
+_register("corpus_report", PL.corpus_report, PL.CORPUS_REPORT_SQL)
+
 # ...and the scrub at INGEST: the same projection over the documents
 # file stream, stateless/append — shares the batch oracle
 _register("streaming_scrub_pii", SW.streaming_scrub_pii, PII.PII_SCRUB_SQL)

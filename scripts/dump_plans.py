@@ -70,6 +70,11 @@ HEADLINE = {
         "vocab top-V via TakeOrderedAndProject, LM joins unhinted "
         "(AQE-broadcast at small scale, V-bounded at large)"
     ),
+    "corpus_report": (
+        "per-source corpus-health dashboard off one checkpointed scan: "
+        "global fingerprint rollup is the single data-sized exchange; "
+        "the report aggregate is sources-sized with map-side partials"
+    ),
     "pipeline_mixture_pack": (
         "mixture epochs as virtual documents (doc_id*1000 + epoch) "
         "flowing into the per-shard packer: broadcast rates + explode "

@@ -652,3 +652,29 @@ def test_train_all_null_numeric_rejected(spark):
     )
     with pytest.raises(ValueError, match="entirely NULL"):
         Tr.train(df, SCHEMA_2F, max_depth=3, nulls="missing")
+
+
+def test_corpus_report_counts_cross_source_dups(spark):
+    """The exact-dup count must be GLOBAL: two identical documents in
+    DIFFERENT sources are duplicates of each other, and each source's
+    report row counts its member — a per-source fingerprint rollup
+    would miss exactly this (the mirror-site case). Also pins that
+    normalization (case/whitespace) participates in the fingerprint."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        pipeline as PL,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "src_a"),
+            (2, "The  Quick   Brown Fox", "src_b"),  # same after norm
+            (3, "совершенно другой текст", "src_a"),
+            (4, "unique english content here", "src_b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in PL.corpus_report(spark, "", d=d).collect()}
+    assert rows["src_a"].n_exact_dup == 1  # doc 1 (dups doc 2)
+    assert rows["src_b"].n_exact_dup == 1  # doc 2 (dups doc 1)
+    assert rows["src_a"].n_docs == 2 and rows["src_b"].n_docs == 2
+    assert rows["src_a"].n_en + rows["src_b"].n_en >= 1
