@@ -42,6 +42,8 @@ PROBE_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q18_large_volume",
+    "q4_order_priority",
+    "q10_returned_items",
     "agg_grouping_sets",
     "window_funcs",
     "event_windows",
