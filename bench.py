@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "dedup_spans_incremental_persisted",
     "dedup_spans_apply",
     "decontaminate",
+    "decontaminate_apply",
     "scrub_pii",
     "pack_sequences",
     "pipeline_pretraining",

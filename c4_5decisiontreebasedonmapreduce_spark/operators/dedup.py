@@ -538,6 +538,67 @@ JOIN (SELECT doc_id, sz FROM sizes
 WHERE ROUND(common / CAST(s.sz AS DOUBLE), 6) >= {DECONTAM_MIN_OVERLAP}"""
 
 
+def decontaminate_apply(
+    spark: SparkSession,
+    sf_dir: str,
+    min_overlap: float = DECONTAM_MIN_OVERLAP,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """The decontamination APPLY step: the CLEANED training corpus —
+    every non-benchmark document MINUS the flagged leaks (standard
+    practice removes the whole document; passage-level surgery is the
+    span family's job). One row per surviving doc with its token count,
+    so the output is directly consumable as a packing/sampling source.
+
+    Scale shape: :func:`decontaminate`'s candidate pipeline plus ONE
+    LEFT ANTI join of the corpus slice against the (tiny, leak-sized)
+    flagged relation — the corpus is never shuffled for the subtraction
+    (the anti join broadcasts the flagged side)."""
+    flagged = decontaminate(
+        spark, sf_dir, min_overlap=min_overlap, df_cap=df_cap
+    ).select("doc_id")
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        docs,
+        tokens_col,
+    )
+
+    corpus = docs(spark, sf_dir).where(
+        (F.col("doc_id") % DECONTAM_BENCH_MOD) != DECONTAM_BENCH_REM
+    )
+    return (
+        corpus.join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+DECONTAM_APPLY_SQL = f"""
+WITH flagged AS ({DECONTAM_SQL.strip()}
+)
+SELECT doc_id, source,
+       LEN({{tokens}}) AS n_tokens
+FROM {{docs_sql}}
+WHERE doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+  AND doc_id NOT IN (SELECT doc_id FROM flagged)"""
+
+
+def _decontam_apply_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        DOCS_SQL,
+        _tokens_sql,
+    )
+
+    return DECONTAM_APPLY_SQL.format(
+        tokens=_tokens_sql("text"), docs_sql=DOCS_SQL
+    )
+
+
+DECONTAM_APPLY_SQL = _decontam_apply_sql()
+
+
 # affine universal-hash family over ONE base hash per shingle:
 # h_i(x) = (a_i·h(x) + b_i) mod p with p = 2^31 − 1 and h(x) reduced mod
 # p, so a_i·h < 2^62 — identical (non-overflowing) int64 arithmetic in

@@ -1434,6 +1434,12 @@ _register(
 # near-dedup (same df-capped candidate shape, never corpus²)
 _register("decontaminate", D.decontaminate, D.DECONTAM_SQL)
 
+# ...and its APPLY step: the cleaned corpus (flagged leaks removed,
+# whole-document removal — the standard practice), ready for packing
+_register(
+    "decontaminate_apply", D.decontaminate_apply, D.DECONTAM_APPLY_SQL
+)
+
 # session cache: sf_dir (rstrip-normalized) → persisted benchmark
 # shingle table — the static side of decontamination, shingled once
 _BENCH_SHINGLE_TABLES: dict[str, str] = {}

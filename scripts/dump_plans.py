@@ -70,6 +70,11 @@ HEADLINE = {
         "vocab top-V via TakeOrderedAndProject, LM joins unhinted "
         "(AQE-broadcast at small scale, V-bounded at large)"
     ),
+    "decontaminate_apply": (
+        "cleaned corpus: the flagged-leak relation (tiny) broadcast "
+        "into ONE left anti join against the corpus slice — the corpus "
+        "is never shuffled for the subtraction"
+    ),
     "corpus_report": (
         "per-source corpus-health dashboard off one checkpointed scan: "
         "global fingerprint rollup is the single data-sized exchange; "

@@ -1685,3 +1685,22 @@ def test_lm_persisted_matches_inmemory(spark, sf_small, tmp_path):
     finally:
         for t in ("lm_eq_test", "lm_eq_test_prefix", "lm_eq_test_vocab"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_decontaminate_apply_removes_exactly_the_flagged(spark, sf_small):
+    """The cleaned corpus = (non-benchmark slice) − (flagged leaks),
+    exactly: no benchmark doc leaks through, no unflagged doc vanishes."""
+    flagged = {r.doc_id for r in D.decontaminate(spark, sf_small).collect()}
+    cleaned = {
+        r.doc_id for r in D.decontaminate_apply(spark, sf_small).collect()
+    }
+    corpus = {
+        r.doc_id
+        for r in TXX.docs(spark, sf_small)
+        .where(
+            (F.col("doc_id") % D.DECONTAM_BENCH_MOD) != D.DECONTAM_BENCH_REM
+        )
+        .collect()
+    }
+    assert cleaned == corpus - flagged
+    assert flagged and flagged.isdisjoint(cleaned)
