@@ -107,6 +107,9 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("repetition_signals", TX.repetition_signals),
             ("shuffle_deterministic", PK.shuffle_deterministic),
             ("sample_mixture", SMP.sample_mixture),
+            ("sample_temperature", SMP.sample_temperature),
+            ("decontaminate_apply", D.decontaminate_apply),
+            ("corpus_report", PL.corpus_report),
         ):
             t0 = time.perf_counter()
             rec[f"{name}_rows"] = fn(spark, tmp).count()
