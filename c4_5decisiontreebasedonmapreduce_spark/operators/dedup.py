@@ -557,12 +557,7 @@ def decontaminate_apply(
     flagged = decontaminate(
         spark, sf_dir, min_overlap=min_overlap, df_cap=df_cap
     ).select("doc_id")
-    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
-        docs,
-        tokens_col,
-    )
-
-    corpus = docs(spark, sf_dir).where(
+    corpus = TX.docs(spark, sf_dir).where(
         (F.col("doc_id") % DECONTAM_BENCH_MOD) != DECONTAM_BENCH_REM
     )
     return (
@@ -570,7 +565,9 @@ def decontaminate_apply(
         .select(
             "doc_id",
             "source",
-            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+            F.size(TX.tokens_col(F.col("text")))
+            .cast("long")
+            .alias("n_tokens"),
         )
     )
 
@@ -579,24 +576,10 @@ DECONTAM_APPLY_SQL = f"""
 WITH flagged AS ({DECONTAM_SQL.strip()}
 )
 SELECT doc_id, source,
-       LEN({{tokens}}) AS n_tokens
-FROM {{docs_sql}}
+       LEN({TX._tokens_sql('text')}) AS n_tokens
+FROM {TX.DOCS_SQL}
 WHERE doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
   AND doc_id NOT IN (SELECT doc_id FROM flagged)"""
-
-
-def _decontam_apply_sql() -> str:
-    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
-        DOCS_SQL,
-        _tokens_sql,
-    )
-
-    return DECONTAM_APPLY_SQL.format(
-        tokens=_tokens_sql("text"), docs_sql=DOCS_SQL
-    )
-
-
-DECONTAM_APPLY_SQL = _decontam_apply_sql()
 
 
 # affine universal-hash family over ONE base hash per shingle:

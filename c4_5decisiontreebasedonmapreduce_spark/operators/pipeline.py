@@ -357,6 +357,11 @@ def corpus_report(
     fp, n_tokens, quality, lang_pred = _scored_cols()
     if d is None:
         d = docs(spark, sf_dir)
+    else:
+        # honor the module's null contract for injected relations too:
+        # without this, MD5(NULL) = NULL falls out of the inner
+        # fingerprint join and the document silently vanishes
+        d = d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     d = d.select(
         "doc_id",
         "source",

@@ -49,14 +49,20 @@ from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (  # noqa: E4
 
 def build_multiplied(spark, sf_dir: str, k: int, out_dir: str) -> None:
     """K disjoint near-copies of the documents table: copy i offsets
-    doc_id and prefixes every token with ``c{i}`` (copy 0 is verbatim)."""
+    doc_id and prefixes every token with ``c{i}`` (copy 0 is verbatim).
+    The offset is a multiple of 70 = LCM(7, 10) so BOTH deterministic
+    doc_id slices — the decontamination benchmark (mod 7) and the
+    incremental-ingest batch (mod 10) — select the SAME per-copy
+    membership as the original; a non-multiple would rotate the mod-7
+    class per copy and make each copy a different bench/corpus split,
+    turning scaling deviations into data-split noise."""
     d = load_table(spark, sf_dir, "documents")
     cols = d.columns
     parts = [d]
     for i in range(1, k):
         parts.append(
             d.withColumn(
-                "doc_id", F.col("doc_id") + F.lit(i * 100_000_000)
+                "doc_id", F.col("doc_id") + F.lit(i * 105_000_000)
             )
             .withColumn(
                 "text", F.regexp_replace("text", r"(\S+)", f"c{i}$1")

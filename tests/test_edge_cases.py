@@ -670,11 +670,14 @@ def test_corpus_report_counts_cross_source_dups(spark):
             (2, "The  Quick   Brown Fox", "src_b"),  # same after norm
             (3, "совершенно другой текст", "src_a"),
             (4, "unique english content here", "src_b"),
+            (5, None, "src_a"),  # NULL text must NOT vanish (it
+            (6, "", "src_a"),    # fingerprints as '' and dups doc 6)
         ],
         "doc_id long, text string, source string",
     )
     rows = {r.source: r for r in PL.corpus_report(spark, "", d=d).collect()}
-    assert rows["src_a"].n_exact_dup == 1  # doc 1 (dups doc 2)
+    # cross-source pair (1, 2) + the null/empty pair (5, 6) in src_a
+    assert rows["src_a"].n_exact_dup == 3  # docs 1, 5, 6
     assert rows["src_b"].n_exact_dup == 1  # doc 2 (dups doc 1)
-    assert rows["src_a"].n_docs == 2 and rows["src_b"].n_docs == 2
+    assert rows["src_a"].n_docs == 4 and rows["src_b"].n_docs == 2
     assert rows["src_a"].n_en + rows["src_b"].n_en >= 1
