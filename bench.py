@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "decontaminate_apply",
     "scrub_pii",
     "pack_sequences",
+    "pack_shuffled",
     "pipeline_pretraining",
     "pipeline_mixture_pack",
     "corpus_report",

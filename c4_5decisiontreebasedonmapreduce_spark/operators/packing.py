@@ -43,6 +43,9 @@ from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
 SEQ_LEN = 512  # tokens per packed training window
 N_SHARDS = 8  # deterministic hash shards; thousands at cluster scale
 _SHARD_SEED = "packshard|"
+# second, independent hash: the within-shard RANDOM concatenation /
+# training order (shuffle_deterministic and pack_shuffled share it)
+_ORDER_SEED = "shuffleord|"
 
 
 def _sharded_tokens(docs_df: DataFrame, n_shards: int, with_tokens: bool = False) -> DataFrame:
@@ -105,12 +108,23 @@ def _chunk_overlaps(
     seq_len: int,
     n_shards: int,
     with_tokens: bool = False,
+    shuffled: bool = False,
 ) -> DataFrame:
     """Shared core of every packing entry point: tokenize, shard,
     per-shard prefix sum, chunk explode. Token-less documents drop
-    (they contribute nothing to the stream)."""
+    (they contribute nothing to the stream). ``shuffled=True``
+    concatenates within each shard in the reproducible RANDOM order
+    (:func:`shuffle_deterministic`'s second hash, doc_id tie-break)
+    instead of doc_id order — the order production actually packs, so
+    corpus-adjacent documents don't share training windows."""
     d = _sharded_tokens(docs_df, n_shards, with_tokens=with_tokens)
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    if shuffled:
+        order_h = md5_long(
+            F.concat(F.lit(_ORDER_SEED), F.col("doc_id").cast("string"))
+        )
+        w = Window.partitionBy("shard").orderBy(order_h, "doc_id")
+    else:
+        w = Window.partitionBy("shard").orderBy("doc_id")
     spans = d.withColumn(
         "tok_end", F.sum("n_tokens").over(w).cast("long")
     ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
@@ -118,7 +132,10 @@ def _chunk_overlaps(
 
 
 def pack(
-    docs_df: DataFrame, seq_len: int = SEQ_LEN, n_shards: int = N_SHARDS
+    docs_df: DataFrame,
+    seq_len: int = SEQ_LEN,
+    n_shards: int = N_SHARDS,
+    shuffled: bool = False,
 ) -> DataFrame:
     """Pack ``docs_df`` (needs ``doc_id``, ``text``) into fixed
     ``seq_len`` token windows, per deterministic shard. Returns one row
@@ -132,7 +149,7 @@ def pack(
     (window over ``n_shards`` independent partitions) → chunk explode →
     one groupBy per (shard, window) that REUSES the shard
     partitioning (no post-window exchange, plan-pinned)."""
-    chunks = _chunk_overlaps(docs_df, seq_len, n_shards)
+    chunks = _chunk_overlaps(docs_df, seq_len, n_shards, shuffled=shuffled)
     lo, hi = _slice_bounds(seq_len)
     return (
         chunks.withColumn("take", hi - lo)
@@ -158,12 +175,37 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack(d)
 
 
+def pack_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`pack` over `documents` in the reproducible RANDOM
+    concatenation order — :func:`shuffle_deterministic`'s manifest made
+    physical: within each hash shard documents concatenate by the
+    second independent hash instead of doc_id, so corpus-adjacent
+    documents (same crawl/site/dump) don't co-occupy training windows.
+    Same plan shape as :func:`pack_sequences` (the order key is one
+    more scalar hash column riding the existing per-shard window sort);
+    per-shard window counts and token totals are IDENTICAL to the
+    doc_id-ordered pack (pinned) — only the composition changes."""
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return pack(d, shuffled=True)
+
+
+def _shuffled_order_sql() -> str:
+    h = md5_long_sql(
+        "CONCAT('" + _ORDER_SEED + "', CAST(doc_id AS VARCHAR))"
+    )
+    return f"{h}, doc_id"
+
+
 def _pack_sql(
     seq_len: int = SEQ_LEN,
     n_shards: int = N_SHARDS,
     source_sql: str = DOCS_SQL,
     prelude: str = "",
     n_tokens_sql: str | None = None,
+    order_sql: str = "doc_id",
 ) -> str:
     """``prelude`` inserts extra CTEs ahead of the pack chain (the
     mixture pipeline prepends its virtual-document CTEs and points
@@ -182,7 +224,7 @@ WITH {prelude}toks AS (
 ),
 spans AS (
   SELECT doc_id, n_tokens, shard,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY {order_sql})
            AS tok_end
   FROM toks WHERE n_tokens > 0
 ),
@@ -212,6 +254,7 @@ FROM contrib GROUP BY shard, chunk_id"""
 
 
 PACK_SEQUENCES_SQL = _pack_sql()
+PACK_SHUFFLED_SQL = _pack_sql(order_sql=_shuffled_order_sql())
 
 
 def pack_assignments(
@@ -445,8 +488,6 @@ WHERE doc_id > (SELECT (MAX(doc_id) * {_INCR_NUM}) // {_INCR_DEN}
 
 # ---------------------------------------------------------------------------
 # deterministic training-order shuffle
-
-_ORDER_SEED = "shuffleord|"
 
 
 def shuffle_deterministic(

@@ -1722,6 +1722,11 @@ _register(
 # tail; the corpus is never re-read when state is passed
 _register("pack_incremental", PK.pack_incremental, PK.PACK_INCREMENTAL_SQL)
 
+# pack in the reproducible RANDOM order (shuffle_deterministic's
+# within-shard hash made physical) — corpus-adjacent docs never
+# co-occupy training windows; window counts identical to pack
+_register("pack_shuffled", PK.pack_shuffled, PK.PACK_SHUFFLED_SQL)
+
 # reproducible random training order: shard by one portable hash,
 # order within shards by a second — per-shard row_number, no global sort
 _register(

@@ -70,6 +70,11 @@ HEADLINE = {
         "vocab top-V via TakeOrderedAndProject, LM joins unhinted "
         "(AQE-broadcast at small scale, V-bounded at large)"
     ),
+    "pack_shuffled": (
+        "packing in the reproducible random order: the order key is one "
+        "more scalar hash column riding the existing per-shard window "
+        "sort — same plan shape as pack_sequences"
+    ),
     "decontaminate_apply": (
         "cleaned corpus: the flagged-leak relation (tiny) broadcast "
         "into ONE left anti join against the corpus slice — the corpus "

@@ -1704,3 +1704,24 @@ def test_decontaminate_apply_removes_exactly_the_flagged(spark, sf_small):
     }
     assert cleaned == corpus - flagged
     assert flagged and flagged.isdisjoint(cleaned)
+
+
+def test_pack_shuffled_same_layout_different_composition(spark, sf_small):
+    """pack_shuffled must (a) conserve the exact per-shard window count
+    and token totals of the doc_id-ordered pack — the order key changes
+    WHERE documents land, never how much is packed — and (b) actually
+    reorder: at least one window's document composition differs."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    d = docs(spark, sf_small)
+    plain = PK.pack(d).collect()
+    shuffled = PK.pack(d, shuffled=True).collect()
+    per_shard = lambda rows: sorted(
+        (r.shard, r.chunk_id, r.n_tokens) for r in rows
+    )
+    assert per_shard(plain) == per_shard(shuffled)  # layout identical
+    key = lambda rows: sorted(
+        (r.shard, r.chunk_id, r.first_doc, r.last_doc) for r in rows
+    )
+    assert key(plain) != key(shuffled)  # composition reordered
