@@ -100,12 +100,18 @@ BENCH_QUERIES = [
 _RESET_BEFORE = {"c45_train", "level_stats"}
 
 
-def _run(qs, name, spark, sf_dir) -> tuple[float, int]:
+def _run(qs, name, spark, sf_dir) -> tuple[float, int, float]:
     if name in _RESET_BEFORE:
         registry.reset_caches()
     t0 = time.perf_counter()
     n = qs[name](spark, sf_dir).count()
-    return time.perf_counter() - t0, n
+    # 1-min loadavg sampled right after the rep: the rep's own work is in
+    # there too, but a machine-wide spike (another tenant) reads as ALL
+    # reps of several adjacent queries elevated — the r8 pattern the
+    # per-query spread heuristic could not see (it only compares a
+    # query's reps to each other)
+    load = os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0
+    return time.perf_counter() - t0, n, load
 
 
 def main() -> None:
@@ -122,21 +128,31 @@ def main() -> None:
     best: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
     noisy: list[str] = []
+    elevated: list[str] = []
     errors: dict[str, str] = {}
+    # a rep is "elevated" when the 1-min loadavg exceeds the executor
+    # thread count — the bench's own work saturates at `cpus`, so any
+    # excess is another tenant competing for the same cores
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    load_threshold = cpus * 1.25
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
         try:
-            t, n = _run(qs, name, spark, sf_dir)
+            t, n, ld = _run(qs, name, spark, sf_dir)
             cold[name] = round(t, 3)
-            samples = sorted(
-                _run(qs, name, spark, sf_dir)[0] for _ in range(reps)
+            warm = sorted(
+                (r[0], r[2])
+                for r in (_run(qs, name, spark, sf_dir) for _ in range(reps))
             )
         except Exception as exc:  # one broken query must not kill the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
+        samples = [w[0] for w in warm]
+        loads[name] = [round(ld, 1)] + [round(w[1], 1) for w in warm]
         med[name] = round(samples[len(samples) // 2], 3)
         best[name] = round(samples[0], 3)
         # dispersion = warm max/min; >1.5x flags a machine load spike so
@@ -144,9 +160,15 @@ def main() -> None:
         spread[name] = round(samples[-1] / max(samples[0], 1e-9), 2)
         if spread[name] > 1.5:
             noisy.append(name)
+        # a spike spanning ALL reps of a query (the r8 blind spot): the
+        # spread stays flat but every observation is contended
+        if min(loads[name]) > load_threshold:
+            elevated.append(name)
         print(
             f"# {name}: warm-min {best[name]:.3f}s median {med[name]:.3f}s"
-            f" cold {cold[name]:.3f}s spread {spread[name]:.2f}x ({n} rows)",
+            f" cold {cold[name]:.3f}s spread {spread[name]:.2f}x"
+            f" load {min(loads[name]):.0f}-{max(loads[name]):.0f}"
+            f" ({n} rows)",
             file=sys.stderr,
         )
 
@@ -162,6 +184,12 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "queries_spread": spread,
         "load_noise_flagged": noisy,
+        # per-query [cold, warm...] 1-min loadavg snapshots + the queries
+        # whose EVERY rep ran above threshold (sustained external load the
+        # per-query spread heuristic can't see — the r8 blind spot)
+        "queries_loadavg": loads,
+        "load_elevated_flagged": elevated,
+        "load_threshold": round(load_threshold, 1),
         "reps": reps,
         "sf": sf,
         **({"errors": errors} if errors else {}),
@@ -182,7 +210,7 @@ def main() -> None:
         for k in (
             "metric", "value", "value_is", "unit", "queries",
             "median_total", "cold_total", "load_noise_flagged",
-            "reps", "sf",
+            "load_elevated_flagged", "reps", "sf",
         )
     }
     if errors:
@@ -199,8 +227,9 @@ def main() -> None:
         # last-resort order matters: "queries" dominates the line (28+
         # entries and growing) — bench_full.json always has the full
         # map, so dropping it from stdout loses nothing
-        for k in ("load_noise_flagged", "cold_total", "median_total",
-                  "value_is", "errors", "queries"):
+        for k in ("load_elevated_flagged", "load_noise_flagged",
+                  "cold_total", "median_total", "value_is", "errors",
+                  "queries"):
             compact.pop(k, None)
             line = json.dumps(compact, separators=(",", ":"))
             if len(line) <= 1800:

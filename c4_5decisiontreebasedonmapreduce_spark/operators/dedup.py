@@ -1892,39 +1892,35 @@ WHERE doc_a % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
    OR doc_b % {INCR_BATCH_MOD} = {INCR_BATCH_REM}"""
 
 
-def span_apply(docs: DataFrame, df_cap: int = SPAN_GRAM_DF_CAP) -> DataFrame:
-    """Remove duplicated passages: for every span :func:`span_matches`
-    reports, the SMALLEST-doc_id occurrence is canonical and survives;
-    the doc_b occurrence's token range is masked out. Returns one row
-    per document — ``(doc_id, clean_text, n_tokens, n_removed)`` —
-    with ``clean_text`` rebuilt in normalized token space (the shared
-    lowercase/alnum tokenizer is lossy by design; span dedup operates on
-    tokens, so its output does too — stated, not hidden).
+def _mask_rebuild(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Shared APPLY core: mask ``spans`` — ``(doc_id, start,
+    span_tokens)`` token ranges — out of ``docs`` and rebuild each
+    document's text. Returns one row per input document —
+    ``(doc_id, clean_text, n_tokens, n_removed)`` — with ``clean_text``
+    rebuilt in normalized token space (the shared lowercase/alnum
+    tokenizer is lossy by design; span surgery operates on tokens, so
+    its output does too — stated, not hidden).
 
-    Plan: spans → explode each doc_b mask range to ``(doc_id, pos)``
-    rows (linear in REMOVED tokens, never corpus-sized) → one equi
-    anti-join drops masked positions from the positioned token relation
-    → per-doc sort+join rebuilds the text. Overlapping masks union via
-    distinct; a document losing every token comes back as the empty
-    string, and token-less documents pass through unchanged."""
+    Plan: explode each mask range to ``(doc_id, pos)`` rows (linear in
+    REMOVED tokens, never corpus-sized) → one equi anti-join drops
+    masked positions from the positioned token relation → per-doc
+    sort+join rebuilds the text. Overlapping masks union via distinct;
+    a document losing every token comes back as the empty string, and
+    token-less documents pass through unchanged."""
     toks = tokens_col(F.col("text"))
     positioned = docs.select(
         "doc_id",
         F.posexplode(toks).alias("pos0", "token"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    masked = (
-        span_matches(docs, df_cap=df_cap)
-        .select(
-            F.col("doc_b").alias("doc_id"),
-            F.explode(
-                F.sequence(
-                    F.col("start_b"),
-                    F.col("start_b") + F.col("span_tokens") - 1,
-                )
-            ).alias("pos"),
-        )
-        .distinct()
-    )
+    masked = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("start"),
+                F.col("start") + F.col("span_tokens") - 1,
+            )
+        ).alias("pos"),
+    ).distinct()
     kept = positioned.join(masked, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
@@ -1950,6 +1946,19 @@ def span_apply(docs: DataFrame, df_cap: int = SPAN_GRAM_DF_CAP) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+def span_apply(docs: DataFrame, df_cap: int = SPAN_GRAM_DF_CAP) -> DataFrame:
+    """Remove duplicated passages: for every span :func:`span_matches`
+    reports, the SMALLEST-doc_id occurrence is canonical and survives;
+    the doc_b occurrence's token range is masked out (the
+    :func:`_mask_rebuild` core does the surgery)."""
+    spans = span_matches(docs, df_cap=df_cap).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("start"),
+        "span_tokens",
+    )
+    return _mask_rebuild(docs, spans)
 
 
 def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2000,3 +2009,200 @@ SELECT documents.doc_id,
               '{TOKEN_SPLIT_RE}'), t -> t <> '')) - COALESCE(r.n_kept, 0)
             AS INT) AS n_removed
 FROM {TX.DOCS_SQL} LEFT JOIN rebuilt r ON documents.doc_id = r.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# passage-level decontamination: span detection + surgery against the
+# benchmark slice (the composition VERDICT r8 item 2 asked for —
+# `decontaminate_apply` drops whole flagged documents; these two mask
+# only the LEAKED PASSAGE, keeping the rest of the document trainable)
+
+
+def decontaminate_span_matches(
+    d: DataFrame, df_cap: int = SPAN_GRAM_DF_CAP
+) -> DataFrame:
+    """Leaked PASSAGES: maximal duplicated token spans between a corpus
+    document and a benchmark document — ``(doc_id, bench_id, start,
+    start_bench, span_tokens)`` with ``start`` 1-based in the corpus
+    document and ``span_tokens >= SPAN_GRAM_K``.
+
+    The asymmetric (corpus × benchmark, never corpus²) sibling of
+    :func:`span_matches`, sharing its machinery: positioned grams (one
+    pass over corpus ∪ benchmark, materialized), df-cap over the FULL
+    gram relation (a gram's cap status never depends on which side it
+    came from — same policy as :func:`decontaminate`), candidate
+    equi-join on the gram hash restricted to corpus-side × bench-side,
+    then the per-(pair, diagonal) gaps-and-islands merge
+    (:func:`_island_spans` — window partitions bounded by document
+    length, never corpus-sized)."""
+    is_bench = (
+        F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
+    )
+    g = _positioned_grams(d).localCheckpoint()
+    rare = g.join(
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("gh"),
+        "gh",
+    )
+    m = (
+        rare.where(~is_bench)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("pos").alias("pos_a"),
+            "gh",
+        )
+        .join(
+            rare.where(is_bench).select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("pos").alias("pos_b"),
+                "gh",
+            ),
+            "gh",
+        )
+    )
+    return _island_spans(m).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("bench_id"),
+        F.col("start_a").alias("start"),
+        F.col("start_b").alias("start_bench"),
+        "span_tokens",
+    )
+
+
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`decontaminate_span_matches` over the `documents` table
+    (spread like :func:`dedup_spans`)."""
+    d = TX.docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return decontaminate_span_matches(d)
+
+
+def decontaminate_spans_apply_rel(
+    d: DataFrame, df_cap: int = SPAN_GRAM_DF_CAP
+) -> DataFrame:
+    """Passage-level decontamination APPLY over an arbitrary
+    ``(doc_id, text)`` relation: mask every leaked span out of its
+    corpus document (:func:`_mask_rebuild` — the same surgery as
+    :func:`span_apply`) and return the CLEANED CORPUS, one row per
+    non-benchmark document. Benchmark documents are not training data
+    and do not appear in the output; a fully-leaked document comes back
+    as the empty string rather than being dropped, so the caller sees
+    exactly what was removed (``n_removed``) instead of losing rows."""
+    spans = decontaminate_span_matches(d, df_cap=df_cap).select(
+        "doc_id", "start", "span_tokens"
+    )
+    corpus = d.where(
+        F.col("doc_id") % DECONTAM_BENCH_MOD != DECONTAM_BENCH_REM
+    )
+    return _mask_rebuild(corpus, spans)
+
+
+def decontaminate_spans_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`decontaminate_spans_apply_rel` over the `documents`
+    table (spread like :func:`dedup_spans`)."""
+    d = TX.docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return decontaminate_spans_apply_rel(d)
+
+
+_DECONTAM_SPAN_CTES = f"""tk AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM {TX.DOCS_SQL}
+),
+g AS (
+  SELECT doc_id,
+         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {SPAN_GRAM_K - 1}, 0)))
+           AS pos,
+         toks
+  FROM tk
+),
+h AS (
+  SELECT doc_id, pos,
+         {md5_long_sql(
+             f"ARRAY_TO_STRING(LIST_SLICE(toks, pos, pos + {SPAN_GRAM_K - 1}), ' ')"
+         )} AS gh
+  FROM g
+),
+rare AS (
+  SELECT gh FROM (
+    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY gh
+  ) WHERE df <= {SPAN_GRAM_DF_CAP}
+),
+m AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM h a JOIN rare USING (gh) JOIN h b USING (gh)
+  WHERE a.doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+    AND b.doc_id % {DECONTAM_BENCH_MOD} = {DECONTAM_BENCH_REM}
+),
+isl AS (
+  SELECT doc_id, bench_id, pos_a, pos_b, pos_b - pos_a AS diag,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_id, bench_id, pos_b - pos_a ORDER BY pos_a
+         ) AS island
+  FROM m
+)"""
+
+DECONTAM_SPANS_SQL = f"""
+WITH {_DECONTAM_SPAN_CTES}
+SELECT doc_id, bench_id, CAST(MIN(pos_a) AS INT) AS start,
+       CAST(MIN(pos_b) AS INT) AS start_bench,
+       CAST(COUNT(*) + {SPAN_GRAM_K - 1} AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, bench_id, diag, island"""
+
+DECONTAM_SPANS_APPLY_SQL = f"""
+WITH {_DECONTAM_SPAN_CTES},
+spans AS (
+  SELECT doc_id, MIN(pos_a) AS start,
+         COUNT(*) + {SPAN_GRAM_K - 1} AS span_tokens
+  FROM isl GROUP BY doc_id, bench_id, diag, island
+),
+corpus AS (
+  SELECT doc_id, text FROM {TX.DOCS_SQL}
+  WHERE doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+),
+tok AS (
+  SELECT doc_id,
+         UNNEST(GENERATE_SERIES(1, LEN(toks))) AS pos,
+         toks
+  FROM (
+    SELECT doc_id,
+           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '{TOKEN_SPLIT_RE}'),
+                       t -> t <> '') AS toks
+    FROM corpus
+  )
+),
+positioned AS (SELECT doc_id, pos, toks[pos] AS token FROM tok),
+masked AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(GENERATE_SERIES(start, start + span_tokens - 1)) AS pos
+  FROM spans
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.token
+  FROM positioned p ANTI JOIN masked m
+    ON p.doc_id = m.doc_id AND p.pos = m.pos
+),
+rebuilt AS (
+  SELECT doc_id, STRING_AGG(token, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(c.text),
+              '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS INT) AS n_tokens,
+       CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(c.text),
+              '{TOKEN_SPLIT_RE}'), t -> t <> '')) - COALESCE(r.n_kept, 0)
+            AS INT) AS n_removed
+FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id"""

@@ -423,7 +423,7 @@ class DecisionListModel:
 MISSING_CATEGORY = "__missing__"
 
 
-def _enforce_null_policy(
+def _prologue_scan(
     base: DataFrame,
     *,
     nulls: str,
@@ -431,24 +431,50 @@ def _enforce_null_policy(
     num_names: list[str],
     label: str,
     cat_domains: dict[str, list[str]],
-) -> DataFrame:
-    """Apply the train() missing-value policy (see its docstring): one
-    audit aggregate over the projection; zero changes when clean."""
+    max_bins: int,
+) -> tuple[DataFrame, dict[str, list[float]]]:
+    """ONE multi-aggregate job over the training projection computing
+    everything ``train()`` needs before level 0: per-column null counts
+    (the missing-value audit), and per-numeric-attribute quantile split
+    candidates (GK sketches via ``percentile_approx``, whose 0.5 entry
+    doubles as the imputation median under ``nulls='missing'``).
+
+    Returns ``(base', edges)`` where ``base'`` has the null policy
+    applied (untouched when clean — bit-identical plan) and ``edges``
+    maps each numeric attribute to ≤ max_bins+1 candidate boundaries.
+
+    At 100 TB this is THE scan that matters: the previous design paid
+    three full corpus passes before level 0 (null audit, row count,
+    quantile sample/GK) — folding them into one aggregate trades a
+    little per-row sketch CPU for two entire passes of I/O. Candidate
+    edges only need to be representative (the stats computed AT the
+    surviving candidates stay exact, see ``_snap_numeric``); sketch
+    accuracy 1e4 is tighter than the old ``1/(4*max_bins)`` bound.
+    Quantiles are computed over non-null values, so under
+    ``nulls='missing'`` the imputed median is itself a data value that
+    snapping maps to an exact candidate — no second pass needed."""
     if nulls not in ("reject", "missing"):
         raise ValueError(f"nulls must be 'reject' or 'missing', got {nulls!r}")
     cols = cat_names + num_names + [label]
-    counts = dict(
-        zip(
-            cols,
-            base.select(
-                [
-                    F.sum(F.col(c).isNull().cast("long")).alias(c)
-                    for c in cols
-                ]
-            ).first(),
+    probs = sorted({i / max_bins for i in range(max_bins + 1)} | {0.5})
+    med_idx = probs.index(0.5)
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}")
+        for i, c in enumerate(cols)
+    ] + [
+        F.percentile_approx(c, F.lit(probs), F.lit(10_000)).alias(
+            f"__edges_{i}"
         )
-    )
-    counts = {c: int(v or 0) for c, v in counts.items()}
+        for i, c in enumerate(num_names)
+    ]
+    row = base.agg(*aggs).first()
+    counts = {
+        c: int(row[f"__nulls_{i}"] or 0) for i, c in enumerate(cols)
+    }
+    quants = {c: row[f"__edges_{i}"] for i, c in enumerate(num_names)}
+    edges = {
+        c: sorted({float(e) for e in (q or [])}) for c, q in quants.items()
+    }
     if counts[label] > 0:
         raise ValueError(
             f"{counts[label]} rows have a NULL label ({label}); "
@@ -456,7 +482,7 @@ def _enforce_null_policy(
         )
     dirty = {c: n for c, n in counts.items() if c != label and n > 0}
     if not dirty:
-        return base
+        return base, edges
     if nulls == "reject":
         raise ValueError(
             "training features contain NULLs "
@@ -470,24 +496,16 @@ def _enforce_null_policy(
         for c in cat_dirty:
             cat_domains[c].append(MISSING_CATEGORY)
     if num_dirty:
-        # percentile_approx over non-null values; the imputed constant
-        # snaps to a quantile edge downstream like any real value
-        meds = base.select(
-            [
-                F.percentile_approx(c, F.lit(0.5), F.lit(10_000)).alias(c)
-                for c in num_dirty
-            ]
-        ).first()
-        empty = [c for c, m in zip(num_dirty, meds) if m is None]
+        empty = [c for c in num_dirty if quants[c] is None]
         if empty:
             raise ValueError(
                 f"numeric feature(s) entirely NULL: {', '.join(empty)}; "
                 "no median exists to impute — drop the column instead"
             )
         base = base.fillna(
-            {c: float(m) for c, m in zip(num_dirty, meds)}
+            {c: float(quants[c][med_idx]) for c in num_dirty}
         )
-    return base
+    return base, edges
 
 
 def _rid_column(frontier: list[Rule]) -> Column:
@@ -498,42 +516,6 @@ def _rid_column(frontier: list[Rule]) -> Column:
     for i, r in reversed(list(enumerate(frontier))):
         expr = F.when(r.predicate(), F.lit(i)).otherwise(expr)
     return expr
-
-
-def _quantile_edges(
-    df: DataFrame, num_names: list[str], max_bins: int
-) -> dict[str, list[float]]:
-    """Per-attribute candidate boundaries: ≤ max_bins+1 approximate
-    quantiles. Like MLlib's findSplits the pass runs on a bounded sample
-    of big inputs — candidates only need to be representative, the stats
-    computed AT the surviving candidates stay exact."""
-    if not num_names:
-        return {}
-    probs = [i / max_bins for i in range(max_bins + 1)]
-    sample = df.select(*num_names)
-    n = sample.count()
-    target = 100 * max_bins
-    if n > 4 * target:
-        # big input: one seeded-sample scan collected via Arrow, exact
-        # sample quantiles in numpy (method='lower' keeps edges actual
-        # data values). ~3× cheaper than approxQuantile's GK pass and
-        # the driver transfer is capped at ~target rows.
-        pdf = sample.sample(fraction=target / n, seed=42).toPandas()
-        out = {}
-        for a in num_names:
-            col = pdf[a].dropna().to_numpy(dtype=np.float64)
-            if len(col) == 0:
-                out[a] = []
-                continue
-            out[a] = sorted(
-                {float(e) for e in np.quantile(col, probs, method="lower")}
-            )
-        return out
-    all_edges = sample.approxQuantile(num_names, probs, 1.0 / (4 * max_bins))
-    return {
-        a: sorted({float(e) for e in edges})
-        for a, edges in zip(num_names, all_edges)
-    }
 
 
 def _snap_numeric(
@@ -629,17 +611,18 @@ def train(
 
     spark = df.sparkSession
     base = df.select(*attr_order, schema.label)
-    base = _enforce_null_policy(
+    # ONE prologue scan: null audit + quantile candidates in a single
+    # multi-aggregate job (pre-repartition: it must not drag a shuffle
+    # through re-execution)
+    base, edges = _prologue_scan(
         base,
         nulls=nulls,
         cat_names=cat_names,
         num_names=num_names,
         label=schema.label,
         cat_domains=cat_domains,  # mutated: missing category appended
+        max_bins=max_bins,
     )
-    # candidate edges from the raw scan (pre-repartition: the quantile
-    # pass and row count must not drag a shuffle through re-execution)
-    edges = _quantile_edges(base, num_names, max_bins)
     if cache:
         # a small parquet scan may yield very few partitions; every
         # per-level pass would then run on that many cores — spread the

@@ -1725,3 +1725,59 @@ def test_pack_shuffled_same_layout_different_composition(spark, sf_small):
         (r.shard, r.chunk_id, r.first_doc, r.last_doc) for r in rows
     )
     assert key(plain) != key(shuffled)  # composition reordered
+
+
+def test_decontam_spans_hand_fixture(spark):
+    """Passage-level decontamination: only corpus×benchmark spans are
+    reported (benchmark = doc_id % 7 == 2, so doc 2 here), corpus-to-
+    corpus duplication is near-dedup's job and must NOT flag."""
+    shared = " ".join(f"s{i}" for i in range(1, 13))
+    dup = " ".join(f"d{i}" for i in range(1, 11))
+    d = _docs_df(
+        spark,
+        [
+            f"x1 x2 {shared} y1 y2",      # corpus: leaks bench 2's passage
+            f"{shared} z1 z2 z3",          # benchmark (2 % 7 == 2)
+            "u1 u2 u3 u4 u5 u6 u7 u8",     # corpus: clean
+            f"a1 {dup} a2",                # corpus: dup of 5 — not a leak
+            f"b1 {dup} b2",
+        ],
+    )
+    spans = D.decontaminate_span_matches(d).collect()
+    assert [
+        (r["doc_id"], r["bench_id"], r["start"], r["start_bench"],
+         r["span_tokens"])
+        for r in spans
+    ] == [(1, 2, 3, 1, 12)]
+
+    out = {r["doc_id"]: r for r in D.decontaminate_spans_apply_rel(d).collect()}
+    assert sorted(out) == [1, 3, 4, 5]  # benchmark doc 2 is not output
+    assert out[1]["clean_text"] == "x1 x2 y1 y2"
+    assert out[1]["n_removed"] == 12 and out[1]["n_tokens"] == 16
+    for did in (3, 4, 5):
+        assert out[did]["n_removed"] == 0
+
+
+def test_decontam_spans_apply_fixpoint(spark, sf_small):
+    """After one passage-scrub pass, re-detecting leaks on (cleaned
+    corpus ∪ original benchmark) finds nothing — every leaked passage
+    is gone while the documents themselves survive."""
+    d = TXX.docs(spark, sf_small)
+    bench = d.where(
+        F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+    ).select("doc_id", "text")
+    cleaned = D.decontaminate_spans_apply_rel(d).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    assert D.decontaminate_span_matches(cleaned.unionByName(bench)).count() == 0
+
+
+def test_decontam_spans_apply_conserves_tokens(spark, sf_small):
+    """n_tokens - n_removed equals the rebuilt text's own token count,
+    per corpus document — surgery, not truncation."""
+    out = D.decontaminate_spans_apply_rel(TXX.docs(spark, sf_small))
+    bad = out.where(
+        F.size(TXX.tokens_col(F.col("clean_text")))
+        != F.col("n_tokens") - F.col("n_removed")
+    ).count()
+    assert bad == 0

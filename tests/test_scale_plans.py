@@ -862,3 +862,42 @@ def test_packed_slices_no_join_single_exchange(spark, sf_small):
     assert p.count(") Scan parquet") == 1
     assert p.count("hashpartitioning(") == 1  # the shard window only
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_train_prologue_is_one_scan(spark, sf_small):
+    """train()'s pre-level-0 work (null audit + quantile candidates) is
+    ONE multi-aggregate action over the training projection
+    (operators/tree.py:_prologue_scan). The previous design paid three
+    full corpus passes here — at 100 TB, two entire extra reads per
+    training run. AQE executes the single two-stage aggregate as ≤ 2
+    jobs (scan stage + final stage over the 1-row shuffle); the scan
+    stage is the only one that touches the corpus. Three separate
+    actions would show ≥ 3 job-group jobs."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import tree as Tr
+
+    schema = registry.LINEITEM_TRAINING_SCHEMA
+    base = registry.lineitem_training(spark, sf_small).select(
+        *[a.name for a in schema.features], schema.label
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("prologue-probe", "one-scan pin")
+    try:
+        _, edges = Tr._prologue_scan(
+            base,
+            nulls="reject",
+            cat_names=[a.name for a in schema.categorical],
+            num_names=[a.name for a in schema.numeric],
+            label=schema.label,
+            cat_domains={
+                a.name: list(a.domain) for a in schema.categorical
+            },
+            max_bins=256,
+        )
+    finally:
+        sc.setJobGroup("post-prologue", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("prologue-probe")
+    assert len(jobs) <= 2, jobs
+    # the edges it produced are real split candidates
+    assert all(len(e) > 1 for e in edges.values()), {
+        k: len(v) for k, v in edges.items()
+    }
