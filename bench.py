@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "dedup_spans_apply",
     "decontaminate",
     "decontaminate_apply",
+    "decontaminate_spans",
+    "decontaminate_spans_apply",
+    "bpe_train",
     "scrub_pii",
     "pack_sequences",
     "pack_shuffled",
@@ -89,6 +92,7 @@ BENCH_QUERIES = [
     "pipeline_mixture_pack",
     "corpus_report",
     "similarity_topk",
+    "similarity_ann_ivfpq",
 ]
 
 

@@ -1,0 +1,228 @@
+"""Distributed BPE merge training over the `documents` table.
+
+The engine already counts GPT-2-shaped pre-tokens (`text.py:token_count_bpe`)
+and ranks a corpus vocabulary (`text.py:vocab_coverage`); this module LEARNS
+the merges — the iterative pair-count/argmax/merge loop of byte-pair
+encoding (Sennrich et al. 2016), the tokenizer-training step of every LLM
+data pipeline. The reference has no text surface at all; this extends the
+same level-synchronous iterate-until-done shape as its C4.5 loop
+(`Main.java:110-131` — per-iteration grouped statistics, a driver-side
+argmax, broadcast of the decision) to tokenizer training.
+
+Scale design — the corpus is touched ONCE:
+
+1. One scan + one shuffle builds the distinct-word frequency table
+   ``(word, freq)``. By Heaps' law this is vocab-sized (≪ corpus-sized);
+   every BPE iteration afterwards runs on the word table only, so
+   per-iteration cost is bounded by the vocabulary, NOT the corpus —
+   the probe in tests pins that a 10× corpus with the same vocabulary
+   leaves the iteration input byte-identical.
+2. When the word table fits the driver bound (≤ ``BPE_DRIVER_MAX_WORDS``,
+   same pattern as tree.py's ``_driver_level_stats``), the merge loop
+   runs in-process over Arrow-collected counts with incremental
+   pair-count maintenance (only words containing the merged pair are
+   rewritten — the standard tokenizer-trainer algorithm).
+3. Above the bound, :func:`_train_distributed` runs the SAME loop
+   level-synchronously on the cluster: per-iteration adjacent-pair
+   explode → grouped sum → argmax (count DESC, pair ASC — deterministic
+   tie-break) → broadcast the winning pair into a left-to-right greedy
+   fold over each word's symbol array; the symbol table is
+   localCheckpointed every few iterations to truncate lineage (the
+   NodeIdCache move from the tree trainer). Both paths are pinned equal
+   in tests/test_bpe.py.
+
+Merge-apply semantics (identical in both paths and the naive test
+reference): scan the symbol sequence left-to-right, merging the FIRST of
+any overlapping occurrences — ``aaa`` under merge ``(a,a)`` becomes
+``(aa, a)``. Pair counts weight by word frequency and count overlapping
+occurrences per position (``aaa`` contributes 2·freq to ``(a,a)``).
+Training stops after ``n_merges`` or when the best pair's count < 2
+(merging a once-seen pair never compresses anything).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX
+from c4_5decisiontreebasedonmapreduce_spark.operators.text import tokens_col
+
+#: driver-side word-table bound (rows). A 4M-row (word, freq) Arrow
+#: transfer is tens of MB; beyond it the distributed loop takes over.
+BPE_DRIVER_MAX_WORDS = 4_000_000
+
+#: merges learned by the registry query — small enough for a pinned
+#: oracle, large enough to exercise multi-character merge chains.
+BPE_N_MERGES = 64
+
+MERGES_SCHEMA = (
+    "merge_rank int, lhs string, rhs string, merged string,"
+    " pair_count bigint"
+)
+
+
+def word_counts(d: DataFrame) -> DataFrame:
+    """The ONE corpus-sized stage: ``(word, freq)`` under the shared
+    lowercase/alnum tokenizer. Map-side combined grouped count — the
+    same shape as every contingency in this engine."""
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _merge_word(syms: tuple, left: str, right: str) -> tuple:
+    """Left-to-right greedy merge of (left, right) in one symbol tuple."""
+    out = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _pair_iter(syms: tuple):
+    return zip(syms, syms[1:])
+
+
+def _train_driver(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The in-process merge loop over the collected word table, with
+    incremental pair-count maintenance: a pair→word index means each
+    iteration rewrites ONLY the words containing the winning pair and
+    adjusts counts by their before/after delta — the standard
+    tokenizer-trainer algorithm, O(affected words) per iteration."""
+    words: list[tuple] = []
+    freqs: list[int] = []
+    for w, f in rows:
+        words.append(tuple(w))
+        freqs.append(int(f))
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, f) in enumerate(zip(words, freqs)):
+        for p in _pair_iter(syms):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(idx)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        if not pair_counts:
+            break
+        # deterministic argmax: count DESC, then lexicographic pair ASC
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, left + right, cnt))
+        for idx in list(pair_words.get((left, right), ())):
+            old, f = words[idx], freqs[idx]
+            new = _merge_word(old, left, right)
+            words[idx] = new
+            for p in _pair_iter(old):
+                c = pair_counts[p] - f
+                if c:
+                    pair_counts[p] = c
+                else:
+                    del pair_counts[p]
+                    pair_words.pop(p, None)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(idx)
+            for p in _pair_iter(new):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(idx)
+    return merges
+
+
+def _train_distributed(
+    wc: DataFrame, n_merges: int, checkpoint_every: int = 8
+) -> list[tuple[int, str, str, str, int]]:
+    """The level-synchronous cluster twin: symbol arrays stay
+    distributed; each iteration is one grouped pair count (vocab-sized
+    exchange), a 1-row argmax collect, and a broadcast greedy fold —
+    exactly c45_train's per-level shape. Lineage is truncated every
+    ``checkpoint_every`` merges."""
+    syms = wc.select(
+        F.split(F.col("word"), "").alias("syms"), "freq"
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            syms.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, left + right, cnt))
+        l_lit, r_lit = F.lit(left), F.lit(right)
+        # left-to-right greedy merge as a fold: the accumulator starts
+        # with the first symbol (never empty, tokens are non-empty), and
+        # each step either fuses into the accumulator's tail or appends.
+        # A just-fused tail equals left+right, not left, so overlapping
+        # occurrences resolve exactly like _merge_word.
+        merged = F.aggregate(
+            F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+            F.array(F.element_at("syms", 1)),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == l_lit) & (s == r_lit),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(l_lit, r_lit)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        syms = syms.select(merged.alias("syms"), "freq")
+        if (rank + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint()
+    return merges
+
+
+def bpe_train_rel(
+    d: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    driver_max_words: int = BPE_DRIVER_MAX_WORDS,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over a ``(doc_id, text)`` relation;
+    returns the merge table ``(rank, left, right, merged, pair_count)``
+    in learned order. One corpus scan; see the module docstring for the
+    two iteration paths."""
+    spark = d.sparkSession
+    wc = word_counts(d).localCheckpoint()
+    if wc.count() <= driver_max_words:
+        rows = [(r["word"], r["freq"]) for r in wc.collect()]
+        merges = _train_driver(rows, n_merges)
+    else:
+        merges = _train_distributed(wc, n_merges)
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`bpe_train_rel` over the `documents` table (spread like
+    the other text operators — a single-file scan must not serialize
+    the tokenize pass onto one core)."""
+    d = TX.docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return bpe_train_rel(d)

@@ -453,8 +453,11 @@ def _prologue_scan(
     Quantiles are computed over non-null values, so under
     ``nulls='missing'`` the imputed median is itself a data value that
     snapping maps to an exact candidate — no second pass needed."""
-    if nulls not in ("reject", "missing"):
-        raise ValueError(f"nulls must be 'reject' or 'missing', got {nulls!r}")
+    if nulls not in ("reject", "missing", "fractional"):
+        raise ValueError(
+            "nulls must be 'reject', 'missing' or 'fractional', "
+            f"got {nulls!r}"
+        )
     cols = cat_names + num_names + [label]
     probs = sorted({i / max_bins for i in range(max_bins + 1)} | {0.5})
     med_idx = probs.index(0.5)
@@ -481,7 +484,9 @@ def _prologue_scan(
             "training cannot proceed under any nulls policy"
         )
     dirty = {c: n for c, n in counts.items() if c != label and n > 0}
-    if not dirty:
+    if not dirty or nulls == "fractional":
+        # fractional (operators/fractional.py) keeps nulls null — the
+        # router distributes their weight; edges over known values
         return base, edges
     if nulls == "reject":
         raise ValueError(
@@ -583,10 +588,15 @@ def train(
     categorical nulls their own ``__missing__`` branch (appended to the
     declared domain, so the tree can SPLIT on missingness — it is often
     informative) and median-imputes numeric nulls (a null carries no
-    ordering information for a threshold split; C4.5's fractional-
-    instance routing is documented out of scope). A label null is always
-    an error. With no nulls present, both policies leave the data,
-    domains, and resulting model bit-identical to before.
+    ordering information for a threshold split); ``"fractional"``
+    dispatches to :func:`operators.fractional.train_fractional` — the
+    actual Quinlan C4.5 semantics: known-fraction gain scaling, an
+    unknown pseudo-branch in the split information, and rows with an
+    unknown split attribute routed to every child with weight
+    proportional to the observed branch masses. A label null is always
+    an error. With no nulls present, all three policies leave the data,
+    domains, and resulting model identical (fractional: rule-for-rule,
+    pinned in tests/test_fractional.py).
 
     One Spark action and ONE data-sized exchange per level: the mixed
     melt + grouped count; class histograms, categorical gain ratios and
@@ -603,6 +613,30 @@ def train(
         )
 
         return train_reference_compat(df, schema)
+    if nulls == "fractional":
+        # true C4.5 missing-value semantics: known-fraction gain scaling,
+        # unknown split-info branch, weight-proportional routing
+        # (operators/fractional.py). Pruning operates on integer leaf
+        # histograms, so the combination is rejected rather than wrong.
+        if prune:
+            raise ValueError(
+                "prune=True is not supported with nulls='fractional' "
+                "(EBP needs integer leaf histograms)"
+            )
+        from c4_5decisiontreebasedonmapreduce_spark.operators.fractional import (
+            train_fractional,
+        )
+
+        return train_fractional(
+            df,
+            schema,
+            max_depth=max_depth,
+            min_ratio=min_ratio,
+            min_rows=min_rows,
+            cache=cache,
+            max_bins=max_bins,
+            driver_stats_max_rows=driver_stats_max_rows,
+        )
     attr_order = [a.name for a in schema.features]
     cat_names = [a.name for a in schema.categorical]
     num_names = [a.name for a in schema.numeric]

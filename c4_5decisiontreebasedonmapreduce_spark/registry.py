@@ -1563,6 +1563,55 @@ def _c45_train_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("c45_train_wide", _c45_train_wide_query)  # iterative: rows-only
 
 
+def _c45_train_fractional_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quinlan-fractional missing-value training (r9,
+    `operators/fractional.py`): the lineitem projection with ~5% of
+    `l_discount` and `l_linestatus` deterministically nulled (portable
+    MD5 of the full feature tuple, so the same rows are nulled in any
+    engine/partitioning), trained under ``nulls='fractional'`` — gain
+    scaled by the known fraction, unknowns an extra split-info branch,
+    null rows routed to every child with branch-mass-proportional
+    weights. Rows-only: the weighted iterative loop is not
+    SQL-expressible; the semantics are pinned by hand-computed goldens
+    and the clean-data-equality test in tests/test_fractional.py.
+    Returns the decision list with its FRACTIONAL leaf masses."""
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long,
+    )
+
+    df = lineitem_training(spark, sf_dir)
+    key = md5_long(F.concat_ws("|", *[F.col(c) for c in df.columns]))
+    df = df.withColumn(
+        "l_discount",
+        F.when(key % 20 == 0, None).otherwise(F.col("l_discount")),
+    ).withColumn(
+        "l_linestatus",
+        F.when(key % 20 == 1, None).otherwise(F.col("l_linestatus")),
+    )
+    model = Tr.train(
+        df,
+        LINEITEM_TRAINING_SCHEMA,
+        max_depth=3,
+        min_rows=50,
+        nulls="fractional",
+    )
+    rows = [
+        (
+            json.dumps([[c.attr, c.op, str(c.value)] for c in r.conditions]),
+            r.label,
+            round(float(r.n), 6),
+            r.depth,
+        )
+        for r in model.rules
+    ]
+    return spark.createDataFrame(
+        rows, "conditions string, label string, n double, depth int"
+    )
+
+
+_register("c45_train_fractional", _c45_train_fractional_query)  # rows-only
+
+
 def _c45_train_bug_compat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-AS-BUILT training (quirks Q1-Q5 reproduced,
     `operators/bug_compat.py`) on the weather fixture: the resulting
@@ -1801,6 +1850,131 @@ _register(
 )
 
 
+from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as BPE  # noqa: E402
+
+# Golden BPE merge table of the deterministic sf0.01 run (64 merges,
+# shared lowercase/alnum word tokenizer): training is exact integer
+# arithmetic over the distinct-word frequency table with a pinned
+# tie-break (count DESC, pair ASC), so the learned sequence is stable
+# across runs and parallelism (verified by retraining; the distributed
+# twin is pinned equal in tests/test_bpe.py). The oracle recomputes the
+# RANK-0 row — initial character-pair counts, weighted by word
+# frequency, argmax under the same tie-break — from the raw parquet in
+# SQL, so a tokenizer or counting drift fails the hash; ranks 1+ are
+# pinned literals (iterated merge state is not SQL-expressible), each
+# carrying its pair_count at merge time. t2 grades at sf0.01.
+_GOLDEN_SF001_BPE = [
+    (1, "i", "n", "in", 2760),
+    (2, "o", "w", "ow", 2747),
+    (3, "o", "r", "or", 2696),
+    (4, "s", "t", "st", 2676),
+    (5, "m", "er", "mer", 1852),
+    (6, "a", "t", "at", 1845),
+    (7, "l", "u", "lu", 1831),
+    (8, "a", "r", "ar", 1758),
+    (9, "p", "ar", "par", 1758),
+    (10, "j", "o", "jo", 964),
+    (11, "jo", "in", "join", 964),
+    (12, "a", "s", "as", 947),
+    (13, "as", "h", "ash", 947),
+    (14, "h", "ash", "hash", 947),
+    (15, "r", "ow", "row", 943),
+    (16, "at", "c", "atc", 937),
+    (17, "atc", "h", "atch", 937),
+    (18, "b", "atch", "batch", 937),
+    (19, "a", "n", "an", 936),
+    (20, "c", "an", "can", 936),
+    (21, "s", "can", "scan", 936),
+    (22, "c", "o", "co", 934),
+    (23, "c", "u", "cu", 934),
+    (24, "co", "lu", "colu", 934),
+    (25, "colu", "m", "colum", 934),
+    (26, "colum", "n", "column", 934),
+    (27, "cu", "st", "cust", 934),
+    (28, "cust", "o", "custo", 934),
+    (29, "custo", "mer", "customer", 934),
+    (30, "f", "i", "fi", 933),
+    (31, "fi", "l", "fil", 933),
+    (32, "fil", "t", "filt", 933),
+    (33, "filt", "er", "filter", 933),
+    (34, "a", "l", "al", 928),
+    (35, "al", "l", "all", 928),
+    (36, "m", "all", "mall", 928),
+    (37, "s", "mall", "small", 928),
+    (38, "g", "e", "ge", 918),
+    (39, "l", "ow", "low", 918),
+    (40, "mer", "ge", "merge", 918),
+    (41, "s", "low", "slow", 918),
+    (42, "c", "t", "ct", 912),
+    (43, "ct", "or", "ctor", 912),
+    (44, "d", "er", "der", 912),
+    (45, "e", "ctor", "ector", 912),
+    (46, "or", "der", "order", 912),
+    (47, "v", "ector", "vector", 912),
+    (48, "in", "e", "ine", 910),
+    (49, "l", "ine", "line", 910),
+    (50, "a", "b", "ab", 908),
+    (51, "ab", "l", "abl", 908),
+    (52, "abl", "e", "able", 908),
+    (53, "at", "a", "ata", 908),
+    (54, "d", "ata", "data", 908),
+    (55, "t", "able", "table", 908),
+    (56, "u", "p", "up", 904),
+    (57, "a", "g", "ag", 901),
+    (58, "ag", "g", "agg", 901),
+    (59, "a", "lu", "alu", 897),
+    (60, "alu", "e", "alue", 897),
+    (61, "v", "alue", "value", 897),
+    (62, "e", "y", "ey", 896),
+    (63, "k", "ey", "key", 896),
+]
+
+_BPE_LITERALS = ",\n  ".join(
+    f"({r}, '{l}', '{rr}', '{m}', {c})" for r, l, rr, m, c in _GOLDEN_SF001_BPE
+)
+
+BPE_TRAIN_SQL = f"""
+WITH words AS (
+  SELECT UNNEST({TX._tokens_sql('text')}) AS word FROM {TX.DOCS_SQL}
+),
+wc AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+cs AS (
+  SELECT REGEXP_SPLIT_TO_ARRAY(word, '') AS c, freq
+  FROM wc WHERE LEN(word) >= 2
+),
+p AS (
+  SELECT c[i] AS lhs, c[i + 1] AS rhs, SUM(freq) AS cnt
+  FROM (SELECT c, freq,
+               UNNEST(GENERATE_SERIES(1, LEN(c) - 1)) AS i
+        FROM cs)
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT CAST(0 AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged,
+         CAST(cnt AS BIGINT) AS pair_count
+  FROM p ORDER BY cnt DESC, lhs, rhs LIMIT 1
+)
+UNION ALL
+SELECT CAST(r AS INT), l, rr, m, CAST(c AS BIGINT)
+FROM (VALUES {_BPE_LITERALS}) v(r, l, rr, m, c)"""
+
+# distributed BPE merge training (r9): the tokenizer-training loop in
+# the c45_train level-synchronous shape — one corpus scan to the word
+# table, then per-iteration pair count / argmax / broadcast-merge
+_register("bpe_train", BPE.bpe_train, BPE_TRAIN_SQL)
+
+# IVF-PQ (r9): product-quantized compressed candidate scoring inside the
+# probed buckets + constant-size exact refine — the pseudo-codebook
+# variant is fully deterministic, so even the APPROXIMATE scoring path
+# is hash-graded end-to-end; kmeans_pq_codebook is the production
+# drop-in (recall ≥ 0.85 pinned in tests/test_extensions.py)
+_register(
+    "similarity_ann_ivfpq",
+    SIM.similarity_ann_ivfpq,
+    SIM.SIMILARITY_ANN_IVFPQ_SQL,
+)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 #
@@ -1837,16 +2011,16 @@ _FIRST_WINDOW = [
     "join_broadcast",
     "join_semi_anti",
     "join_range",
-    "asof_join",
     "join_salted",
     "window_funcs",
     "agg_rollup",
     "merge_cdc",
-    # text analysis
+    # text analysis / tokenizer training
     "tokenize",
     "lang_id",
     "tfidf",
     "lm_perplexity",
+    "bpe_train",
     # dedup / decontamination family
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -1854,23 +2028,23 @@ _FIRST_WINDOW = [
     "dedup_simhash",
     "dedup_embedding_ivf",
     "dedup_cluster",
-    "dedup_incremental",
     "dedup_spans",
     "dedup_spans_apply",
     "decontaminate",
     "decontaminate_apply",
+    "decontaminate_spans",
+    "decontaminate_spans_apply",
     # similarity search
     "similarity_topk",
     "similarity_ann_ivf",
+    "similarity_ann_ivfpq",
     # sampling / packing / pipeline
     "sample_mixture",
     "pack_sequences",
     "pack_assignments",
     "pipeline_pretraining",
     "scrub_pii",
-    "corpus_report",
-    # streaming representatives
-    "streaming_tumbling",
+    # streaming representative
     "streaming_stateful",
 ]
 

@@ -293,6 +293,30 @@ HEADLINE = {
         "against the corpus, zip_with dot products, window top-k "
         "(similarity_ann_ivf above is the scale path)"
     ),
+    "decontaminate_spans": (
+        "passage-level leak detection (r9): asymmetric corpus×benchmark "
+        "positioned-gram equi-join over the df-capped gram relation; the "
+        "islands merge windows on (pair, diagonal) — bounded by document "
+        "length, never corpus-sized; no cartesian anywhere"
+    ),
+    "decontaminate_spans_apply": (
+        "passage surgery (r9): mask ranges explode only from LEAKED "
+        "tokens (linear in removed mass), one anti-join on the "
+        "positioned token relation, per-doc rebuild — corpus docs "
+        "scanned, never corpus² anything"
+    ),
+    "bpe_train": (
+        "tokenizer training (r9): the corpus is touched by exactly ONE "
+        "map-combined word-count exchange; all merge iterations run on "
+        "the vocab-sized word table (driver loop under the 4M bound, "
+        "level-synchronous distributed twin above it)"
+    ),
+    "similarity_ann_ivfpq": (
+        "IVF-PQ (r9): candidates score via the broadcast ADC lookup "
+        "table over their 8 PQ codes — raw vectors read only for the "
+        "constant-size (32×k) exact refine; encode is one broadcast "
+        "crossJoin + per-(vector, subspace) argmin window"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);

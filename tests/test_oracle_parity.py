@@ -21,7 +21,7 @@ def duck(sf_small):
 # Golden oracles that pin the deterministic sf0.01 model: the driver's t2
 # gate always grades at sf0.01, so at any other sf the pinned split
 # structure (rightly) differs and the comparison is meaningless.
-SF001_PINNED = {"c45_train", "c45_predict", "c45_train_pruned"}
+SF001_PINNED = {"c45_train", "c45_predict", "c45_train_pruned", "bpe_train"}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
