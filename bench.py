@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "decontaminate_spans",
     "decontaminate_spans_apply",
     "bpe_train",
+    "bpe_encode",
     "scrub_pii",
     "pack_sequences",
     "pack_shuffled",

@@ -209,11 +209,7 @@ def bpe_train_rel(
     two iteration paths."""
     spark = d.sparkSession
     wc = word_counts(d).localCheckpoint()
-    if wc.count() <= driver_max_words:
-        rows = [(r["word"], r["freq"]) for r in wc.collect()]
-        merges = _train_driver(rows, n_merges)
-    else:
-        merges = _train_distributed(wc, n_merges)
+    merges = train_merges(wc, n_merges, driver_max_words)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
@@ -226,3 +222,98 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
     return bpe_train_rel(d)
+
+
+def train_merges(
+    wc: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    driver_max_words: int = BPE_DRIVER_MAX_WORDS,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn merges from a materialized ``(word, freq)`` table — the
+    shared core of :func:`bpe_train_rel` and :func:`bpe_encode_rel`."""
+    if wc.count() <= driver_max_words:
+        rows = [(r["word"], r["freq"]) for r in wc.collect()]
+        return _train_driver(rows, n_merges)
+    return _train_distributed(wc, n_merges)
+
+
+def bpe_segment_words(
+    wc: DataFrame, merges: list[tuple[int, str, str, str, int]]
+) -> DataFrame:
+    """Segment every DISTINCT word by replaying the learned merges in
+    rank order — ``(word, symbols array<string>)``.
+
+    The replay is an inherently sequential per-word loop (merge i's
+    output feeds merge i+1), so this is the engine's documented
+    Pandas-UDF escape hatch: an Arrow-batched ``mapInPandas`` over the
+    VOCAB-SIZED word table (never the corpus — by Heaps' law the words
+    relation is what stays small at 100 TB), with the merge list (a
+    tokenizer artifact, broadcast-sized by definition) captured in the
+    closure. Corpus-sized work then reduces to an equi-join against
+    this relation."""
+    pairs = [(l, r) for _, l, r, _, _ in merges]
+
+    def seg(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf["word"]:
+                syms: tuple = tuple(w)
+                for left, right in pairs:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_word(syms, left, right)
+                out.append(list(syms))
+            yield pdf.assign(symbols=out)[["word", "symbols"]]
+
+    return wc.select("word").mapInPandas(
+        seg, "word string, symbols array<string>"
+    )
+
+
+def bpe_encode_rel(
+    d: DataFrame, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """ENCODE the corpus under its own learned BPE: per document,
+    ``(doc_id, n_words, n_chars, n_bpe_symbols, chars_per_symbol)`` —
+    the compression signal a tokenizer-budget pipeline reads.
+
+    Scale shape: train touches the corpus once (see
+    :func:`word_counts`); segmentation runs on the distinct-word table
+    (:func:`bpe_segment_words`); the corpus-sized remainder is one
+    token explode, one equi-join on the word against the vocab-sized
+    segmentation, and one per-doc rollup — the tokenize-family shape,
+    nothing quadratic."""
+    wc = word_counts(d).localCheckpoint()
+    merges = train_merges(wc, n_merges)
+    seg = bpe_segment_words(wc, merges).withColumn(
+        "n_sym", F.size("symbols")
+    ).select("word", "n_sym")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return (
+        toks.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_bpe_symbols"),
+        )
+        .withColumn(
+            "chars_per_symbol",
+            F.round(
+                F.col("n_chars") / F.col("n_bpe_symbols").cast("double"), 6
+            ),
+        )
+    )
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`bpe_encode_rel` over the `documents` table. Rows-only in
+    the registry (merge replay is not SQL-expressible); segmentation
+    correctness is pinned differentially in tests/test_bpe.py."""
+    d = TX.docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return bpe_encode_rel(d)

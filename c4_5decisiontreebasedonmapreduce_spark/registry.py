@@ -1963,6 +1963,13 @@ FROM (VALUES {_BPE_LITERALS}) v(r, l, rr, m, c)"""
 # table, then per-iteration pair count / argmax / broadcast-merge
 _register("bpe_train", BPE.bpe_train, BPE_TRAIN_SQL)
 
+# ...and the ENCODE step: corpus segmented under its own learned BPE —
+# per-doc word/char/symbol counts and compression ratio. Rows-only
+# (sequential merge replay is not SQL-expressible); segmentation is
+# differential-pinned in tests/test_bpe.py. The replay runs Arrow-batched
+# over the VOCAB-SIZED distinct-word table, never the corpus.
+_register("bpe_encode", BPE.bpe_encode)  # iterative replay: rows-only
+
 # IVF-PQ (r9): product-quantized compressed candidate scoring inside the
 # probed buckets + constant-size exact refine — the pseudo-codebook
 # variant is fully deterministic, so even the APPROXIMATE scoring path

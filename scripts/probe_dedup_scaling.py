@@ -36,6 +36,7 @@ sys.path.insert(
 from pyspark.sql import functions as F  # noqa: E402
 
 from c4_5decisiontreebasedonmapreduce_spark import get_spark  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as BPE  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import pii as PII  # noqa: E402
@@ -45,6 +46,16 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX  # noqa:
 from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (  # noqa: E402
     load_table,
 )
+
+
+def _bpe_train_probe(spark, sf_dir):
+    """bpe_train at a fixed 32 merges: the multiplied corpus has a
+    near-constant vocabulary (copy-tagged tokens add one tag per copy),
+    so wall time should track the ONE word-count scan, not K× iteration
+    cost."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    return BPE.bpe_train_rel(docs(spark, sf_dir), n_merges=32)
 
 
 def build_multiplied(spark, sf_dir: str, k: int, out_dir: str) -> None:
@@ -115,6 +126,10 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("sample_mixture", SMP.sample_mixture),
             ("sample_temperature", SMP.sample_temperature),
             ("decontaminate_apply", D.decontaminate_apply),
+            ("decontaminate_spans", D.decontaminate_spans),
+            ("decontaminate_spans_apply", D.decontaminate_spans_apply),
+            ("bpe_train", _bpe_train_probe),
+            ("bpe_encode", BPE.bpe_encode),
             ("corpus_report", PL.corpus_report),
         ):
             t0 = time.perf_counter()

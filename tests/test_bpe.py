@@ -133,3 +133,34 @@ def test_bpe_merges_reconstruct_segmentation(spark):
             syms = B._merge_word(syms, l, r)
         assert "".join(syms) == word
         assert len(syms) >= 1
+
+
+def test_bpe_segment_words_matches_replay(spark):
+    """The Arrow mapInPandas segmentation must equal a driver-side
+    replay of _merge_word over the same merge list, word for word —
+    and concatenating any word's symbols reproduces the word."""
+    d = _docs(spark, FIXTURE)
+    wc = B.word_counts(d).localCheckpoint()
+    merges = B.train_merges(wc, 24)
+    seg = {r["word"]: r["symbols"] for r in B.bpe_segment_words(wc, merges).collect()}
+    for w in (r["word"] for r in wc.collect()):
+        syms = tuple(w)
+        for _, l, r, _, _ in merges:
+            if len(syms) < 2:
+                break
+            syms = B._merge_word(syms, l, r)
+        assert seg[w] == list(syms), w
+        assert "".join(seg[w]) == w
+
+
+def test_bpe_encode_bounds_and_totals(spark, sf_small):
+    """Per doc: n_words ≤ n_bpe_symbols ≤ n_chars (merges only ever
+    shorten the char segmentation, never below one symbol per word),
+    and the corpus actually compresses (symbols < chars overall)."""
+    out = B.bpe_encode_rel(TXX.docs(spark, sf_small)).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_words"] <= r["n_bpe_symbols"] <= r["n_chars"], tuple(r)
+    assert sum(r["n_bpe_symbols"] for r in out) < sum(
+        r["n_chars"] for r in out
+    )

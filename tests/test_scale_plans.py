@@ -901,3 +901,41 @@ def test_train_prologue_is_one_scan(spark, sf_small):
     assert all(len(e) > 1 for e in edges.values()), {
         k: len(v) for k, v in edges.items()
     }
+
+
+def test_decontam_spans_no_cartesian_no_python(spark, sf_small):
+    """Passage-level decontamination: candidate generation is the
+    df-capped gram equi-join (never corpus×benchmark raw), the islands
+    window partitions by (pair, diagonal), and everything stays
+    JVM-side."""
+    for name in ("decontaminate_spans", "decontaminate_spans_apply"):
+        p = plan_of(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in p, name
+        assert "EvalPython" not in p, name
+        assert "SinglePartition" not in p, name
+
+
+def test_bpe_word_count_is_one_exchange(spark, sf_small):
+    """BPE training's only corpus-sized stage: the word-frequency table
+    is ONE map-side-combined grouped count off one scan — every merge
+    iteration thereafter runs on the vocab-sized table."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as B
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    p = plan_of(B.word_counts(docs(spark, sf_small)))
+    assert p.count(") Scan parquet") == 1
+    assert p.count(") Exchange") == 1
+    assert "partial_count" in p or "HashAggregate" in p  # map-side combine
+    assert "EvalPython" not in p
+
+
+def test_ivfpq_broadcast_only_no_python(spark, sf_small):
+    """IVF-PQ: the codebook/sub-codebook/LUT sides are always broadcast
+    (BNLJ = the deliberate broadcast crossJoins against k-sized
+    relations; a non-broadcast cartesian would be CartesianProduct),
+    scoring joins are hash joins, and no Python touches the path."""
+    p = plan_of(QUERIES["similarity_ann_ivfpq"](spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SinglePartition" not in p
