@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "decontaminate_apply",
     "decontaminate_spans",
     "decontaminate_spans_apply",
+    "decontaminate_spans_persisted",
     "bpe_train",
     "bpe_encode",
     "scrub_pii",

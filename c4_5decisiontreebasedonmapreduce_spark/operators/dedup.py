@@ -1906,11 +1906,16 @@ def _mask_rebuild(docs: DataFrame, spans: DataFrame) -> DataFrame:
     masked positions from the positioned token relation → per-doc
     sort+join rebuilds the text. Overlapping masks union via distinct;
     a document losing every token comes back as the empty string, and
-    token-less documents pass through unchanged."""
-    toks = tokens_col(F.col("text"))
-    positioned = docs.select(
+    token-less documents pass through unchanged. The tokenized
+    projection is materialized ONCE (r9): its two consumers — the
+    positioned explode and the per-doc token count — previously each
+    paid a full corpus scan."""
+    base = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("__toks")
+    ).localCheckpoint()
+    positioned = base.select(
         "doc_id",
-        F.posexplode(toks).alias("pos0", "token"),
+        F.posexplode("__toks").alias("pos0", "token"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
     masked = spans.select(
         "doc_id",
@@ -1935,7 +1940,7 @@ def _mask_rebuild(docs: DataFrame, spans: DataFrame) -> DataFrame:
         F.count("*").alias("n_kept"),
     )
     return (
-        docs.select("doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens"))
+        base.select("doc_id", F.size("__toks").alias("n_tokens"))
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
@@ -2079,6 +2084,107 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
     return decontaminate_span_matches(d)
+
+
+def write_benchmark_grams(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "benchmark_grams",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the benchmark slice's positioned gram relation
+    ``(bench_id, pos, gh)`` BUCKETED BY gh, plus its per-gram document
+    frequency side table ``<table>_df`` ``(gh, bdf)`` — the span
+    sibling of :func:`write_benchmark_shingles`. Eval suites change
+    rarely; the tokenize/gram/hash pass over benchmark TEXT runs once
+    at write time and every subsequent passage scrub joins the
+    incoming corpus against this table with NO Exchange on the
+    benchmark side (plan-asserted)."""
+    bench = _positioned_grams(
+        TX.docs(spark, sf_dir).where(
+            F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
+        )
+    ).select(F.col("doc_id").alias("bench_id"), "pos", "gh")
+    bench = bench.localCheckpoint()
+    for name, rel, keys in (
+        (table, bench, ("bench_id", "pos", "gh")),
+        (
+            f"{table}_df",
+            bench.groupBy("gh").agg(
+                F.count_distinct("bench_id").alias("bdf")
+            ),
+            ("gh", "bdf"),
+        ),
+    ):
+        writer = (
+            rel.select(*keys)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "gh")
+            .sortBy("gh")
+        )
+        if path is not None:
+            writer = writer.option("path", f"{path}_{name}")
+        writer.saveAsTable(name)
+    return spark.table(table)
+
+
+def decontaminate_spans_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    bench_grams: DataFrame,
+    bench_df: DataFrame,
+    df_cap: int = SPAN_GRAM_DF_CAP,
+) -> DataFrame:
+    """Passage-level leak detection at INGEST: the corpus (the moving
+    side) grams fresh each run; the benchmark side is the PERSISTED
+    bucketed gram table from :func:`write_benchmark_grams`, read
+    shuffle-free into the candidate equi-join.
+
+    The df-cap is evaluated over corpus ∪ benchmark frequencies exactly
+    like the in-memory :func:`decontaminate_span_matches` (a gram's cap
+    status never depends on side); since grams above the cap are by
+    construction FEW, both sides exclude the hot set via a broadcast
+    anti-join that leaves the bucketed distribution intact — the same
+    move as :func:`span_matches_incremental`. Output pinned identical
+    to the in-memory path (same oracle SQL; equality also pinned in
+    tests/test_extensions.py)."""
+    corpus = _positioned_grams(
+        TX.docs(spark, sf_dir).where(
+            F.col("doc_id") % DECONTAM_BENCH_MOD != DECONTAM_BENCH_REM
+        )
+    ).localCheckpoint()
+    corpus_df = corpus.groupBy("gh").agg(
+        F.count_distinct("doc_id").alias("cdf")
+    )
+    hot = (
+        corpus_df.join(bench_df, "gh", "full")
+        .where(
+            F.coalesce(F.col("cdf"), F.lit(0))
+            + F.coalesce(F.col("bdf"), F.lit(0))
+            > df_cap
+        )
+        .select("gh")
+    )
+    c = corpus.join(F.broadcast(hot), "gh", "left_anti")
+    b = bench_grams.join(F.broadcast(hot), "gh", "left_anti")
+    m = c.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
+    ).join(
+        b.select(
+            F.col("bench_id").alias("doc_b"),
+            F.col("pos").alias("pos_b"),
+            "gh",
+        ),
+        "gh",
+    )
+    return _island_spans(m).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("bench_id"),
+        F.col("start_a").alias("start"),
+        F.col("start_b").alias("start_bench"),
+        "span_tokens",
+    )
 
 
 def decontaminate_spans_apply_rel(

@@ -1673,6 +1673,49 @@ _register(
 )
 
 
+# session cache: sf_dir → persisted bucketed benchmark gram tables
+_BENCH_GRAM_TABLES: dict[str, str] = {}
+
+
+def _decontaminate_spans_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`decontaminate_spans` against the PERSISTED bucketed benchmark
+    gram tables (`operators/dedup.py::write_benchmark_grams`): the
+    benchmark's tokenize/gram/hash pass runs once per session per
+    sf_dir; every subsequent passage scrub joins it shuffle-free, with
+    the df-cap evaluated over corpus ∪ benchmark frequencies via a
+    broadcast hot-set anti-join. Same oracle as the in-memory path —
+    identity is the grade; also pinned in tests/test_extensions.py."""
+    key = sf_dir.rstrip("/")
+    table = _BENCH_GRAM_TABLES.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        import tempfile
+        import uuid
+
+        table = f"bench_grams_{uuid.uuid4().hex[:8]}"
+        D.write_benchmark_grams(
+            spark,
+            sf_dir,
+            table=table,
+            path=tempfile.mkdtemp(prefix="bench_grams_") + "/t",
+        )
+        _BENCH_GRAM_TABLES[key] = table
+    return D.decontaminate_spans_persisted(
+        spark,
+        sf_dir,
+        bench_grams=spark.table(table),
+        bench_df=spark.table(f"{table}_df"),
+    )
+
+
+_register(
+    "decontaminate_spans_persisted",
+    _decontaminate_spans_persisted_query,
+    D.DECONTAM_SPANS_SQL,
+)
+
+
 # session cache: sf_dir → persisted bucketed span-gram corpus tables —
 # same write-once-join-many amortization as _EXACT_CORPUS_TABLES
 _SPAN_CORPUS_TABLES: dict[str, str] = {}

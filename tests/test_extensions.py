@@ -1822,3 +1822,37 @@ def test_pq_codes_shape_and_determinism(spark, sf_small):
     a = sorted(map(tuple, codes.collect()))
     b = sorted(map(tuple, S.pq_codes(e, subc).collect()))
     assert a == b
+
+
+def test_decontam_spans_persisted_matches_default(spark, sf_small, tmp_path):
+    """The persisted-benchmark-gram path must produce exactly the
+    in-memory detection relation — the write-once amortization cannot
+    change a verdict (same df-cap policy: corpus ∪ benchmark
+    frequencies, hot set excluded from both sides)."""
+    table = "bench_grams_eq_test"
+    try:
+        D.write_benchmark_grams(
+            spark, sf_small, table=table,
+            path=str(tmp_path / "bench_grams"),
+        )
+        got = sorted(
+            map(
+                tuple,
+                D.decontaminate_spans_persisted(
+                    spark,
+                    sf_small,
+                    bench_grams=spark.table(table),
+                    bench_df=spark.table(f"{table}_df"),
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                D.decontaminate_spans(spark, sf_small).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_df")

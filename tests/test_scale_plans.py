@@ -939,3 +939,69 @@ def test_ivfpq_broadcast_only_no_python(spark, sf_small):
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" in p
     assert "SinglePartition" not in p
+
+
+def test_benchmark_grams_join_no_shuffle(spark, sf_small, tmp_path):
+    """The persisted benchmark gram table (bucketed by the gram-hash
+    join key) must feed the passage-scrub candidate join with NO
+    Exchange on the benchmark side — the moving corpus is the only side
+    that shuffles. The decontamination sibling of
+    test_span_persisted_corpus_join_no_shuffle."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+    from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX
+
+    table = "bench_grams_plan_test"
+    try:
+        bench = D.write_benchmark_grams(
+            spark, sf_small, table=table, n_buckets=8,
+            path=str(tmp_path / "bench_grams"),
+        )
+        corpus = D._positioned_grams(
+            TX.docs(spark, sf_small).where(
+                F.col("doc_id") % D.DECONTAM_BENCH_MOD
+                != D.DECONTAM_BENCH_REM
+            )
+        ).localCheckpoint()
+        corpus_df = corpus.groupBy("gh").agg(
+            F.count_distinct("doc_id").alias("cdf")
+        )
+        hot = (
+            spark.table(f"{table}_df")
+            .join(corpus_df, "gh", "full")
+            .where(
+                F.coalesce(F.col("cdf"), F.lit(0))
+                + F.coalesce(F.col("bdf"), F.lit(0))
+                > D.SPAN_GRAM_DF_CAP
+            )
+            .select("gh")
+            .localCheckpoint()  # isolate the candidate JOIN's exchanges
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # force SMJ: a broadcast candidate join would trivially have no
+        # shuffle and prove nothing about the bucketed layout
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            c = corpus.join(F.broadcast(hot), "gh", "left_anti")
+            b = bench.join(F.broadcast(hot), "gh", "left_anti")
+            joined = c.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("pos").alias("pos_a"),
+                "gh",
+            ).join(
+                b.select(
+                    F.col("bench_id").alias("doc_b"),
+                    F.col("pos").alias("pos_b"),
+                    "gh",
+                ),
+                "gh",
+            )
+            p = plan_of(joined)
+            assert "SortMergeJoin" in p, p
+            assert "Bucketed: true" in p, p
+            assert p.count(") Exchange") == 1, p  # the corpus side only
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_df")
