@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "corpus_report",
     "similarity_topk",
     "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_persisted",
 ]
 
 

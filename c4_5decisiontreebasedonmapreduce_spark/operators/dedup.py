@@ -2312,3 +2312,56 @@ SELECT c.doc_id,
               '{TOKEN_SPLIT_RE}'), t -> t <> '')) - COALESCE(r.n_kept, 0)
             AS INT) AS n_removed
 FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id"""
+
+
+# the streaming passage-scrub's oracle: identical span pipeline with the
+# df-cap on the BENCHMARK side only — the static, knowable side at
+# ingest (see streaming/windows.py::streaming_decontaminate_spans for
+# why corpus-side capping is both impossible and unnecessary in a
+# stream-static join)
+DECONTAM_SPANS_STREAM_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM {TX.DOCS_SQL}
+),
+g AS (
+  SELECT doc_id,
+         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {SPAN_GRAM_K - 1}, 0)))
+           AS pos,
+         toks
+  FROM tk
+),
+h AS (
+  SELECT doc_id, pos,
+         {md5_long_sql(
+             f"ARRAY_TO_STRING(LIST_SLICE(toks, pos, pos + {SPAN_GRAM_K - 1}), ' ')"
+         )} AS gh
+  FROM g
+),
+rare AS (
+  SELECT gh FROM (
+    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM h
+    WHERE doc_id % {DECONTAM_BENCH_MOD} = {DECONTAM_BENCH_REM}
+    GROUP BY gh
+  ) WHERE df <= {SPAN_GRAM_DF_CAP}
+),
+m AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM h a JOIN rare USING (gh) JOIN h b USING (gh)
+  WHERE a.doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+    AND b.doc_id % {DECONTAM_BENCH_MOD} = {DECONTAM_BENCH_REM}
+),
+isl AS (
+  SELECT doc_id, bench_id, pos_a, pos_b, pos_b - pos_a AS diag,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_id, bench_id, pos_b - pos_a ORDER BY pos_a
+         ) AS island
+  FROM m
+)
+SELECT doc_id, bench_id, CAST(MIN(pos_a) AS INT) AS start,
+       CAST(MIN(pos_b) AS INT) AS start_bench,
+       CAST(COUNT(*) + {SPAN_GRAM_K - 1} AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, bench_id, diag, island"""

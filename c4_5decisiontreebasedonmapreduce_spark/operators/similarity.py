@@ -698,3 +698,144 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored)
 WHERE rank <= {TOP_K}"""
+
+
+def write_pq_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "pq_codes",
+    n_buckets: int = 8,
+    path: str | None = None,
+    codebook: DataFrame | None = None,
+    pq_book: DataFrame | None = None,
+) -> DataFrame:
+    """Persist the COMPRESSED corpus: one ``(vec_id, centroid_id, m,
+    code_id)`` row per (vector, subspace), BUCKETED BY ``centroid_id``
+    — the IVF-PQ analog of :func:`write_ivf_bucketed`, except what's
+    materialized is 8 small codes per vector instead of the raw
+    ``array<float>``: at 100 TB the probe-side read of this table is
+    ~32× smaller than the raw-vector layout, and the raw table is
+    touched only by the constant-size exact refine. A probe join on
+    ``centroid_id`` reads it pre-partitioned (no Exchange on the big
+    side) with bucket pruning at scan time; encode runs once at write
+    time."""
+    e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
+    cents = _pseudo_codebook(e) if codebook is None else codebook
+    subc = pq_subcodebook(e) if pq_book is None else pq_book
+    rel = ivf_assignments(spark, sf_dir, e=e, codebook=cents).join(
+        pq_codes(e, subc), "vec_id"
+    )
+    writer = (
+        rel.select("vec_id", "centroid_id", "m", "code_id")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "centroid_id")
+        .sortBy("centroid_id")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
+def similarity_ann_ivfpq_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    codes: DataFrame,
+    n_probes: int = N_PROBES,
+) -> DataFrame:
+    """:func:`similarity_ann_ivfpq` against the PERSISTED compressed
+    corpus from :func:`write_pq_codes` (pseudo-codebook layout): the
+    per-query pipeline touches only (a) the broadcast codebook and
+    sub-codebook, (b) the bucketed CODES table — joined on
+    ``centroid_id`` shuffle-free — and (c) the raw vectors of the
+    PQ_REFINE survivors. Identical output to the in-memory path (same
+    oracle; equality pinned in tests/test_extensions.py)."""
+    e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
+    cents = _pseudo_codebook(e)
+    subc = pq_subcodebook(e).localCheckpoint()
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    qc_cos = F.round(
+        F.try_divide(
+            _dot(F.col("q_emb"), F.col("c_emb")).cast("double"),
+            F.col("q_norm") * F.col("c_norm"),
+        ),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qc_cos"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qc_cos", qc_cos)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probes)
+        .select("query_id", "centroid_id")
+    )
+    q_sub = F.slice(
+        F.col("q_emb"), F.col("m") * PQ_SUB_DIM + 1, PQ_SUB_DIM
+    )
+    lut = q.crossJoin(F.broadcast(subc)).select(
+        "query_id",
+        "m",
+        "code_id",
+        "q_norm",
+        _dot(q_sub, F.col("c_sub")).alias("pdot"),
+        "c_norm2",
+    )
+    # the compressed corpus: probes broadcast INTO the bucketed codes
+    # scan — the big side never shuffles; the LUT join attaches partial
+    # dots per (query, subspace, code)
+    cand = codes.join(F.broadcast(probes), "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "code_id"])
+        .groupBy("query_id", "vec_id", "q_norm")
+        .agg(
+            F.sum("pdot").alias("adot"),
+            F.sum("c_norm2").alias("rnorm2"),
+        )
+        .withColumn(
+            "approx_cos",
+            F.round(
+                F.try_divide(
+                    F.col("adot").cast("double"),
+                    F.col("q_norm") * F.sqrt(F.col("rnorm2").cast("double")),
+                ),
+                6,
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("vec_id")
+    )
+    survivors = (
+        approx.withColumn("arn", F.row_number().over(wa))
+        .where(F.col("arn") <= PQ_REFINE)
+        .select("query_id", "vec_id", "q_norm")
+    )
+    q_emb_back = q.select("query_id", "q_emb")
+    cos = F.round(
+        F.try_divide(
+            _dot(F.col("q_emb"), F.col("emb")).cast("double"),
+            F.col("q_norm") * F.col("norm"),
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        survivors.join(e, "vec_id")
+        .join(F.broadcast(q_emb_back), "query_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
+        )
+    )

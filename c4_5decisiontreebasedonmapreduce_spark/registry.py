@@ -1869,6 +1869,17 @@ _register("corpus_report", PL.corpus_report, PL.CORPUS_REPORT_SQL)
 # file stream, stateless/append — shares the batch oracle
 _register("streaming_scrub_pii", SW.streaming_scrub_pii, PII.PII_SCRUB_SQL)
 
+# passage-level decontamination at ingest (r9): per-micro-batch span
+# detection against the static benchmark gram relation — the islands
+# merge runs as batch code inside foreachBatch (a doc arrives whole, so
+# its matches never straddle batches); df-cap on the benchmark side only
+# (the static, knowable side — own oracle, divergence documented)
+_register(
+    "streaming_decontaminate_spans",
+    SW.streaming_decontaminate_spans,
+    D.DECONTAM_SPANS_STREAM_SQL,
+)
+
 # quality gating at INGEST: the shared scoring projection over the
 # stream + tiny (lang, passed) count state; oracle = the gate without
 # the (un-streamable) dedup survivor filter
@@ -2021,6 +2032,47 @@ _register("bpe_encode", BPE.bpe_encode)  # iterative replay: rows-only
 _register(
     "similarity_ann_ivfpq",
     SIM.similarity_ann_ivfpq,
+    SIM.SIMILARITY_ANN_IVFPQ_SQL,
+)
+
+
+# session cache: sf_dir → persisted bucketed PQ-code table
+_PQ_CODE_TABLES: dict[str, str] = {}
+
+
+def _similarity_ann_ivfpq_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ against the PERSISTED compressed corpus
+    (`operators/similarity.py::write_pq_codes`): the encode pass runs
+    once per session per sf_dir; every subsequent query batch scores
+    against the (vec_id, centroid_id, m, code_id) codes table — at
+    100 TB a ~32× smaller read than the raw-vector layout, with raw
+    vectors touched only by the constant-size exact refine. Same
+    oracle as the in-memory path — identity is the grade; also pinned
+    in tests/test_extensions.py."""
+    key = sf_dir.rstrip("/")
+    table = _PQ_CODE_TABLES.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        import tempfile
+        import uuid
+
+        table = f"pq_codes_{uuid.uuid4().hex[:8]}"
+        SIM.write_pq_codes(
+            spark,
+            sf_dir,
+            table=table,
+            path=tempfile.mkdtemp(prefix="pq_codes_") + "/t",
+        )
+        _PQ_CODE_TABLES[key] = table
+    return SIM.similarity_ann_ivfpq_persisted(
+        spark, sf_dir, codes=spark.table(table)
+    )
+
+
+_register(
+    "similarity_ann_ivfpq_persisted",
+    _similarity_ann_ivfpq_persisted_query,
     SIM.SIMILARITY_ANN_IVFPQ_SQL,
 )
 

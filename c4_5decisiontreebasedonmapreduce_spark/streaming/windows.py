@@ -963,3 +963,115 @@ def streaming_pack_ingest(
     return spark.read.parquet(os.path.join(out_dir, "batch=*")).select(
         "shard", "chunk_id", "doc_id", "slice_start", "slice_len"
     )
+
+
+def streaming_decontaminate_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int | None = None,
+    bench_grams: DataFrame | None = None,
+    source_dir: str | None = None,
+) -> DataFrame:
+    """PASSAGE-level decontamination at INGEST: incoming corpus
+    documents stream in and their leaked spans against the STATIC
+    benchmark are detected per micro-batch — the span sibling of
+    :func:`streaming_decontaminate`.
+
+    Why this streams cleanly: a document arrives WHOLE in one row, so
+    every gram match it has against the (static) benchmark exists
+    inside its own micro-batch — the per-(pair, diagonal)
+    gaps-and-islands merge, which needs ordered runs and therefore
+    cannot ride an append-mode aggregation, runs as ordinary BATCH code
+    inside ``foreachBatch`` with NO cross-batch state at all. Output is
+    append-only per batch (each batch's spans land in their own
+    ``batch=<id>`` directory, overwrite-idempotent under at-least-once
+    re-delivery).
+
+    df-cap semantics at ingest (deliberate, documented divergence from
+    the batch op's corpus ∪ benchmark cap): the BENCHMARK-side document
+    frequency only — the static, knowable side. A corpus-hot gram
+    cannot flood a stream-static join (each arriving document meets at
+    most the benchmark occurrences of the gram), while the benchmark
+    side is fully known at stream start; the batch op, seeing the whole
+    corpus at once, can and does cap on the union. Own oracle
+    (``dedup.DECONTAM_SPANS_STREAM_SQL``); the drained result equals
+    the same bench-capped relation computed in batch
+    (tests/test_streaming.py)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    if df_cap is None:
+        df_cap = D.SPAN_GRAM_DF_CAP
+    is_bench = (
+        F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+    )
+    if bench_grams is None:
+        bench_grams = D._positioned_grams(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+                is_bench
+            )
+        ).select(F.col("doc_id").alias("bench_id"), "pos", "gh")
+    # static side prepared ONCE per stream: drop benchmark-hot grams,
+    # materialize — every micro-batch joins this relation as-is
+    rare_bench = (
+        bench_grams.join(
+            bench_grams.groupBy("gh")
+            .agg(F.count_distinct("bench_id").alias("bdf"))
+            .where(F.col("bdf") <= df_cap)
+            .select("gh"),
+            "gh",
+        )
+        .select(
+            F.col("bench_id").alias("doc_b"),
+            F.col("pos").alias("pos_b"),
+            "gh",
+        )
+        .localCheckpoint()
+    )
+    if source_dir is None:
+        docs = _docs_stream(spark, sf_dir)
+    else:
+        docs = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(source_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(source_dir)
+        )
+    out_dir = tempfile.mkdtemp(prefix="stream_decontam_spans_")
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        grams = D._positioned_grams(
+            batch_df.where(~is_bench).select(
+                "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+            )
+        )
+        m = grams.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("pos").alias("pos_a"),
+            "gh",
+        ).join(rare_bench, "gh")
+        spans = D._island_spans(m).select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("bench_id"),
+            F.col("start_a").alias("start"),
+            F.col("start_b").alias("start_bench"),
+            "span_tokens",
+        )
+        spans.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_batch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_decontam_spans_ckpt_"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(os.path.join(out_dir, "batch=*")).select(
+        "doc_id", "bench_id", "start", "start_bench", "span_tokens"
+    )

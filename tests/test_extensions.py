@@ -1856,3 +1856,28 @@ def test_decontam_spans_persisted_matches_default(spark, sf_small, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_df")
+
+
+def test_ivfpq_persisted_matches_inmemory(spark, sf_small, tmp_path):
+    """The compressed-corpus layout cannot change a neighbor: IVF-PQ
+    against the persisted codes table equals the in-memory path row for
+    row."""
+    table = "pq_codes_eq_test"
+    try:
+        S.write_pq_codes(
+            spark, sf_small, table=table, path=str(tmp_path / "pq")
+        )
+        got = sorted(
+            map(
+                tuple,
+                S.similarity_ann_ivfpq_persisted(
+                    spark, sf_small, codes=spark.table(table)
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, S.similarity_ann_ivfpq(spark, sf_small).collect())
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -1005,3 +1005,34 @@ def test_benchmark_grams_join_no_shuffle(spark, sf_small, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_df")
+
+
+def test_ivfpq_persisted_reads_codes_not_vectors(spark, sf_small, tmp_path):
+    """The PQ scale claim, in the plan: the persisted-path query's ONLY
+    parquet scan is the codes table — 4 narrow columns, no embedding
+    array anywhere in a parquet ReadSchema. Raw vectors reach the plan
+    solely through the session-materialized refine relation."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        similarity as S,
+    )
+
+    table = "pq_codes_plan_test"
+    try:
+        S.write_pq_codes(
+            spark, sf_small, table=table, path=str(tmp_path / "pq")
+        )
+        df = S.similarity_ann_ivfpq_persisted(
+            spark, sf_small, codes=spark.table(table)
+        )
+        p = plan_of(df)
+        assert p.count(") Scan parquet") == 1, p
+        scan_schemas = [
+            ln for ln in p.splitlines() if "ReadSchema" in ln
+        ]
+        assert scan_schemas and all(
+            "embedding" not in ln for ln in scan_schemas
+        ), scan_schemas
+        assert "CartesianProduct" not in p and "EvalPython" not in p
+        assert df.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

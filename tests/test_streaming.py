@@ -643,3 +643,96 @@ def test_streaming_pack_ingest_state_compaction(spark, sf_small, tmp_path):
             batch1, 1, state_dir, out_dir, PK.SEQ_LEN, PK.N_SHARDS,
             keep_versions=2,
         )
+
+
+def test_streaming_decontaminate_spans_equals_batch(spark, sf_small):
+    """The drained per-micro-batch span detection equals the same
+    bench-capped relation computed in one batch pass — and every
+    drained span is a true corpus×benchmark pair."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW
+
+    drained = sorted(
+        map(
+            tuple,
+            SW.streaming_decontaminate_spans(spark, sf_small).collect(),
+        )
+    )
+    # batch twin with the SAME bench-side-only cap semantics
+    d = load_table(spark, sf_small, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    is_bench = (
+        F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+    )
+    bench = D._positioned_grams(d.where(is_bench))
+    rare_b = bench.join(
+        bench.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("bdf"))
+        .where(F.col("bdf") <= D.SPAN_GRAM_DF_CAP)
+        .select("gh"),
+        "gh",
+    )
+    m = (
+        D._positioned_grams(d.where(~is_bench))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("pos").alias("pos_a"),
+            "gh",
+        )
+        .join(
+            rare_b.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("pos").alias("pos_b"),
+                "gh",
+            ),
+            "gh",
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            D._island_spans(m)
+            .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+            .collect(),
+        )
+    )
+    assert drained == batch
+    assert len(drained) > 0
+    for doc_id, bench_id, *_ in drained:
+        assert doc_id % D.DECONTAM_BENCH_MOD != D.DECONTAM_BENCH_REM
+        assert bench_id % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+
+
+def test_streaming_decontaminate_spans_multi_batch(spark, sf_small, tmp_path):
+    """Two ingest waves: spans never straddle micro-batches (a document
+    arrives whole), so the two-file drain must equal the single-batch
+    drain exactly, with both waves contributing."""
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import windows as SW
+
+    single = sorted(
+        map(
+            tuple,
+            SW.streaming_decontaminate_spans(spark, sf_small).collect(),
+        )
+    )
+    ids = sorted({r[0] for r in single})
+    assert len(ids) >= 2
+    cut = ids[0]
+    docs = load_table(spark, sf_small, "documents")
+    src = str(tmp_path / "span_waves")
+    docs.where(F.col("doc_id") <= cut).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    staged = sorted(
+        map(
+            tuple,
+            SW.streaming_decontaminate_spans(
+                spark, sf_small, source_dir=src
+            ).collect(),
+        )
+    )
+    assert staged == single
+    assert any(r[0] <= cut for r in staged)
+    assert any(r[0] > cut for r in staged)
