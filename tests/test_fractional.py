@@ -165,3 +165,38 @@ def test_fractional_rejects_prune(spark):
     df = spark.createDataFrame([("x", "P")], "a string, lab string")
     with pytest.raises(ValueError, match="prune"):
         Tr.train(df, SCHEMA_A, nulls="fractional", prune=True)
+
+
+def test_fractional_depth2_resplit_conserves_mass(spark):
+    """Rows that are ALREADY fractional (weight < 1 after a level-1
+    distribution) must re-distribute correctly when the child splits
+    again on a second attribute with its own unknowns — two levels of
+    decimal weight multiplication, total leaf mass still exactly the
+    row count."""
+    rows = (
+        [("x", "p", "P")] * 12
+        + [("x", "q", "N")] * 9
+        + [("y", "q", "N")] * 20
+        + [(None, "p", "P")] * 4
+        + [("x", None, "P")] * 3
+        + [(None, None, "N")] * 2
+    )
+    df = spark.createDataFrame(rows, "a string, b string, lab string")
+    m1 = Tr.train(df, SCHEMA_AB, max_depth=2, min_rows=1, nulls="fractional")
+    m2 = Tr.train(df, SCHEMA_AB, max_depth=2, min_rows=1, nulls="fractional")
+    got = [
+        (tuple((c.attr, c.value) for c in r.conditions), r.label,
+         round(float(r.n), 6))
+        for r in m1.rules
+    ]
+    assert got == [
+        ((("b", "p"),), "P", 17.777778),
+        ((("b", "q"), ("a", "x")), "N", 11.388889),
+        ((("b", "q"), ("a", "y")), "N", 20.833333),
+    ]
+    assert [(r.conditions, r.label, float(r.n)) for r in m1.rules] == [
+        (r.conditions, r.label, float(r.n)) for r in m2.rules
+    ]
+    assert sum(float(r.n) for r in m1.rules) == pytest.approx(
+        len(rows), abs=1e-9
+    )
