@@ -84,13 +84,19 @@ BENCH_QUERIES = [
     "decontaminate_apply",
     "decontaminate_spans",
     "decontaminate_spans_apply",
-    "decontaminate_spans_persisted",
+    # decontaminate_spans_persisted is NOT tracked: it scrubs the whole
+    # corpus (identity with the in-memory op is its grade), so the
+    # persisted benchmark side saves only the small static pass while
+    # the corpus-side gram recompute dominates — measured net ~1.5x the
+    # in-memory query at sf0.1. Its amortization belongs to batch
+    # ingest, same as decontaminate_persisted (also unbenched).
     "bpe_train",
     "bpe_encode",
     "scrub_pii",
     "pack_sequences",
     "pack_shuffled",
     "pipeline_pretraining",
+    "pipeline_pretraining_decontam",
     "pipeline_mixture_pack",
     "corpus_report",
     "similarity_topk",

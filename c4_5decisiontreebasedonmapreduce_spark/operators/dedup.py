@@ -485,6 +485,20 @@ def decontaminate(
     else:
         bench = bench_shingles.select("bench_id", "shingle")
         corp = _shingles_df(spark, sf_dir).where(~is_bench).localCheckpoint()
+    return _decontaminate_core(corp, bench, min_overlap, df_cap)
+
+
+def _decontaminate_core(
+    corp: DataFrame,
+    bench: DataFrame,
+    min_overlap: float = DECONTAM_MIN_OVERLAP,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """:func:`decontaminate`'s candidate/containment pipeline over
+    arbitrary corpus ``(doc_id, shingle)`` and benchmark
+    ``(bench_id, shingle)`` relations — shared by the standalone query,
+    the persisted-benchmark path, and the composed pretraining
+    pipeline (which decontaminates SCRUBBED text)."""
     # df verdicts over the FULL (corpus ∪ benchmark) relation, so a
     # shingle's cap status never depends on which side it came from
     df_counts = (

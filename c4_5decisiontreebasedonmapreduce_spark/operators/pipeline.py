@@ -225,6 +225,22 @@ def pretraining_pipeline(
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
+    return _manifest_from(d, quality_gate, seq_len, n_shards)
+
+
+def _manifest_from(
+    d: DataFrame,
+    quality_gate: float = QUALITY_GATE,
+    seq_len: int = PT_SEQ_LEN,
+    n_shards: int = PT_SHARDS,
+) -> DataFrame:
+    """dedup → quality gate → packing manifest over a ``(doc_id, text)``
+    relation — the tail of :func:`pretraining_pipeline`, shared with
+    the decontaminating variant."""
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long,
+    )
+
     fingerprint, n_tokens, quality, _ = _scored_cols()
     enriched = d.select(
         "doc_id",
@@ -268,13 +284,75 @@ def pretraining_pipeline(
     )
 
 
+def pretraining_decontam_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_gate: float = QUALITY_GATE,
+    seq_len: int = PT_SEQ_LEN,
+    n_shards: int = PT_SHARDS,
+    min_overlap: float | None = None,
+) -> DataFrame:
+    """:func:`pretraining_pipeline` with the eval-leak scrub in the
+    chain: PII scrub → benchmark DECONTAMINATION (the shingle-
+    containment flagging of `dedup.decontaminate`, run over the
+    SCRUBBED text, whole-flagged-document removal; benchmark docs are
+    excluded from training output by definition) → exact dedup →
+    quality gate → packing manifest. The full pre-training prep,
+    decontamination included, as one composed query.
+
+    Scale shape: the scrubbed projection is materialized ONCE and feeds
+    both the shingle branch and the manifest tail, so the corpus still
+    pays a single scan; decontamination adds its df-capped asymmetric
+    candidate join (never corpus²) and ONE broadcast anti-join of the
+    leak-sized flagged relation — the corpus is never shuffled for the
+    subtraction. Stage semantics are pinned by the standalone
+    `scrub_pii` / `decontaminate` / `pipeline_pretraining` oracles; the
+    composition by this query's own oracle."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pii import scrub_pii
+
+    if min_overlap is None:
+        min_overlap = D.DECONTAM_MIN_OVERLAP
+    d = scrub_pii(docs(spark, sf_dir)).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    d = d.localCheckpoint()  # ONE scan: shingle branch + manifest tail
+    is_bench = (
+        F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+    )
+    sh = d.select(
+        "doc_id", F.explode(D.shingles_col(F.col("text"))).alias("shingle")
+    ).localCheckpoint()
+    flagged = D._decontaminate_core(
+        sh.where(~is_bench),
+        sh.where(is_bench).select(
+            F.col("doc_id").alias("bench_id"), "shingle"
+        ),
+        min_overlap=min_overlap,
+    ).select("doc_id")
+    corpus = d.where(~is_bench).join(
+        F.broadcast(flagged), "doc_id", "left_anti"
+    )
+    return _manifest_from(corpus, quality_gate, seq_len, n_shards)
+
+
 def _pretraining_sql(
     quality_gate: float = QUALITY_GATE,
     seq_len: int = PT_SEQ_LEN,
     n_shards: int = PT_SHARDS,
+    decontam: bool = False,
 ) -> str:
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long_sql,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        DECONTAM_BENCH_MOD,
+        DECONTAM_BENCH_REM,
+        DECONTAM_MIN_OVERLAP,
+        SHINGLE_K,
     )
     from c4_5decisiontreebasedonmapreduce_spark.operators.pii import (
         EMAIL_RE,
@@ -288,6 +366,41 @@ def _pretraining_sql(
     shard = md5_long_sql(
         "CONCAT('" + _SHARD_SEED + "', CAST(doc_id AS VARCHAR))"
     )
+    toks = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text),"
+        " '[^a-z0-9]+'), t -> t <> '')"
+    )
+    # the decontamination stage over the SCRUBBED text: shingles of
+    # `clean`, corpus×benchmark containment, whole-doc removal — the
+    # same formulas as DECONTAM_SQL with `clean` as the source
+    decontam_ctes = f""",
+sh AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN({toks}) - {SHINGLE_K - 1}, 0)),
+           i -> ARRAY_TO_STRING(LIST_SLICE({toks}, i, i + {SHINGLE_K - 1}), ' '))))
+         AS shingle
+  FROM clean
+),
+common AS (
+  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS common
+  FROM sh c JOIN sh b ON c.shingle = b.shingle
+  WHERE b.doc_id % {DECONTAM_BENCH_MOD} = {DECONTAM_BENCH_REM}
+    AND c.doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT DISTINCT doc_id FROM common
+  JOIN (SELECT doc_id, COUNT(*) AS sz FROM sh
+        WHERE doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+        GROUP BY doc_id) s USING (doc_id)
+  WHERE ROUND(common / CAST(s.sz AS DOUBLE), 6) >= {DECONTAM_MIN_OVERLAP}
+),
+corpus AS (
+  SELECT doc_id, text FROM clean
+  WHERE doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+    AND doc_id NOT IN (SELECT doc_id FROM flagged)
+)"""
+    source = "corpus" if decontam else "clean"
     return f"""
 WITH clean AS (
   SELECT doc_id,
@@ -296,8 +409,8 @@ WITH clean AS (
            '{IP_RE}', '{IP_TOKEN}', 'g'),
            '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS text
   FROM {DOCS_SQL}
-),
-{_scored_ctes("clean")},
+){decontam_ctes if decontam else ""},
+{_scored_ctes(source)},
 gated AS (
   SELECT doc_id, n_tokens,
          CAST({shard} % {n_shards} AS INT) AS shard
@@ -322,6 +435,7 @@ FROM spans GROUP BY shard"""
 
 
 PRETRAINING_PIPELINE_SQL = _pretraining_sql()
+PRETRAINING_DECONTAM_SQL = _pretraining_sql(decontam=True)
 
 
 # batch twin of streaming.windows.streaming_quality_gate: the gate

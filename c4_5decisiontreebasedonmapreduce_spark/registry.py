@@ -1860,6 +1860,17 @@ _register(
     PL.PRETRAINING_PIPELINE_SQL,
 )
 
+# ...and with benchmark DECONTAMINATION in the chain (r9): scrub →
+# eval-leak flagging over the scrubbed text (whole-doc removal, the
+# decontaminate op's policy) → dedup → gate → packing manifest; the
+# scrubbed projection is materialized once so the corpus still pays a
+# single scan, and the leak subtraction is one broadcast anti-join
+_register(
+    "pipeline_pretraining_decontam",
+    PL.pretraining_decontam_pipeline,
+    PL.PRETRAINING_DECONTAM_SQL,
+)
+
 # the corpus-health dashboard: per-source volumes, mean quality + gate
 # pass count (shared scoring projection), global exact-dup document
 # count, predicted-English count — one scan, one fingerprint exchange

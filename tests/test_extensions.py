@@ -1881,3 +1881,57 @@ def test_ivfpq_persisted_matches_inmemory(spark, sf_small, tmp_path):
         assert got == want and len(got) > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pretraining_decontam_equals_standalone_composition(
+    spark, sf_small, tmp_path
+):
+    """The fused scrub→decontaminate→dedup→gate→pack query must equal
+    the same stages composed through the STANDALONE public operators:
+    scrub the corpus to a parquet table, run `decontaminate` on it
+    (its own scan path), subtract the flagged docs and the benchmark
+    slice, and hand the remainder to the shared manifest tail."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        pipeline as PL,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pii import (
+        scrub_pii,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    fused = sorted(
+        map(
+            tuple,
+            PL.pretraining_decontam_pipeline(spark, sf_small).collect(),
+        )
+    )
+
+    # standalone composition on a scrubbed copy of the corpus
+    scrubbed_dir = str(tmp_path / "scrubbed")
+    raw = docs(spark, sf_small)
+    scrub_pii(raw).select(
+        "doc_id",
+        F.col("clean_text").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length("clean_text").alias("n_chars"),
+    ).write.parquet(f"{scrubbed_dir}/documents.parquet")
+    flagged = D.decontaminate(spark, scrubbed_dir).select("doc_id")
+    kept = (
+        spark.read.parquet(f"{scrubbed_dir}/documents.parquet")
+        .where(
+            F.col("doc_id") % D.DECONTAM_BENCH_MOD != D.DECONTAM_BENCH_REM
+        )
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    composed = sorted(map(tuple, PL._manifest_from(kept).collect()))
+    assert fused == composed and len(fused) > 0
+    # decontamination removed real mass vs the non-decontaminating
+    # pipeline (which also packs the benchmark slice)
+    base = {
+        r["shard"]: r["n_tokens"]
+        for r in PL.pretraining_pipeline(spark, sf_small).collect()
+    }
+    dec = {r[0]: r[2] for r in fused}
+    assert sum(dec.values()) < sum(base.values())

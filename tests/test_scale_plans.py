@@ -1036,3 +1036,16 @@ def test_ivfpq_persisted_reads_codes_not_vectors(spark, sf_small, tmp_path):
         assert df.count() > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pretraining_decontam_plan_clean(spark, sf_small):
+    """The fused scrub→decontaminate→dedup→gate→pack query: the corpus
+    enters through the ONE materialized scrubbed projection (final plan
+    scans no parquet at all), the flagged-leak subtraction broadcasts,
+    and nothing is cartesian, Python, or single-partition."""
+    p = plan_of(QUERIES["pipeline_pretraining_decontam"](spark, sf_small))
+    assert p.count(") Scan parquet") == 0, p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "BroadcastHashJoin" in p  # the flagged anti-join broadcasts
