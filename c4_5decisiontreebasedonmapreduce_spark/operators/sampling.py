@@ -23,7 +23,12 @@ from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
     md5_long,
     md5_long_sql,
 )
-from c4_5decisiontreebasedonmapreduce_spark.operators.text import DOCS_SQL, docs
+from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+    DOCS_SQL,
+    _tokens_sql,
+    docs,
+    tokens_col,
+)
 
 # per-language Bernoulli keep rates: downsample the dominant language,
 # keep the tail. At cluster scale this dict is a tiny broadcast dim
@@ -572,3 +577,175 @@ def _sample_softdedup_sql() -> str:
 
 
 SAMPLE_SOFTDEDUP_SQL = _sample_softdedup_sql()
+
+
+# -- deterministic train/validation/test split --------------------------------
+#
+# Evaluation hygiene at corpus scale: the split must be (a) reproducible
+# from nothing but the row's identity (no persisted assignment table to
+# keep in sync), (b) stable under corpus growth — appending documents
+# NEVER moves an existing one across splits, so yesterday's test set is
+# still disjoint from today's training set — and (c) uniform within
+# every stratum. A hash of doc_id gives all three; a random() or
+# row_number() split gives none.
+_SPLIT_SEED = "split|"
+SPLIT_BOUNDS = (9000, 9500)  # /10000: 90% train, 5% validation, 5% test
+
+
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/validation/test by the portable
+    doc_id hash: ``u = md5(seed‖doc_id) mod 10000`` → train < 9000 ≤
+    validation < 9500 ≤ test. Emits ``(doc_id, source, lang, split)``.
+
+    Scale shape: one projection over the corpus — no shuffle, no state,
+    no sampling pass; the assignment is recomputable anywhere (a trainer
+    shard and an eval job agree without coordination). Per-stratum
+    uniformity is pinned in tests (each source's split fractions track
+    90/5/5)."""
+    u = (
+        md5_long(
+            F.concat(F.lit(_SPLIT_SEED), F.col("doc_id").cast("string"))
+        )
+        % 10000
+    )
+    lo, hi = SPLIT_BOUNDS
+    return docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(u < lo, "train")
+        .when(u < hi, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _split_sql() -> str:
+    u = md5_long_sql(
+        "CONCAT('" + _SPLIT_SEED + "', CAST(doc_id AS VARCHAR))"
+    )
+    lo, hi = SPLIT_BOUNDS
+    return f"""
+SELECT doc_id, source, lang,
+       CASE WHEN {u} % 10000 < {lo} THEN 'train'
+            WHEN {u} % 10000 < {hi} THEN 'validation'
+            ELSE 'test' END AS split
+FROM {DOCS_SQL}"""
+
+
+SPLIT_TRAIN_EVAL_SQL = _split_sql()
+
+
+# -- DSIR: data selection with importance resampling --------------------------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): score every raw document by how much more likely its
+# hashed n-gram features are under a TARGET distribution than under the
+# RAW corpus distribution; resample the corpus by that importance
+# weight to shift its mixture toward the target domain without training
+# a classifier. Features are hashed unigrams (the paper's hashed n-gram
+# generative model with add-one smoothing); both distributions are
+# bucket-count tables of fixed size B, so the model is O(B) regardless
+# of corpus size.
+_DSIR_SEED = "dsir|"
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def sample_dsir(
+    spark: SparkSession,
+    sf_dir: str,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+    d: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight against an in-corpus
+    target slice (documents whose ``lang`` equals ``target_lang`` stand
+    in for the paper's high-quality target corpus). For each hash
+    bucket b: ``llr(b) = ln((ct_b+1)/(Nt+B)) - ln((cr_b+1)/(Nr+B))``
+    (add-one-smoothed unigram log-likelihood ratio); a document's
+    weight is the MEAN llr of its tokens (length-normalized, so long
+    documents don't dominate the resample). Emits ``(doc_id, lang,
+    source, n_tokens, dsir_logweight)``; feed the weight into the
+    existing temperature/mixture samplers to realize the resample.
+
+    Scale shape: BOTH bucket-count tables come from ONE pass over the
+    exploded corpus (conditional aggregation — the target is a slice of
+    raw, so no second tokenize); the result is B rows, broadcast back
+    onto a second exploded pass whose per-doc mean carries map-side
+    partials. Two corpus scans total, exchanges bounded by B and
+    doc-count. No Python, no window. Pass ``d`` to score an injected
+    relation (tests construct a corpus with a genuinely distinct target
+    vocabulary — the driver's synthetic documents share one vocabulary
+    across lang tags, so separation there is sampling noise)."""
+    if d is None:
+        d = docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("t")
+    )
+    bucket = (
+        md5_long(F.concat(F.lit(_DSIR_SEED), F.col("t"))) % n_buckets
+    ).alias("b")
+    counts = (
+        tok.select(bucket, "lang")
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == target_lang, 1).otherwise(0)
+            ).alias("ct"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    llr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + n_buckets))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + n_buckets))
+        ).alias("llr"),
+    )
+    scored = (
+        tok.select("doc_id", bucket)
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("llr"), 6).alias("dsir_logweight"),
+        )
+    )
+    return d.select("doc_id", "lang", "source").join(
+        scored, "doc_id"
+    ).select("doc_id", "lang", "source", "n_tokens", "dsir_logweight")
+
+
+def _dsir_sql() -> str:
+    b = md5_long_sql("CONCAT('" + _DSIR_SEED + "', t)")
+    B = DSIR_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST({_tokens_sql("text")}) AS t FROM {DOCS_SQL}
+),
+counts AS (
+  SELECT {b} % {B} AS b, COUNT(*) AS cr,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY 1
+),
+totals AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM counts),
+llr AS (
+  SELECT b, LN((ct + 1) / CAST(nt + {B} AS DOUBLE))
+            - LN((cr + 1) / CAST(nr + {B} AS DOUBLE)) AS llr
+  FROM counts CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(llr), 6) AS dsir_logweight
+  FROM (SELECT doc_id, {b} % {B} AS b FROM tok) dt
+  JOIN llr USING (b)
+  GROUP BY doc_id
+)
+SELECT documents.doc_id, lang, source, n_tokens, dsir_logweight
+FROM {DOCS_SQL} JOIN scored ON documents.doc_id = scored.doc_id"""
+
+
+SAMPLE_DSIR_SQL = _dsir_sql()

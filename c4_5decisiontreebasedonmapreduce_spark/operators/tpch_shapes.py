@@ -1,0 +1,532 @@
+"""Second wave of TPC-H-shaped relational queries (round 9).
+
+Rounds 1-8 covered Q1/Q3/Q4/Q5/Q6/Q10/Q18; this module adds the
+remaining *distinct plan shapes* from the TPC-H suite that the driver's
+reduced star schema can express (no partsupp table; lineitem carries no
+commitdate/receiptdate/shipmode/container — where the stock predicate
+needs a missing column, the shape is preserved on an available one, and
+the docstring says which). Like every relational op here, the point is
+the physical plan Catalyst should pick, asserted in
+`tests/test_scale_plans.py`:
+
+- Q12: fact-fact join + conditional CASE aggregation (2-way pivot in
+  one pass, no second scan per priority class);
+- Q14: broadcast dim join + conditional-ratio aggregate (one scan
+  produces both numerator and denominator);
+- Q16: anti-join supplier exclusion + grouped COUNT(DISTINCT) (the
+  distinct expands to a two-level aggregate, both partial-ized);
+- Q19: OR-of-ANDs disjunctive predicate evaluated *inside* the join —
+  stays one broadcast-hash-join pass, never a union of three scans;
+- Q21: the only double-correlated shape in the suite — EXISTS and
+  NOT EXISTS against the same fact table with a non-equi component
+  (same order, *different* supplier);
+- Q22: scalar-subquery global aggregate gating an anti-join;
+- Q7: 6-table join with a symmetric nation-pair disjunction;
+- Q2: correlated scalar-min subquery, decorrelated into an aggregate +
+  re-join (the rewrite Catalyst/DuckDB both apply to the stock Q2).
+
+Oracle parity: every aggregate goes through DECIMAL before surfacing as
+DOUBLE (order-of-summation independent, bit-exact across engines, see
+`relational._dsum`); ratios are computed on already-rounded doubles so
+both engines perform the identical IEEE operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.operators.relational import (
+    _dsum,
+)
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import load_table
+
+
+def _revenue():
+    """The canonical extendedprice*(1-discount) term, exact decimal."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,6)")
+        - F.col("l_discount").cast("decimal(18,6)")
+    )
+
+
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
+)
+
+
+# -- Q12: conditional CASE aggregation over a fact-fact join ----------------
+
+
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): one
+    lineitem ⋈ orders pass over a ship-year, counting urgent vs
+    non-urgent orders per line status in the SAME aggregate via CASE —
+    never one scan per priority class. (Stock Q12 groups by l_shipmode
+    and filters commit/receipt dates; this schema carries neither, so
+    the group key is l_linestatus and the filter is the ship-year — the
+    shape under test is the conditional two-way pivot aggregation.)
+
+    Scale shape: the ship-year predicate is pushed to the lineitem scan;
+    the orderkey join shuffles both facts once (the bucketed-layout twin
+    in `join_bucketed` shows the zero-exchange variant); the CASE
+    aggregate is group-count-sized with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus"""
+
+
+# -- Q14: conditional-ratio aggregate over a broadcast dim join --------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one month of lineitem joined
+    to part (broadcast dim), producing promo revenue, total revenue, and
+    their percentage ratio from ONE scan — the numerator is a CASE
+    inside the same aggregate, not a second filtered pass. (This
+    schema's p_type is a single word, so the promo predicate is equality
+    with 'PROMO' rather than LIKE 'PROMO%' — same shape.)
+
+    Scale shape: part broadcasts (dim-sized); the month predicate is
+    pushed to the lineitem scan; the aggregate is a single global row
+    with map-side partials. The ratio divides the already-rounded
+    decimal-exact sums, so both engines perform the identical IEEE
+    double operation on identical inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo).cast("double"), 2).alias("promo_revenue"),
+            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+Q14_SQL = f"""
+WITH agg AS (
+  SELECT
+    ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+      AS promo_revenue,
+    ROUND(CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 2) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00')
+SELECT promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+FROM agg"""
+
+
+# -- Q16: anti-join exclusion + grouped COUNT(DISTINCT) ----------------------
+
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers ship each (brand, type, size) combination, excluding one
+    brand+type slice and excluding blacklisted suppliers via NOT IN →
+    anti-join. (No partsupp table in this schema: the part↔supplier
+    association is derived from lineitem, and the supplier "complaints"
+    predicate is a negative account balance.)
+
+    Scale shape: the supplier blacklist is dim-sized and broadcast as a
+    LEFT ANTI hash join (never a shuffle of the fact); part broadcasts
+    with its predicate evaluated before the join; COUNT(DISTINCT)
+    expands to Spark's two-level aggregate — both levels carry map-side
+    partials, so the distinct-pair traffic is bounded by group×supplier
+    cardinality, not row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size"""
+
+
+# -- Q19: disjunctive OR-of-ANDs predicate inside one join -------------------
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): sum
+    revenue over lineitem ⋈ part where an OR of three (brand, size
+    range, quantity range) conjunctions holds. The classic optimizer
+    test: the disjunction must be evaluated as a residual on ONE
+    broadcast join pass — not rewritten into three scans unioned — while
+    the factorable conjuncts (p_size >= 1 in every arm) are still pushed
+    below the join. (Container/shipmode columns don't exist in this
+    schema; brand × size × quantity carry the disjunction.)
+
+    Scale shape: part broadcasts; one lineitem scan; the global sum is a
+    single-row aggregate with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    arm1 = (b == "Brand#12") & sz.between(1, 15) & q.between(1, 21)
+    arm2 = (b == "Brand#23") & sz.between(1, 20) & q.between(10, 30)
+    arm3 = (b == "Brand#24") & sz.between(1, 25) & q.between(20, 40)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(arm1 | arm2 | arm3)
+        .agg(
+            _dsum(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 20 AND 40)"""
+
+
+# -- Q21: EXISTS + NOT EXISTS on the same fact with a non-equi component -----
+
+
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finalized orders with lines from MULTIPLE suppliers, find the
+    supplier who is the ONLY one with a returned line — an EXISTS and a
+    NOT EXISTS against the same fact table, both correlated on the
+    order key with a `different supplier` non-equi component. (Stock
+    Q21's lateness predicate needs receipt/commit dates this schema
+    lacks; l_returnflag = 'R' carries the same double-correlation
+    shape.)
+
+    Scale shape: both the semi and the anti join are sort-merge joins on
+    l_orderkey with the suppkey inequality as a residual — the non-equi
+    part never forces a cartesian because the equi component anchors the
+    join; the probe sides are projected to (orderkey, suppkey) before
+    joining; orders participates as a semi join (no row expansion);
+    supplier broadcasts for the final name lookup; top-25 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(
+            o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25"""
+
+
+# -- Q22: scalar-subquery threshold + anti-join ------------------------------
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    account balance above the global average of positive balances who
+    have placed no RECENT orders (none since 1999 — in this synthetic
+    data every customer has some historical order, so the stock
+    "no orders at all" predicate would select zero rows and test
+    nothing), counted per market segment. Two classic pieces in one
+    plan: a scalar aggregate subquery feeding a filter, and a
+    NOT EXISTS anti-join. (Stock Q22 keys on phone country codes this
+    schema lacks; c_mktsegment is the grouping stand-in.)
+
+    Scale shape: the scalar average is one tiny aggregate broadcast into
+    the filter (a 1-row cross join, the decorrelation Catalyst applies
+    to scalar subqueries); the anti join probes an orders projection of
+    just o_custkey; the final aggregate is segment-sized. The average is
+    computed as exact-decimal-sum / count so both engines perform one
+    identical double division."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.where(
+                F.col("o_orderdate")
+                >= F.lit("1999-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_mktsegment"""
+
+
+# -- Q7: 6-table join with a symmetric nation-pair disjunction ---------------
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations per year, in BOTH directions — supplier in A shipping to a
+    customer in B and vice versa. A 6-table join (lineitem ⋈ orders ⋈
+    customer ⋈ nation ⋈ supplier ⋈ nation) whose defining feature is the
+    symmetric disjunction over the nation pair, which must stay a
+    residual on one join tree, not a UNION of two plans.
+
+    Scale shape: supplier, customer, and both nation legs broadcast
+    (dim-sized); the only data-sized exchange is lineitem ⋈ orders on
+    the order key; the nation-pair disjunction is evaluated after the
+    broadcasts with dim predicates (n_name IN pair) pushed into each
+    broadcast side, shrinking them before the fact pass; the final
+    aggregate is pair×year-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.where(F.col("n_name").isin(*Q7_NATIONS)).select(
+        F.col("n_nationkey").alias("nk1"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.where(F.col("n_name").isin(*Q7_NATIONS)).select(
+        F.col("n_nationkey").alias("nk2"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN {Q7_NATIONS} AND n2.n_name IN {Q7_NATIONS}
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)"""
+
+
+# -- Q2: correlated scalar-min subquery, decorrelated ------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum cost supplier): for each qualifying part,
+    the supplier(s) offering it at the minimum price — the correlated
+    scalar-min subquery, decorrelated the way every optimizer rewrites
+    stock Q2: aggregate the per-(part, supplier) cost once, take the
+    per-part MIN, and join back on equality. Ties (several suppliers at
+    the minimum) are all returned, exactly as TPC-H specifies. (No
+    partsupp table: the part↔supplier offer relation is derived from
+    lineitem as MIN(l_extendedprice) per pair — comparisons stay on raw
+    doubles, no arithmetic, so the join-back equality is bit-exact in
+    both engines.)
+
+    Scale shape: one lineitem scan feeds the (part, supplier) pair
+    aggregate — the only data-sized exchange; the per-part MIN and the
+    join-back operate on the already-deduplicated pair relation (pairs ≪
+    rows), so their exchanges are pair-sized; part is filtered then
+    broadcast; supplier broadcasts for the name lookup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    pf = p.where(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer_price")
+    )
+    best = pair.groupBy(F.col("l_partkey").alias("best_partkey")).agg(
+        F.min("offer_price").alias("min_price")
+    )
+    return (
+        pair.join(
+            best,
+            (F.col("l_partkey") == F.col("best_partkey"))
+            & (F.col("offer_price") == F.col("min_price")),
+        )
+        .select("l_partkey", "l_suppkey", "offer_price")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_size",
+            "s_name",
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            F.round(F.col("offer_price"), 2).alias("offer_price"),
+        )
+    )
+
+
+Q2_SQL = """
+SELECT p_partkey, p_name, p_brand, p_size, s_name,
+       ROUND(s_acctbal, 2) AS s_acctbal,
+       ROUND(offer_price, 2) AS offer_price
+FROM (SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS offer_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey) pair
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+  AND offer_price = (SELECT MIN(l_extendedprice)
+                     FROM lineitem i
+                     WHERE i.l_partkey = pair.l_partkey)"""

@@ -1336,6 +1336,28 @@ _register("agg_percentiles", R.percentiles_by_flag, R.PERCENTILES_SQL)
 # returned-items top-20 (dims broadcast off one fact pass)
 _register("q4_order_priority", R.q4_order_priority, R.Q4_SQL)
 _register("q10_returned_items", R.q10_returned_items, R.Q10_SQL)
+
+# Round 9: the remaining distinct TPC-H plan shapes this schema can
+# express (operators/tpch_shapes.py) — conditional CASE pivot (Q12),
+# broadcast-dim conditional ratio (Q14), anti-join + grouped
+# COUNT(DISTINCT) (Q16), disjunctive OR-of-ANDs join predicate (Q19),
+# double-correlated EXISTS/NOT-EXISTS with a non-equi component (Q21),
+# scalar-subquery threshold + anti-join (Q22), 6-table symmetric
+# nation-pair join (Q7), and the decorrelated scalar-min re-join (Q2).
+from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
+    tpch_shapes as TPCH,
+)
+
+_register("q12_priority_class", TPCH.q12_priority_by_linestatus, TPCH.Q12_SQL)
+_register("q14_promo_revenue", TPCH.q14_promo_revenue, TPCH.Q14_SQL)
+_register("q16_supplier_cnt", TPCH.q16_parts_supplier_count, TPCH.Q16_SQL)
+_register(
+    "q19_disjunctive_revenue", TPCH.q19_disjunctive_revenue, TPCH.Q19_SQL
+)
+_register("q21_sole_returner", TPCH.q21_sole_returner, TPCH.Q21_SQL)
+_register("q22_dormant_customers", TPCH.q22_dormant_customers, TPCH.Q22_SQL)
+_register("q7_volume_shipping", TPCH.q7_volume_shipping, TPCH.Q7_SQL)
+_register("q2_min_cost_supplier", TPCH.q2_min_cost_supplier, TPCH.Q2_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental
 # clustering shares dedup_cluster's oracle (identical output, pinned
@@ -2086,6 +2108,18 @@ _register(
     _similarity_ann_ivfpq_persisted_query,
     SIM.SIMILARITY_ANN_IVFPQ_SQL,
 )
+
+# Round 9 (second wave): context-window chunking, the deterministic
+# train/validation/test split, and DSIR importance weighting — the three
+# curation stages between cleaning (dedup/decontam/scrub) and packing
+# that the pipeline didn't yet expose as first-class queries.
+from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
+    chunking as CHUNK,
+)
+
+_register("chunk_documents", CHUNK.chunk_documents, CHUNK.CHUNK_SQL)
+_register("split_train_eval", SMP.split_train_eval, SMP.SPLIT_TRAIN_EVAL_SQL)
+_register("sample_dsir", SMP.sample_dsir, SMP.SAMPLE_DSIR_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,233 @@
+"""Semantic pins for the round-9 second wave: TPC-H shape queries
+(oracle-graded in test_oracle_parity; here, the properties an oracle
+can't see), sliding-window chunking, the deterministic train/eval
+split, and DSIR importance weighting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark import registry
+from c4_5decisiontreebasedonmapreduce_spark.operators import chunking as CH
+from c4_5decisiontreebasedonmapreduce_spark.operators import sampling as SMP
+from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+    docs,
+    tokens_col,
+)
+
+QUERIES = registry.queries()
+
+
+# -- chunking ----------------------------------------------------------------
+
+
+def test_chunks_reconstruct_token_stream(spark, sf_small):
+    """Lossless coverage: concatenating the first `stride` tokens of
+    every chunk except the last, plus the whole last chunk, must equal
+    the document's full token stream — no token lost, none duplicated
+    beyond the declared overlap."""
+    chunks = CH.chunk_documents(spark, sf_small).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    originals = {
+        r.doc_id: r.toks
+        for r in docs(spark, sf_small)
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .collect()
+    }
+    n_docs_with_tokens = sum(1 for t in originals.values() if t)
+    assert len(by_doc) == n_docs_with_tokens
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        # chunk ids are dense from 0; starts are stride-spaced
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        assert all(
+            r.chunk_start == i * CH.CHUNK_STRIDE for i, r in enumerate(rows)
+        )
+        rebuilt = []
+        for r in rows[:-1]:
+            rebuilt.extend(r.chunk_text.split(" ")[: CH.CHUNK_STRIDE])
+        rebuilt.extend(rows[-1].chunk_text.split(" "))
+        assert rebuilt == originals[doc_id], doc_id
+
+
+def test_chunk_sizes_and_counts(spark, sf_small):
+    """Every chunk has between 1 and CHUNK_SIZE tokens; n_chunk_tokens
+    matches the actual text; all but per-doc-last chunks that start
+    within [n - size, n) are exactly full."""
+    bad = (
+        CH.chunk_documents(spark, sf_small)
+        .where(
+            (F.col("n_chunk_tokens") < 1)
+            | (F.col("n_chunk_tokens") > CH.CHUNK_SIZE)
+            | (
+                F.size(F.split(F.col("chunk_text"), " "))
+                != F.col("n_chunk_tokens")
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chunk_plan_is_shuffle_free(spark, sf_small):
+    """Chunking is one projection: no Exchange anywhere in the plan."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        CH.chunk_documents(spark, sf_small).explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+# -- train/eval split ----------------------------------------------------------
+
+
+def test_split_fractions_per_stratum(spark, sf_oracle):
+    """Each source's split fractions track the 90/5/5 bounds (binomial
+    tolerance at 25-docs-per-source granularity is wide; assert the
+    global corpus tightly and every stratum loosely)."""
+    df = SMP.split_train_eval(spark, sf_oracle)
+    total = df.count()
+    by_split = {
+        r.split: r.c
+        for r in df.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(by_split) <= {"train", "validation", "test"}
+    assert by_split["train"] / total == pytest.approx(0.90, abs=0.05)
+    # every document appears exactly once (exhaustive, disjoint)
+    assert sum(by_split.values()) == total
+    per_source = (
+        df.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "tr"
+            ),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    for r in per_source:
+        assert r.tr / r.n >= 0.6, (r.source, r.tr, r.n)
+
+
+def test_split_append_stable(spark, sf_small):
+    """Assignments depend only on doc_id: computing the split over any
+    subset leaves every row's assignment unchanged — the corpus can
+    grow without yesterday's test docs leaking into today's train."""
+    full = {
+        r.doc_id: r.split
+        for r in SMP.split_train_eval(spark, sf_small).collect()
+    }
+    # simulate a *smaller* historical corpus: even doc_ids only
+    sub = (
+        SMP.split_train_eval(spark, sf_small)
+        .where(F.col("doc_id") % 2 == 0)
+        .collect()
+    )
+    assert sub, "subset must be non-empty"
+    for r in sub:
+        assert full[r.doc_id] == r.split
+
+
+# -- DSIR ----------------------------------------------------------------------
+
+
+def test_dsir_separates_target_language(spark, sf_oracle):
+    """On the driver corpus the lang tags share ONE vocabulary, so only
+    the self-selection direction is guaranteed (target docs contributed
+    their own tokens to the target counts): target mean ≥ raw mean."""
+    df = SMP.sample_dsir(spark, sf_oracle)
+    means = {
+        r.is_t: r.m
+        for r in df.groupBy(
+            (F.col("lang") == SMP.DSIR_TARGET_LANG).alias("is_t")
+        )
+        .agg(F.avg("dsir_logweight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+
+
+def test_dsir_separates_distinct_vocabularies(spark, sf_small):
+    """The real signal test, on an injected corpus whose target slice
+    uses a DISJOINT vocabulary: every target document must outscore
+    every non-target document by a wide margin — the hashed unigram
+    LLR recovers the domain."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            text = f"alpha beta gamma delta epsilon tok{i % 5}"
+            lang = "en"
+        else:
+            text = f"uno dos tres cuatro cinco tok{i % 5}"
+            lang = "es"
+        rows.append((i, text, lang, "srcX", len(text)))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = SMP.sample_dsir(spark, sf_small, d=d).collect()
+    t_scores = [r.dsir_logweight for r in got if r.lang == "en"]
+    o_scores = [r.dsir_logweight for r in got if r.lang != "en"]
+    assert min(t_scores) > max(o_scores) + 1.0, (t_scores, o_scores)
+
+
+def test_dsir_weight_is_mean_token_llr(spark, sf_small):
+    """Hand-recompute one document's weight in Python from the corpus
+    bucket counts (independent arithmetic path, same add-one smoothing
+    formula from the DSIR paper)."""
+    import hashlib
+    import math
+
+    rows = docs(spark, sf_small).select("doc_id", "lang", "text").collect()
+    B = SMP.DSIR_BUCKETS
+
+    def toks(text):
+        import re
+
+        return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+
+    def bucket(t):
+        h = hashlib.md5((SMP._DSIR_SEED + t).encode()).hexdigest()
+        return int(h[:15], 16) % B
+
+    cr, ct = {}, {}
+    for r in rows:
+        for t in toks(r.text or ""):
+            b = bucket(t)
+            cr[b] = cr.get(b, 0) + 1
+            if r.lang == SMP.DSIR_TARGET_LANG:
+                ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    target = next(r for r in rows if toks(r.text or ""))
+    llrs = [
+        math.log((ct.get(bucket(t), 0) + 1) / (nt + B))
+        - math.log((cr[bucket(t)] + 1) / (nr + B))
+        for t in toks(target.text or "")
+    ]
+    expected = sum(llrs) / len(llrs)
+    got = (
+        SMP.sample_dsir(spark, sf_small)
+        .where(F.col("doc_id") == target.doc_id)
+        .collect()[0]
+        .dsir_logweight
+    )
+    assert got == pytest.approx(expected, abs=1e-5)
+
+
+def test_dsir_plan_no_cartesian(spark, sf_small):
+    """The only non-equi join allowed is the 1-row totals broadcast;
+    the bucket-table join onto the token stream must be a broadcast
+    hash join (B=1024 rows), never a shuffle of the exploded corpus."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        SMP.sample_dsir(spark, sf_small).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p

@@ -1049,3 +1049,49 @@ def test_pretraining_decontam_plan_clean(spark, sf_small):
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
     assert "BroadcastHashJoin" in p  # the flagged anti-join broadcasts
+
+
+def test_r9_tpch_shapes_plan_clean(spark, sf_small):
+    """The round-9 TPC-H shapes keep their documented plan properties:
+    no cartesian products (Q21's non-equi EXISTS/NOT-EXISTS components
+    are anchored by the orderkey equi component; Q19's OR-of-ANDs stays
+    a residual on ONE join pass, never a 3-scan union), dims broadcast,
+    and the scalar subquery in Q22 is the only nested-loop join allowed
+    anywhere (its build side is one row)."""
+    for name in (
+        "q12_priority_class",
+        "q14_promo_revenue",
+        "q16_supplier_cnt",
+        "q19_disjunctive_revenue",
+        "q21_sole_returner",
+        "q7_volume_shipping",
+        "q2_min_cost_supplier",
+    ):
+        p = plan_of(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # Q22: the 1-row scalar average crosses as a broadcast nested loop —
+    # allowed because the build side is a single row; never a cartesian.
+    p = plan_of(QUERIES["q22_dormant_customers"](spark, sf_small))
+    assert "CartesianProduct" not in p, p
+    # Q19 evaluates the disjunction on one lineitem ⋈ part pass: exactly
+    # one lineitem scan in the plan (a union rewrite would show three).
+    p = plan_of(QUERIES["q19_disjunctive_revenue"](spark, sf_small))
+    assert plan_scan_count(p, "lineitem") == 1, p
+    # Q14's month predicate reaches the lineitem scan.
+    p = plan_of(QUERIES["q14_promo_revenue"](spark, sf_small))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in p, p
+    # Q21's top-25 is TakeOrderedAndProject, never a global sort.
+    p = plan_of(QUERIES["q21_sole_returner"](spark, sf_small))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def plan_scan_count(plan: str, table: str) -> int:
+    """Number of parquet scans of `table` in a formatted plan: each scan
+    node contributes exactly one `Location: … [<path>/<table>.parquet]`
+    detail line."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Location" in line and f"{table}.parquet" in line
+    )
