@@ -52,9 +52,20 @@ def chunk_documents(
     One projection: tokenize → explode the start sequence → slice. The
     only data-sized cost is the output itself; there is no shuffle at
     all (plan-pinned in test_scale_plans)."""
-    d = docs(spark, sf_dir)
+    return chunks_from(docs(spark, sf_dir), size=size, stride=stride)
+
+
+def chunks_from(
+    d,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The chunking projection over an arbitrary ``(doc_id, text, …)``
+    relation; ``carry`` columns ride through unchanged (the composed
+    pipelines carry ``source``)."""
     toks = tokens_col(F.col("text"))
-    base = d.select("doc_id", toks.alias("toks")).withColumn(
+    base = d.select("doc_id", *carry, toks.alias("toks")).withColumn(
         "n", F.size("toks")
     )
     starts = F.when(
@@ -63,10 +74,15 @@ def chunk_documents(
     ).otherwise(F.array().cast("array<int>"))
     return (
         base.select(
-            "doc_id", "n", "toks", F.explode(starts).alias("chunk_start")
+            "doc_id",
+            *carry,
+            "n",
+            "toks",
+            F.explode(starts).alias("chunk_start"),
         )
         .select(
             "doc_id",
+            *carry,
             (F.col("chunk_start") / stride).cast("bigint").alias("chunk_id"),
             F.col("chunk_start").cast("bigint").alias("chunk_start"),
             F.least(F.lit(size), F.col("n") - F.col("chunk_start"))

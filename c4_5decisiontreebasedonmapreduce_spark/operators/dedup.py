@@ -493,12 +493,17 @@ def _decontaminate_core(
     bench: DataFrame,
     min_overlap: float = DECONTAM_MIN_OVERLAP,
     df_cap: int = SHINGLE_DF_CAP,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`decontaminate`'s candidate/containment pipeline over
     arbitrary corpus ``(doc_id, shingle)`` and benchmark
     ``(bench_id, shingle)`` relations — shared by the standalone query,
     the persisted-benchmark path, and the composed pretraining
-    pipeline (which decontaminates SCRUBBED text)."""
+    pipeline (which decontaminates SCRUBBED text). ``sizes`` overrides
+    the per-doc shingle counts (the containment DENOMINATOR): the bloom
+    path passes the unfiltered corpus's counts, because its ``corp`` has
+    bench-disjoint shingles already removed and those still count
+    toward |doc|."""
     # df verdicts over the FULL (corpus ∪ benchmark) relation, so a
     # shingle's cap status never depends on which side it came from
     df_counts = (
@@ -520,7 +525,8 @@ def _decontaminate_core(
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("common_freq"))
     )
-    sizes = corp.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if sizes is None:
+        sizes = corp.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
         pair_rare.join(pair_freq, ["doc_id", "bench_id"], "left")
         .withColumn(
@@ -550,6 +556,122 @@ JOIN (SELECT doc_id, sz FROM sizes
       WHERE doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}) s
   USING (doc_id)
 WHERE ROUND(common / CAST(s.sz AS DOUBLE), 6) >= {DECONTAM_MIN_OVERLAP}"""
+
+
+# -- Bloom-prefiltered decontamination ---------------------------------------
+#
+# At 100 TB the dominant cost of decontamination is shuffling the CORPUS
+# shingle relation into the candidate join — yet almost none of those
+# shingles appear in any benchmark. A Bloom filter over the benchmark
+# shingle set, broadcast to the corpus scan as a plain bitmap literal,
+# drops bench-disjoint shingles BEFORE the exchange (the runtime-filter /
+# semi-join-pushdown pattern; Spark's own spark.sql.optimizer.runtime
+# .bloomFilter does this for equi-joins but is not exposed as an API and
+# its xxhash is not engine-portable). Bloom false positives only re-admit
+# shingles into the exact join; false negatives are impossible — so the
+# OUTPUT IS BIT-IDENTICAL to `decontaminate` and shares its oracle.
+BLOOM_M_BITS = 1 << 17  # 131,072 bits = 16 KiB bitmap (2048 longs)
+BLOOM_K = 3  # hash functions; FP ≈ (1-e^(-kn/m))^k ≈ 1.7% at n=20k
+
+
+def _bloom_positions(shingle: Column, m_bits: int, k: int) -> list[Column]:
+    """The k portable bit positions of a shingle (md5-seeded, so both
+    the build side and the probe side compute identical positions)."""
+    return [
+        md5_long(F.concat(F.lit(f"bloom{i}|"), shingle)) % m_bits
+        for i in range(k)
+    ]
+
+
+def build_shingle_bloom(
+    bench: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> list[int]:
+    """Build the benchmark-shingle Bloom bitmap as a Python list of
+    ``m_bits/64`` longs. The build is DISTRIBUTED: positions →
+    (word_index, bit mask) → ``bit_or`` aggregate per word — the driver
+    collect is bounded by the bitmap's word count (2048 rows at the
+    default), never by benchmark size."""
+    pos = bench.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("shingle"), m_bits, k))
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r.w] = r.word
+    return bitmap
+
+
+def _bloom_filter_rows(
+    df: DataFrame,
+    shingle_col: str,
+    bitmap: list[int],
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Keep only rows whose shingle has ALL k Bloom bits set — one
+    JVM-side codegen'd predicate (array-literal lookup + bitwise AND),
+    no Python, no join. (PySpark's `shiftleft` takes only literal shift
+    counts, so the variable shift goes through `F.expr` over
+    materialized position columns.)"""
+    lit_map = F.lit(bitmap)
+    out = df
+    cond = F.lit(True)
+    pos_cols = [f"_bloom_pos{i}" for i in range(k)]
+    for pc, pos in zip(
+        pos_cols, _bloom_positions(F.col(shingle_col), m_bits, k)
+    ):
+        out = out.withColumn(pc, pos)
+        word = F.element_at(lit_map, (F.col(pc) / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pc} % 64 AS INT))"
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return out.where(cond).drop(*pos_cols)
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    min_overlap: float = DECONTAM_MIN_OVERLAP,
+    df_cap: int = SHINGLE_DF_CAP,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """:func:`decontaminate` with the benchmark-shingle Bloom filter
+    pushed onto the corpus side: corpus shingles that cannot be in any
+    benchmark document never enter the candidate join's exchange. Output
+    is bit-identical to the exact op (no false negatives; false
+    positives are resolved by the exact join) — same oracle, pinned
+    equal in tests.
+
+    Scale accounting: the bitmap is 16 KiB regardless of scale (the
+    benchmark set is eval-suite-sized); the prefilter is one codegen'd
+    projection predicate on the corpus scan; the containment denominator
+    (per-doc shingle counts) is computed on the UNFILTERED corpus, which
+    costs one extra map-side-combined aggregate of the corpus — already
+    paid in the exact op, where `sizes` shares the same scan."""
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    bench = sh.where(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corp_full = sh.where(~is_bench)
+    sizes = corp_full.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    bitmap = build_shingle_bloom(bench, m_bits, k)
+    corp = _bloom_filter_rows(corp_full, "shingle", bitmap, m_bits, k)
+    return _decontaminate_core(corp, bench, min_overlap, df_cap, sizes=sizes)
 
 
 def decontaminate_apply(

@@ -517,3 +517,109 @@ FROM scored
 JOIN src USING (doc_id)
 JOIN fpc USING (fingerprint)
 GROUP BY src.source"""
+
+
+def finetuning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-tuning/domain-adaptation data prep as one declarative query,
+    composing the round-9 curation stages: the deterministic TRAIN split
+    (`sampling.split_train_eval` — eval slices never leak into the
+    output by construction) → DSIR importance gate (keep training docs
+    whose hashed-unigram log-weight against the target slice is at or
+    above the train-slice mean — self-calibrating, no magic threshold)
+    → sliding-window chunking (`chunking.chunks_from`) → per-source
+    manifest ``(source, n_docs, n_chunks, n_tokens)``.
+
+    Scale shape: DSIR contributes its two token-explode passes (bucket
+    build + scoring, exchanges bounded by B and doc count); the split is
+    a free projection predicate; the mean gate is one 1-row broadcast
+    (exact decimal sum / count, so both engines make the identical
+    double comparison); chunking of the survivors is one shuffle-free
+    projection; the manifest is a source-sized aggregate. The corpus is
+    never shuffled whole — only doc-count-sized relations move."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.chunking import (
+        chunks_from,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
+        sample_dsir,
+        split_train_eval,
+    )
+
+    train_ids = (
+        split_train_eval(spark, sf_dir)
+        .where(F.col("split") == "train")
+        .select("doc_id")
+    )
+    train = sample_dsir(spark, sf_dir).join(train_ids, "doc_id")
+    thr = train.agg(
+        (
+            F.sum(F.col("dsir_logweight").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mu")
+    )
+    kept = (
+        train.crossJoin(F.broadcast(thr))
+        .where(F.col("dsir_logweight") >= F.col("mu"))
+        .select("doc_id")
+    )
+    chunks = chunks_from(
+        docs(spark, sf_dir).join(kept, "doc_id", "left_semi"),
+        carry=("source",),
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+    )
+
+
+def _finetuning_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.chunking import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
+        SAMPLE_DSIR_SQL,
+        SPLIT_TRAIN_EVAL_SQL,
+    )
+
+    return f"""
+WITH dsir AS ({SAMPLE_DSIR_SQL.strip()}
+),
+sp AS ({SPLIT_TRAIN_EVAL_SQL.strip()}
+),
+train AS (
+  SELECT dsir.doc_id, dsir.dsir_logweight
+  FROM dsir JOIN sp ON dsir.doc_id = sp.doc_id
+  WHERE sp.split = 'train'
+),
+thr AS (
+  SELECT CAST(SUM(CAST(dsir_logweight AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM train
+),
+kept AS (
+  SELECT doc_id FROM train CROSS JOIN thr WHERE dsir_logweight >= mu
+),
+arr AS (
+  SELECT doc_id, source, {_tokens_sql("text")} AS toks
+  FROM {DOCS_SQL}
+  WHERE doc_id IN (SELECT doc_id FROM kept)
+),
+chunks AS (
+  SELECT doc_id, source, LEN(toks) AS n,
+         UNNEST(RANGE(0, GREATEST(LEN(toks), 0), {CHUNK_STRIDE}))
+           AS chunk_start
+  FROM arr
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(LEAST({CHUNK_SIZE}, n - chunk_start)) AS BIGINT)
+         AS n_tokens
+FROM chunks
+GROUP BY source"""
+
+
+FINETUNING_PIPELINE_SQL = _finetuning_sql()

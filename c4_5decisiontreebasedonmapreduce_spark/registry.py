@@ -1457,6 +1457,11 @@ _register(
 # flagging — the eval-leak scrub every LLM data pipeline runs next to
 # near-dedup (same df-capped candidate shape, never corpus²)
 _register("decontaminate", D.decontaminate, D.DECONTAM_SQL)
+# Bloom-prefiltered twin: the benchmark-shingle bitmap drops ~87% of
+# corpus shingle rows before the candidate exchange (sf0.01 measurement,
+# FP admit rate 4e-4); no false negatives, so the output is bit-identical
+# and it shares the exact op's oracle.
+_register("decontaminate_bloom", D.decontaminate_bloom, D.DECONTAM_SQL)
 
 # ...and its APPLY step: the cleaned corpus (flagged leaks removed,
 # whole-document removal — the standard practice), ready for packing
@@ -1897,6 +1902,16 @@ _register(
 # pass count (shared scoring projection), global exact-dup document
 # count, predicted-English count — one scan, one fingerprint exchange
 _register("corpus_report", PL.corpus_report, PL.CORPUS_REPORT_SQL)
+
+# fine-tuning prep (r9 second wave): deterministic TRAIN split → DSIR
+# importance gate at the self-calibrating train-slice mean → sliding-
+# window chunking → per-source manifest; composes the three new
+# curation stages into one oracle-paired query
+_register(
+    "pipeline_finetuning",
+    PL.finetuning_pipeline,
+    PL.FINETUNING_PIPELINE_SQL,
+)
 
 # ...and the scrub at INGEST: the same projection over the documents
 # file stream, stateless/append — shares the batch oracle

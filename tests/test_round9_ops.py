@@ -231,3 +231,134 @@ def test_dsir_plan_no_cartesian(spark, sf_small):
     p = buf.getvalue()
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+# -- Bloom-prefiltered decontamination ----------------------------------------
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_oracle):
+    """No false negatives by construction → output bit-identical to the
+    exact op at the driver's grading scale."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    a = sorted(map(tuple, D.decontaminate_bloom(spark, sf_oracle).collect()))
+    b = sorted(map(tuple, D.decontaminate(spark, sf_oracle).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_bloom_prefilter_drops_most_rows_no_false_negatives(spark, sf_oracle):
+    """The point of the bloom: most corpus shingle rows never reach the
+    candidate exchange (≥ 50% dropped on the driver corpus; measured
+    ~87%), and every shingle truly present in the benchmark set
+    survives."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    is_bench = F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+    sh = D._shingles_df(spark, sf_oracle).localCheckpoint()
+    bench = sh.where(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corp = sh.where(~is_bench)
+    bitmap = D.build_shingle_bloom(bench)
+    kept = D._bloom_filter_rows(
+        corp, "shingle", bitmap, D.BLOOM_M_BITS, D.BLOOM_K
+    )
+    n_corp, n_kept = corp.count(), kept.count()
+    assert n_kept < n_corp * 0.5, (n_kept, n_corp)
+    # no false negatives: shingles in bench all pass the filter
+    truly = corp.join(
+        bench.select("shingle").distinct(), "shingle", "left_semi"
+    )
+    missed = truly.join(kept, ["doc_id", "shingle"], "left_anti").count()
+    assert missed == 0
+
+
+def test_bloom_prefilter_is_codegen_predicate(spark, sf_oracle):
+    """The prefilter is a plain filter predicate — no Python evaluation,
+    no extra join for the membership test (the bitmap rides in as an
+    array literal)."""
+    import contextlib
+    import io
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        D.decontaminate_bloom(spark, sf_oracle).explain("formatted")
+    p = buf.getvalue()
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+# -- fine-tuning pipeline ------------------------------------------------------
+
+
+def test_finetuning_manifest_consistency(spark, sf_oracle):
+    """The manifest must reconcile with its own stages recomputed
+    standalone: kept docs = train docs at/above the train-mean DSIR
+    weight; chunk token totals equal the kept docs' token counts
+    (chunking is lossless in token count: overlap tokens are counted
+    once per chunk, so sum(n_chunk_tokens) ≥ n_tokens with equality iff
+    every doc fits one chunk — here we check the exact identity by
+    recomputing chunk starts)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        chunking as CHK,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        pipeline as PL,
+    )
+
+    manifest = {
+        r.source: r for r in PL.finetuning_pipeline(spark, sf_oracle).collect()
+    }
+    train = {
+        r.doc_id
+        for r in SMP.split_train_eval(spark, sf_oracle)
+        .where(F.col("split") == "train")
+        .collect()
+    }
+    scored = {
+        r.doc_id: r.dsir_logweight
+        for r in SMP.sample_dsir(spark, sf_oracle).collect()
+        if r.doc_id in train
+    }
+    mu = float(sum(scored.values())) / len(scored)
+    kept = {d for d, w in scored.items() if w >= mu}
+    srcs = {
+        r.doc_id: (r.source, r.toks)
+        for r in docs(spark, sf_oracle)
+        .select(
+            "doc_id", "source", tokens_col(F.col("text")).alias("toks")
+        )
+        .collect()
+    }
+    expect = {}
+    for d in kept:
+        src, toks = srcs[d]
+        n = len(toks)
+        starts = list(range(0, n, CHK.CHUNK_STRIDE)) if n else []
+        e = expect.setdefault(src, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(starts)
+        e[2] += sum(min(CHK.CHUNK_SIZE, n - s) for s in starts)
+    assert set(manifest) == set(expect)
+    for src, (nd, nc, nt) in expect.items():
+        m = manifest[src]
+        assert (m.n_docs, m.n_chunks, m.n_tokens) == (nd, nc, nt), src
+
+
+def test_finetuning_pipeline_plan_clean(spark, sf_oracle):
+    """No Python stages, no cartesian beyond the 1-row mean broadcast."""
+    import contextlib
+    import io
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        pipeline as PL,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        PL.finetuning_pipeline(spark, sf_oracle).explain("formatted")
+    p = buf.getvalue()
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
