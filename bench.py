@@ -102,6 +102,21 @@ BENCH_QUERIES = [
     "similarity_topk",
     "similarity_ann_ivfpq",
     "similarity_ann_ivfpq_persisted",
+    # round-9 second wave: the heavier new TPC-H shapes (q12/q14/q19/q22
+    # are broadcast-dim single-pass aggregates in the q1/q6 cost class —
+    # untracked to keep the wall bounded; q16/q21/q2/q7 exercise new
+    # plan machinery), the bloom-prefiltered decontaminate twin (same
+    # output as `decontaminate` above — the delta IS the bloom's win),
+    # and the chunk/DSIR/finetuning curation stages
+    "q16_supplier_cnt",
+    "q21_sole_returner",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "decontaminate_bloom",
+    "chunk_documents",
+    "sample_dsir",
+    "split_train_eval",
+    "pipeline_finetuning",
 ]
 
 

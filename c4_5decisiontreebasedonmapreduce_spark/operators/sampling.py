@@ -749,3 +749,87 @@ FROM {DOCS_SQL} JOIN scored ON documents.doc_id = scored.doc_id"""
 
 
 SAMPLE_DSIR_SQL = _dsir_sql()
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation-hygiene audit that composes the split with
+    near-dedup: which NEAR-DUPLICATE pairs straddle the
+    train/validation/test boundary? A doc_id-hash split is disjoint by
+    id but says nothing about near-identical *content* landing on both
+    sides — exactly the leak that inflates eval scores. Emits one row
+    per unordered split-pair cell: ``(split_a, split_b, n_pairs,
+    max_jaccard, is_leak)`` with ``is_leak`` true off the diagonal;
+    a clean corpus shows leak cells with n_pairs = 0 absent.
+
+    Scale shape: the pair relation is `dedup_ngram_jaccard`'s (near-dup-
+    sized, shingle-equi-join candidates — never corpus²); the split
+    assignment is a projection computable ON the pair relation's id
+    columns directly (no join against the corpus at all — the same
+    recompute-anywhere property that makes the split coordination-free);
+    the rollup is ≤ 6 cells."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    lo, hi = SPLIT_BOUNDS
+
+    def split_of(idc: Column) -> Column:
+        u = md5_long(F.concat(F.lit(_SPLIT_SEED), idc.cast("string"))) % 10000
+        return (
+            F.when(u < lo, "train")
+            .when(u < hi, "validation")
+            .otherwise("test")
+        )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        split_of(F.col("doc_a")).alias("sa"),
+        split_of(F.col("doc_b")).alias("sb"),
+        "jaccard",
+    )
+    return (
+        pairs.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _split_leakage_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        DEDUP_NGRAM_SQL,
+    )
+
+    lo, hi = SPLIT_BOUNDS
+
+    def split_of(expr: str) -> str:
+        u = md5_long_sql(
+            "CONCAT('" + _SPLIT_SEED + f"', CAST({expr} AS VARCHAR))"
+        )
+        return (
+            f"CASE WHEN {u} % 10000 < {lo} THEN 'train'"
+            f" WHEN {u} % 10000 < {hi} THEN 'validation'"
+            f" ELSE 'test' END"
+        )
+
+    return f"""
+WITH pairs AS ({DEDUP_NGRAM_SQL.strip()}
+),
+tagged AS (
+  SELECT {split_of("doc_a")} AS sa, {split_of("doc_b")} AS sb, jaccard
+  FROM pairs
+)
+SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+       COUNT(*) AS n_pairs, MAX(jaccard) AS max_jaccard,
+       LEAST(sa, sb) <> GREATEST(sa, sb) AS is_leak
+FROM tagged
+GROUP BY 1, 2"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()

@@ -2135,6 +2135,13 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
 _register("chunk_documents", CHUNK.chunk_documents, CHUNK.CHUNK_SQL)
 _register("split_train_eval", SMP.split_train_eval, SMP.SPLIT_TRAIN_EVAL_SQL)
 _register("sample_dsir", SMP.sample_dsir, SMP.SAMPLE_DSIR_SQL)
+# the evaluation-hygiene audit composing the two: near-dup pairs that
+# straddle the train/validation/test boundary (content leaks an id-hash
+# split cannot see); split recomputed directly on the pair relation's
+# id columns — no corpus join
+_register(
+    "split_leakage_audit", SMP.split_leakage_audit, SMP.SPLIT_LEAKAGE_SQL
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2167,18 +2174,22 @@ _FIRST_WINDOW = [
     "c45_predict",
     "sink_roundtrip",
     # relational core: aggregation / join / window representatives
+    # (r9 rotation: join_range out — its sort-merge+residual shape is
+    # re-exercised by q21's non-equi semi/anti pair, which is in)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",
+    "q21_sole_returner",
     "join_broadcast",
     "join_semi_anti",
-    "join_range",
     "join_salted",
     "window_funcs",
     "agg_rollup",
     "merge_cdc",
-    # text analysis / tokenizer training
-    "tokenize",
+    # text analysis / tokenizer training (r9 rotation: tokenize out —
+    # its explode is the first stage of tfidf/lm_perplexity, both in;
+    # chunk_documents in, the context-window projection)
+    "chunk_documents",
     "lang_id",
     "tfidf",
     "lm_perplexity",
@@ -2187,7 +2198,10 @@ _FIRST_WINDOW = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
-    "dedup_simhash",
+    # (r9 rotation: dedup_simhash out — same band-join family as
+    # minhash, which stays; pipeline_finetuning in, composing the new
+    # split/DSIR/chunk stages into one graded query)
+    "pipeline_finetuning",
     "dedup_embedding_ivf",
     "dedup_cluster",
     "dedup_spans",

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from c4_5decisiontreebasedonmapreduce_spark import get_spark  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as BPE  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import chunking as CH  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import pii as PII  # noqa: E402
@@ -131,6 +132,16 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("bpe_train", _bpe_train_probe),
             ("bpe_encode", BPE.bpe_encode),
             ("corpus_report", PL.corpus_report),
+            # round-9 second wave: bloom twin should scale like (or
+            # beat) decontaminate; chunk/split are single projections
+            # whose cost is the output itself; DSIR is two explode
+            # passes with B-bounded exchanges; finetuning composes them
+            ("decontaminate", D.decontaminate),
+            ("decontaminate_bloom", D.decontaminate_bloom),
+            ("chunk_documents", CH.chunk_documents),
+            ("split_train_eval", SMP.split_train_eval),
+            ("sample_dsir", SMP.sample_dsir),
+            ("pipeline_finetuning", PL.finetuning_pipeline),
         ):
             t0 = time.perf_counter()
             rec[f"{name}_rows"] = fn(spark, tmp).count()

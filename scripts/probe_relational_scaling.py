@@ -51,6 +51,18 @@ PROBE_QUERIES = [
     "level_stats",
     "numeric_best_split",
     "merge_cdc",
+    # round-9 TPC-H shapes: the K-multiplied fact tables are exactly
+    # what they stress (q21's semi/anti self-joins stay per-order-key
+    # local because copies carry disjoint orderkeys; q16/q2's pair
+    # aggregates grow with lineitem; q22's anti-join probes K× orders)
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q21_sole_returner",
+    "q22_dormant_customers",
+    "q7_volume_shipping",
+    "q2_min_cost_supplier",
 ]
 
 WARM_REPS = 2

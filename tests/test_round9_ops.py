@@ -362,3 +362,36 @@ def test_finetuning_pipeline_plan_clean(spark, sf_oracle):
     p = buf.getvalue()
     assert "EvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+# -- split leakage audit -------------------------------------------------------
+
+
+def test_split_leakage_audit_matches_composition(spark, sf_oracle):
+    """Recompute the cells by hand from the standalone pair and split
+    ops: every near-dup pair lands in exactly one unordered cell, and
+    cross-split cells carry is_leak."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    split = {
+        r.doc_id: r.split
+        for r in SMP.split_train_eval(spark, sf_oracle).collect()
+    }
+    cells = {}
+    for r in D.dedup_ngram_jaccard(spark, sf_oracle).collect():
+        a, b = sorted((split[r.doc_a], split[r.doc_b]))
+        c = cells.setdefault((a, b), [0, 0.0])
+        c[0] += 1
+        c[1] = max(c[1], r.jaccard)
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.max_jaccard, r.is_leak)
+        for r in SMP.split_leakage_audit(spark, sf_oracle).collect()
+    }
+    assert set(got) == set(cells)
+    assert sum(v[0] for v in got.values()) == sum(
+        v[0] for v in cells.values()
+    )
+    for key, (n, mx) in cells.items():
+        gn, gmx, leak = got[key]
+        assert (gn, gmx) == (n, mx), key
+        assert leak == (key[0] != key[1]), key
