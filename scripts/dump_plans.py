@@ -317,6 +317,67 @@ HEADLINE = {
         "constant-size (32×k) exact refine; encode is one broadcast "
         "crossJoin + per-(vector, subspace) argmin window"
     ),
+    "q12_priority_class": (
+        "TPC-H Q12 shape (r9): ship-year pushed to the lineitem scan; "
+        "one orderkey join; urgent/non-urgent counted by CASE in ONE "
+        "aggregate — never one scan per priority class"
+    ),
+    "q16_supplier_cnt": (
+        "TPC-H Q16 shape (r9): supplier blacklist as a broadcast LEFT "
+        "ANTI, part predicate evaluated before its broadcast; grouped "
+        "COUNT(DISTINCT) expands to a two-level aggregate with map-side "
+        "partials at both levels"
+    ),
+    "q19_disjunctive_revenue": (
+        "TPC-H Q19 shape (r9): the OR-of-ANDs disjunction is a residual "
+        "on ONE broadcast join pass — exactly one lineitem scan in the "
+        "plan, not a 3-scan union"
+    ),
+    "q21_sole_returner": (
+        "TPC-H Q21 shape (r9): EXISTS and NOT EXISTS against the same "
+        "fact with a different-supplier non-equi component — both stay "
+        "orderkey-anchored joins with residuals (no cartesian); orders "
+        "participates as a semi join; top-25 is TakeOrderedAndProject"
+    ),
+    "q2_min_cost_supplier": (
+        "TPC-H Q2 shape (r9): correlated scalar-min decorrelated into "
+        "pair aggregate → per-part MIN → equality join-back; the only "
+        "data-sized exchange is the pair aggregate (later stages are "
+        "pair-sized); part/supplier broadcast"
+    ),
+    "q7_volume_shipping": (
+        "TPC-H Q7 shape (r9): 6-table join with every dim broadcast and "
+        "the nation-pair disjunction as a residual; the only data-sized "
+        "exchange is lineitem ⋈ orders"
+    ),
+    "decontaminate_bloom": (
+        "bloom-prefiltered decontamination (r9): the 16 KiB benchmark-"
+        "shingle bitmap rides into the corpus scan as a codegen'd filter "
+        "predicate, dropping ~87% of corpus shingle rows BEFORE the "
+        "candidate exchange; zero false negatives → output bit-identical "
+        "to the exact op"
+    ),
+    "chunk_documents": (
+        "context-window chunking (r9): tokenize → explode(sequence) of "
+        "window starts → slice, ONE shuffle-free projection — the only "
+        "data-sized cost is the output itself"
+    ),
+    "sample_dsir": (
+        "DSIR importance weighting (r9): both bucket-count tables from "
+        "ONE conditional aggregation over the exploded corpus (B=1024 "
+        "rows), broadcast back onto the scoring pass; exchanges bounded "
+        "by B and doc count"
+    ),
+    "pipeline_finetuning": (
+        "fine-tuning prep (r9): split predicate is a free projection; "
+        "DSIR gate is a 1-row broadcast mean; chunking of survivors is "
+        "shuffle-free; manifest is a source-sized aggregate — the corpus "
+        "never shuffles whole"
+    ),
+    "split_leakage_audit": (
+        "eval-hygiene audit (r9): split recomputed on the near-dup pair "
+        "relation's id columns (no corpus join); rollup is ≤ 6 cells"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);
