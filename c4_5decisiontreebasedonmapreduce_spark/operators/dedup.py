@@ -570,7 +570,7 @@ WHERE ROUND(common / CAST(s.sz AS DOUBLE), 6) >= {DECONTAM_MIN_OVERLAP}"""
 # its xxhash is not engine-portable). Bloom false positives only re-admit
 # shingles into the exact join; false negatives are impossible — so the
 # OUTPUT IS BIT-IDENTICAL to `decontaminate` and shares its oracle.
-BLOOM_M_BITS = 1 << 17  # 131,072 bits = 16 KiB bitmap (2048 longs)
+BLOOM_M_BITS = 1 << 17  # 131,072 bits = 16 KiB bitmap (4096 32-bit words)
 BLOOM_K = 3  # hash functions; FP ≈ (1-e^(-kn/m))^k ≈ 1.7% at n=20k
 
 
@@ -600,10 +600,12 @@ def build_shingle_bloom(
     bench: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
 ) -> list[int]:
     """Build the benchmark-shingle Bloom bitmap as a Python list of
-    ``m_bits/64`` longs. The build is DISTRIBUTED: positions →
+    ``m_bits/32`` 32-bit words. The build is DISTRIBUTED: positions →
     (word_index, bit mask) → ``bit_or`` aggregate per word — the driver
-    collect is bounded by the bitmap's word count (2048 rows at the
-    default), never by benchmark size."""
+    collect is bounded by the bitmap's word count, never by benchmark
+    size. Words are 32-bit so the probe side can decode them from a hex
+    string literal with ``conv(…,16,10)`` without signed-long
+    overflow (see :func:`_bloom_filter_rows`)."""
     pos = bench.select(
         F.explode(
             F.array(*_bloom_positions(F.col("shingle"), m_bits, k))
@@ -611,8 +613,8 @@ def build_shingle_bloom(
     )
     words = (
         pos.select(
-            (F.col("pos") / 64).cast("long").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+            (F.col("pos") / 32).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
                 "mask"
             ),
         )
@@ -620,7 +622,7 @@ def build_shingle_bloom(
         .agg(F.bit_or("mask").alias("word"))
         .collect()
     )
-    bitmap = [0] * (m_bits // 64)
+    bitmap = [0] * (m_bits // 32)
     for r in words:
         bitmap[r.w] = r.word
     return bitmap
@@ -633,15 +635,32 @@ def _bloom_filter_rows(
     m_bits: int,
     k: int,
     hash_col: str | None = None,
+    lit_map: Column | None = None,
 ) -> DataFrame:
     """Keep only rows whose shingle has ALL k Bloom bits set — one
-    JVM-side codegen'd predicate (array-literal lookup + bitwise AND),
-    no Python, no join. (PySpark's `shiftleft` takes only literal shift
-    counts, so the variable shift goes through `F.expr` over
-    materialized position columns.) Pass ``hash_col`` when the relation
-    already carries the md5 (checkpointed upstream) so it is not
-    recomputed."""
-    lit_map = F.lit(bitmap)
+    JVM-side codegen'd predicate, no Python, no join. Pass ``hash_col``
+    when the relation already carries the md5 (checkpointed upstream)
+    so it is not recomputed; pass ``lit_map`` to reuse a cached bitmap
+    Column (see below).
+
+    Bitmap encoding — three measured pathologies drove this design:
+    a Python-list ``F.lit`` becomes CreateArray with one child literal
+    per word and the DRIVER re-analyzes that ~8k-node expression at
+    every plan reference (seconds per query at the 2^19 geometry); a
+    hex-STRING literal probed with substr+conv embeds the string in the
+    generated Java source, and Janino takes ~15 s per fresh plan on a
+    131k-char constant (the codegen cache misses because expr-ids
+    differ per call); a numpy-array ``F.lit`` is a single Literal that
+    codegen references as an object (microbench: 40M probes/s) — its
+    only cost is the element-by-element py4j construction (~150 µs/word),
+    which is why decontaminate_bloom builds the Column ONCE per
+    (corpus, geometry) and caches it. (PySpark's `shiftleft` takes only
+    literal shift counts, so the variable mask goes through `F.expr`
+    over materialized position columns.)"""
+    import numpy as np
+
+    if lit_map is None:
+        lit_map = F.lit(np.asarray(bitmap, dtype=np.int64))
     if hash_col is None:
         out = df.withColumn("_bloom_h", _bloom_hash(F.col(shingle_col)))
     else:
@@ -652,9 +671,9 @@ def _bloom_filter_rows(
         pos_cols, _positions_from_hash(F.col("_bloom_h"), m_bits, k)
     ):
         out = out.withColumn(pc, pos)
-        word = F.element_at(lit_map, (F.col(pc) / 64).cast("int") + 1)
+        word = F.element_at(lit_map, (F.col(pc) / 32).cast("int") + 1)
         mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST({pc} % 64 AS INT))"
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pc} % 32 AS INT))"
         )
         cond = cond & (word.bitwiseAND(mask) != 0)
     return out.where(cond).drop("_bloom_h", *pos_cols)
@@ -662,10 +681,22 @@ def _bloom_filter_rows(
 
 # the benchmark set is STATIC (eval suites change rarely — the same
 # contract that lets write_benchmark_shingles persist its bucketed
-# table), so its 16 KiB bitmap is built once per (corpus, geometry) and
-# reused across scrub calls; at deployment this is a tiny artifact
-# shipped with the benchmark release, not per-batch work
-_BLOOM_CACHE: dict[tuple[str, int, int], list[int]] = {}
+# table), so its bitmap AND the constructed literal Column are built
+# once per (corpus, geometry) and reused across scrub calls; at
+# deployment this is a tiny artifact shipped with the benchmark
+# release, not per-batch work. Value: (m_bits, bitmap, lit Column).
+_BLOOM_CACHE: dict[tuple[str, int | None, int], tuple] = {}
+
+# auto-sizing: ~8 bits per distinct benchmark shingle keeps FP ≈ 2.5%
+# at k=3 (false positives only re-enter the exact join — they cost
+# work, never correctness); the cap bounds the one-time py4j literal
+# construction (~150 µs/word → ~20 s at the cap) — a benchmark needing
+# more than ~500k distinct shingles is not an eval suite, and past the
+# cap the fill-ratio degrade below turns the prefilter off LOUDLY in
+# the plan rather than running a saturated no-op filter
+BLOOM_BITS_PER_ELEMENT = 8
+BLOOM_M_CAP = 1 << 22
+BLOOM_MAX_FILL = 0.5  # past half-full the filter drops too little to pay
 
 
 def decontaminate_bloom(
@@ -673,7 +704,7 @@ def decontaminate_bloom(
     sf_dir: str,
     min_overlap: float = DECONTAM_MIN_OVERLAP,
     df_cap: int = SHINGLE_DF_CAP,
-    m_bits: int = BLOOM_M_BITS,
+    m_bits: int | None = None,
     k: int = BLOOM_K,
 ) -> DataFrame:
     """:func:`decontaminate` with the benchmark-shingle Bloom filter
@@ -683,12 +714,21 @@ def decontaminate_bloom(
     positives are resolved by the exact join) — same oracle, pinned
     equal in tests.
 
-    Scale accounting: the bitmap is 16 KiB regardless of scale (the
-    benchmark set is eval-suite-sized); the prefilter is one codegen'd
-    projection predicate on the corpus scan; the containment denominator
-    (per-doc shingle counts) is computed on the UNFILTERED corpus, which
-    costs one extra map-side-combined aggregate of the corpus — already
-    paid in the exact op, where `sizes` shares the same scan."""
+    Scale accounting: the bitmap is sized to the BENCHMARK's distinct
+    shingle count (~8 bits/element, 2^17..2^22 bits — eval suites are
+    fixed-size at deployment, so this stays KiBs however large the
+    corpus grows); the prefilter is one codegen'd filter predicate on
+    the corpus scan; the containment denominator (per-doc shingle
+    counts) is computed on the UNFILTERED corpus — already paid in the
+    exact op, where `sizes` shares the same scan. If the built bitmap
+    ends up more than half full (a benchmark too large for the cap —
+    the 10× probe's benchmark-grows-with-corpus construction hit
+    exactly this with the old fixed 2^17 geometry, saturating the
+    filter into pure overhead), the prefilter is SKIPPED and the op
+    runs the exact plan: graceful degradation, never a saturated no-op
+    filter. The bitmap, its geometry, and the constructed literal
+    Column are cached per (corpus, geometry) — the benchmark side is
+    static, so this is the once-per-release artifact build."""
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
     # the md5 is materialized INTO the checkpointed shingle relation:
     # the core references its corpus side three times (df counts,
@@ -706,13 +746,51 @@ def decontaminate_bloom(
     corp_full = sh.where(~is_bench)
     sizes = corp_full.groupBy("doc_id").agg(F.count("*").alias("sz"))
     cache_key = (sf_dir, m_bits, k)
-    bitmap = _BLOOM_CACHE.get(cache_key)
-    if bitmap is None:
-        bitmap = build_shingle_bloom(bench, m_bits, k)
-        _BLOOM_CACHE[cache_key] = bitmap
-    corp = _bloom_filter_rows(
-        corp_full, "shingle", bitmap, m_bits, k, hash_col="_bloom_h"
-    ).select("doc_id", "shingle")
+    if cache_key in _BLOOM_CACHE:
+        m_resolved, bitmap, lit_map = _BLOOM_CACHE[cache_key]
+    else:
+        import numpy as np
+
+        if m_bits is None:
+            n_bench = bench.select("shingle").distinct().count()
+            m_resolved = BLOOM_M_BITS
+            while (
+                m_resolved < BLOOM_BITS_PER_ELEMENT * n_bench
+                and m_resolved < BLOOM_M_CAP
+            ):
+                m_resolved *= 2
+        else:
+            m_resolved = m_bits
+        bitmap = build_shingle_bloom(bench, m_resolved, k)
+        fill = sum(bin(w).count("1") for w in bitmap) / m_resolved
+        lit_map = (
+            None
+            if fill > BLOOM_MAX_FILL
+            else F.lit(np.asarray(bitmap, dtype=np.int64))
+        )
+        _BLOOM_CACHE[cache_key] = (m_resolved, bitmap, lit_map)
+    if lit_map is None:
+        corp = corp_full.select("doc_id", "shingle")
+    else:
+        # checkpoint the SURVIVORS: the core references its corpus side
+        # three times (df counts, candidate join, residual join) and the
+        # filter would re-run on each; the survivor relation is the
+        # benchmark-membership slice — tiny next to the corpus — so
+        # materializing it once is the cheap side of the trade (probe:
+        # core over unmaterialized survivors was SLOWER than exact)
+        corp = (
+            _bloom_filter_rows(
+                corp_full,
+                "shingle",
+                bitmap,
+                m_resolved,
+                k,
+                hash_col="_bloom_h",
+                lit_map=lit_map,
+            )
+            .select("doc_id", "shingle")
+            .localCheckpoint()
+        )
     return _decontaminate_core(corp, bench, min_overlap, df_cap, sizes=sizes)
 
 
