@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     # output as `decontaminate` above — the delta IS the bloom's win),
     # and the chunk/DSIR/finetuning curation stages
     "q16_supplier_cnt",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
     "q21_sole_returner",
     "q2_min_cost_supplier",
     "q7_volume_shipping",

@@ -530,3 +530,99 @@ WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
   AND offer_price = (SELECT MIN(l_extendedprice)
                      FROM lineitem i
                      WHERE i.l_partkey = pair.l_partkey)"""
+
+
+# -- Q13: outer join with a join-condition filter + double aggregation -------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed 0, 1, 2, … qualifying orders — the suite's only LEFT OUTER
+    join whose filter lives INSIDE the join condition (a WHERE would
+    delete the zero-order customers the query exists to count), followed
+    by two stacked aggregations (per-customer count, then the
+    distribution of counts). (Stock Q13 filters on o_comment patterns
+    this schema lacks; the non-urgent-priority predicate carries the
+    same join-condition placement.)
+
+    Scale shape: the filter is evaluated on the orders side BEFORE the
+    join (Catalyst pushes inner-side conjuncts of an outer join); the
+    per-customer aggregate shuffles on custkey once; the distribution
+    aggregate is count-of-counts-sized (≤ max orders per customer)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    co = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+WITH co AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM co GROUP BY c_count"""
+
+
+# -- Q17: correlated per-group average filter ---------------------------------
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lines whose quantity is below HALF the average quantity for their
+    part — the correlated scalar-AVG subquery, decorrelated into a
+    per-part average aggregate joined back on the part key (the rewrite
+    every optimizer applies to stock Q17). (Container column absent;
+    brand + size carry the part slice. 0.5×avg instead of stock 0.2× —
+    at this data's uniform 1..50 quantities 0.2× selects nothing.)
+
+    Determinism note: l_quantity values are small integers stored as
+    doubles, so the double SUM is exact under ANY partial-aggregation
+    order (every intermediate < 2^53) — the avg and the 0.5× threshold
+    are bit-identical across engines without a decimal detour.
+
+    Scale shape: one lineitem scan feeds the per-part average (map-side
+    partials, part-cardinality output — no broadcast hint, it is
+    data-derived and can be large; AQE broadcasts at small scale); the
+    filtered part dim broadcasts; the final sum is a 1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pf = p.where((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 20))
+    pavg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pavg, F.col("l_partkey") == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3' AND p_size < 20
+  AND l_quantity < (SELECT 0.5 * AVG(i.l_quantity)
+                    FROM lineitem i WHERE i.l_partkey = l.l_partkey)"""

@@ -1358,6 +1358,16 @@ _register("q21_sole_returner", TPCH.q21_sole_returner, TPCH.Q21_SQL)
 _register("q22_dormant_customers", TPCH.q22_dormant_customers, TPCH.Q22_SQL)
 _register("q7_volume_shipping", TPCH.q7_volume_shipping, TPCH.Q7_SQL)
 _register("q2_min_cost_supplier", TPCH.q2_min_cost_supplier, TPCH.Q2_SQL)
+_register(
+    "q13_customer_distribution",
+    TPCH.q13_customer_distribution,
+    TPCH.Q13_SQL,
+)
+_register(
+    "q17_small_qty_revenue",
+    TPCH.q17_small_quantity_revenue,
+    TPCH.Q17_SQL,
+)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental
 # clustering shares dedup_cluster's oracle (identical output, pinned

@@ -63,6 +63,8 @@ PROBE_QUERIES = [
     "q22_dormant_customers",
     "q7_volume_shipping",
     "q2_min_cost_supplier",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
 ]
 
 WARM_REPS = 2

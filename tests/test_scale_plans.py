@@ -1066,10 +1066,20 @@ def test_r9_tpch_shapes_plan_clean(spark, sf_small):
         "q21_sole_returner",
         "q7_volume_shipping",
         "q2_min_cost_supplier",
+        "q13_customer_distribution",
+        "q17_small_qty_revenue",
     ):
         p = plan_of(QUERIES[name](spark, sf_small))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+    # Q13's priority predicate lives in the JOIN CONDITION, so Catalyst
+    # may push it to the orders scan (inner side of the outer join) but
+    # must never turn it into a post-join Filter — that would delete the
+    # zero-order customers the query exists to count. Assert the optimal
+    # outcome: pushed to the parquet scan, and a LeftOuter join survives.
+    p = plan_of(QUERIES["q13_customer_distribution"](spark, sf_small))
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p, p
+    assert "LeftOuter" in p, p
     # Q22: the 1-row scalar average crosses as a broadcast nested loop —
     # allowed because the build side is a single row; never a cartesian.
     p = plan_of(QUERIES["q22_dormant_customers"](spark, sf_small))
