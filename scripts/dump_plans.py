@@ -351,7 +351,7 @@ HEADLINE = {
         "exchange is lineitem ⋈ orders"
     ),
     "decontaminate_bloom": (
-        "bloom-prefiltered decontamination (r9): the 16 KiB benchmark-"
+        "bloom-prefiltered decontamination (r9): the auto-sized benchmark-"
         "shingle bitmap rides into the corpus scan as a codegen'd filter "
         "predicate, dropping ~87% of corpus shingle rows BEFORE the "
         "candidate exchange; zero false negatives → output bit-identical "

@@ -395,3 +395,63 @@ def test_split_leakage_audit_matches_composition(spark, sf_oracle):
         gn, gmx, leak = got[key]
         assert (gn, gmx) == (n, mx), key
         assert leak == (key[0] != key[1]), key
+
+
+# -- hypothesis fuzz: chunking vs a pure-Python reference ----------------------
+
+
+def _py_tokens(text):
+    import re
+
+    return [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _py_chunks(text, size, stride):
+    toks = _py_tokens(text)
+    return [
+        (
+            s // stride,
+            s,
+            min(size, len(toks) - s),
+            " ".join(toks[s : s + size]),
+        )
+        for s in range(0, len(toks), stride)
+    ]
+
+
+def test_chunking_fuzz_matches_python_reference(spark):
+    """Random texts — unicode, punctuation runs, empty, whitespace-only,
+    shorter/equal/longer than one window — chunked identically to the
+    pure-Python reference (same shared tokenizer convention)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        chunking as CHK,
+    )
+
+    texts_strategy = st.lists(
+        st.text(alphabet=" aB9.!\n\tç—", max_size=400), min_size=1, max_size=5
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts_strategy)
+    def run(texts):
+        rows = [
+            (i, t, "en", "fz", len(t)) for i, t in enumerate(texts)
+        ]
+        d = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        got = {}
+        for r in CHK.chunks_from(d, size=7, stride=5).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+            )
+        for i, t in enumerate(texts):
+            expect = _py_chunks(t, 7, 5)
+            assert sorted(got.get(i, [])) == sorted(expect), (i, t)
+
+    run()
