@@ -626,3 +626,66 @@ FROM lineitem l JOIN part p ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#3' AND p_size < 20
   AND l_quantity < (SELECT 0.5 * AVG(i.l_quantity)
                     FROM lineitem i WHERE i.l_partkey = l.l_partkey)"""
+
+
+# -- Q11: HAVING gated by a scalar subquery over the grouped aggregate -------
+
+Q11_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part value
+    held by a nation group, keeping only parts whose value exceeds a
+    FRACTION OF THE GLOBAL total — the scalar subquery gates GROUPS
+    after aggregation (Q22's gate fires on rows before it), so the same
+    aggregate feeds both the group rows and the threshold. (No partsupp
+    table: per-part value is derived from lineitem joined through
+    supplier; ps_availqty×ps_supplycost becomes the extendedprice sum.)
+
+    Determinism: the gate is EXACT-decimal — ``value × 1000 > total``
+    in integer-scaled decimal arithmetic, so no float threshold can
+    round apart across engines at the boundary.
+
+    Scale shape: supplier and the nation slice broadcast onto one
+    lineitem pass; the per-part aggregate is the only data-sized
+    exchange; its output is reused for the 1-row total (pair-sized
+    re-aggregation) broadcast back into the HAVING filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pv = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.where(F.col("n_name").isin(*Q11_NATIONS))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "value_exact"
+            )
+        )
+    )
+    total = pv.agg(F.sum("value_exact").alias("total_exact"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value_exact") * 1000 > F.col("total_exact"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_exact").cast("double"), 2).alias("value"),
+        )
+    )
+
+
+Q11_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_exact
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN {Q11_NATIONS}
+  GROUP BY l_partkey)
+SELECT l_partkey, ROUND(CAST(value_exact AS DOUBLE), 2) AS value
+FROM pv
+WHERE value_exact * 1000 > (SELECT SUM(value_exact) FROM pv)"""

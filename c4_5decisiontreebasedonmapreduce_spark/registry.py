@@ -1368,6 +1368,7 @@ _register(
     TPCH.q17_small_quantity_revenue,
     TPCH.Q17_SQL,
 )
+_register("q11_important_stock", TPCH.q11_important_stock, TPCH.Q11_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental
 # clustering shares dedup_cluster's oracle (identical output, pinned

@@ -65,6 +65,7 @@ PROBE_QUERIES = [
     "q2_min_cost_supplier",
     "q13_customer_distribution",
     "q17_small_qty_revenue",
+    "q11_important_stock",
 ]
 
 WARM_REPS = 2

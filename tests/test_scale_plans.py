@@ -1080,10 +1080,12 @@ def test_r9_tpch_shapes_plan_clean(spark, sf_small):
     p = plan_of(QUERIES["q13_customer_distribution"](spark, sf_small))
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p, p
     assert "LeftOuter" in p, p
-    # Q22: the 1-row scalar average crosses as a broadcast nested loop —
-    # allowed because the build side is a single row; never a cartesian.
-    p = plan_of(QUERIES["q22_dormant_customers"](spark, sf_small))
-    assert "CartesianProduct" not in p, p
+    # Q22/Q11: the 1-row scalar threshold crosses as a broadcast nested
+    # loop — allowed because the build side is a single row; never a
+    # cartesian.
+    for name in ("q22_dormant_customers", "q11_important_stock"):
+        p = plan_of(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in p, name
     # Q19 evaluates the disjunction on one lineitem ⋈ part pass: exactly
     # one lineitem scan in the plan (a union rewrite would show three).
     p = plan_of(QUERIES["q19_disjunctive_revenue"](spark, sf_small))
