@@ -642,9 +642,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: per-part value is derived from lineitem joined through
     supplier; ps_availqty×ps_supplycost becomes the extendedprice sum.)
 
-    Determinism: the gate is EXACT-decimal — ``value × 1000 > total``
-    in integer-scaled decimal arithmetic, so no float threshold can
-    round apart across engines at the boundary.
+    Determinism AND scale-freedom: the gate is EXACT-decimal —
+    ``value × n_parts > 2 × total`` (parts holding more than twice the
+    MEAN value), integer-scaled so no float threshold can round apart
+    across engines, and mean-relative so the selected fraction is
+    stable as the part universe grows (a fixed fraction-of-total gate
+    selected 146 parts at sf0.01 and zero at sf0.1).
 
     Scale shape: supplier and the nation slice broadcast onto one
     lineitem pass; the per-part aggregate is the only data-sized
@@ -666,10 +669,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = pv.agg(F.sum("value_exact").alias("total_exact"))
+    total = pv.agg(
+        F.sum("value_exact").alias("total_exact"),
+        F.count("*").alias("n_parts"),
+    )
     return (
         pv.crossJoin(F.broadcast(total))
-        .where(F.col("value_exact") * 1000 > F.col("total_exact"))
+        .where(
+            F.col("value_exact") * F.col("n_parts")
+            > F.lit(2) * F.col("total_exact")
+        )
         .select(
             "l_partkey",
             F.round(F.col("value_exact").cast("double"), 2).alias("value"),
@@ -685,7 +694,8 @@ WITH pv AS (
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
   WHERE n_name IN {Q11_NATIONS}
-  GROUP BY l_partkey)
+  GROUP BY l_partkey),
+t AS (SELECT SUM(value_exact) AS total_exact, COUNT(*) AS n_parts FROM pv)
 SELECT l_partkey, ROUND(CAST(value_exact AS DOUBLE), 2) AS value
-FROM pv
-WHERE value_exact * 1000 > (SELECT SUM(value_exact) FROM pv)"""
+FROM pv CROSS JOIN t
+WHERE value_exact * n_parts > 2 * total_exact"""
