@@ -2621,3 +2621,39 @@ SELECT doc_id, bench_id, CAST(MIN(pos_a) AS INT) AS start,
        CAST(MIN(pos_b) AS INT) AS start_bench,
        CAST(COUNT(*) + {SPAN_GRAM_K - 1} AS INT) AS span_tokens
 FROM isl GROUP BY doc_id, bench_id, diag, island"""
+
+
+def decontaminate_report(
+    spark: SparkSession,
+    sf_dir: str,
+    min_overlap: float = DECONTAM_MIN_OVERLAP,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """The "which evals are compromised" rollup: per benchmark document,
+    how many corpus documents leak it and how badly — ``(bench_id,
+    n_leaking_docs, max_overlap, total_common)``. `decontaminate` tells
+    the CORPUS side what to scrub; this tells the EVALUATION owner which
+    benchmark items can no longer be trusted (an eval doc quoted by one
+    training doc is compromised even after the scrub if the scrub runs
+    later than the trained checkpoint).
+
+    Scale shape: the flagging pipeline's cost plus a leak-sized rollup
+    (the flagged relation is tiny by construction)."""
+    return (
+        decontaminate(spark, sf_dir, min_overlap=min_overlap, df_cap=df_cap)
+        .groupBy("bench_id")
+        .agg(
+            F.count("*").alias("n_leaking_docs"),
+            F.max("overlap").alias("max_overlap"),
+            F.sum("common").cast("long").alias("total_common"),
+        )
+    )
+
+
+DECONTAM_REPORT_SQL = f"""
+WITH flagged AS ({DECONTAM_SQL.strip()}
+)
+SELECT bench_id, COUNT(*) AS n_leaking_docs, MAX(overlap) AS max_overlap,
+       CAST(SUM(common) AS BIGINT) AS total_common
+FROM flagged
+GROUP BY bench_id"""

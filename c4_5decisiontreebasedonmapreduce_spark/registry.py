@@ -1473,6 +1473,11 @@ _register("decontaminate", D.decontaminate, D.DECONTAM_SQL)
 # FP admit rate 4e-4); no false negatives, so the output is bit-identical
 # and it shares the exact op's oracle.
 _register("decontaminate_bloom", D.decontaminate_bloom, D.DECONTAM_SQL)
+# the evaluation-owner view: per benchmark doc, how many corpus docs
+# leak it and how badly (leak-sized rollup over the flagging pipeline)
+_register(
+    "decontaminate_report", D.decontaminate_report, D.DECONTAM_REPORT_SQL
+)
 
 # ...and its APPLY step: the cleaned corpus (flagged leaks removed,
 # whole-document removal — the standard practice), ready for packing
@@ -1927,6 +1932,13 @@ _register(
 # ...and the scrub at INGEST: the same projection over the documents
 # file stream, stateless/append — shares the batch oracle
 _register("streaming_scrub_pii", SW.streaming_scrub_pii, PII.PII_SCRUB_SQL)
+# context-window chunking at ingest (r9 second wave): stateless
+# projection+generator per micro-batch; drained == batch (shared oracle)
+from c4_5decisiontreebasedonmapreduce_spark.operators.chunking import (  # noqa: E402
+    CHUNK_SQL as _CHUNK_SQL,
+)
+
+_register("streaming_chunk_ingest", SW.streaming_chunk_ingest, _CHUNK_SQL)
 
 # passage-level decontamination at ingest (r9): per-micro-batch span
 # detection against the static benchmark gram relation — the islands

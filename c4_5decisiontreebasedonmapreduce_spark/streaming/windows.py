@@ -1075,3 +1075,35 @@ def streaming_decontaminate_spans(
     return spark.read.parquet(os.path.join(out_dir, "batch=*")).select(
         "doc_id", "bench_id", "start", "start_bench", "span_tokens"
     )
+
+
+def streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking at INGEST: the batch
+    :func:`operators.chunking.chunks_from` projection applied to the
+    documents file stream. Chunking is a pure per-row
+    projection + generator (tokenize → explode window starts → slice) —
+    a document arrives whole in one row, so its chunks never straddle
+    micro-batches and the stream stays STATELESS (no watermark, no
+    state store, append mode): the natural place to cut context windows
+    is the moment a document lands. Drained result equals the batch
+    twin (shared oracle, ``CHUNK_SQL``)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.chunking import (
+        chunks_from,
+    )
+
+    docs = _docs_stream(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    out = chunks_from(docs)
+    name = f"stream_chunk_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
