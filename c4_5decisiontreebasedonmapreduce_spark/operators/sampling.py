@@ -833,3 +833,179 @@ GROUP BY 1, 2"""
 
 
 SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+# -- persisted DSIR model: train offline, score at ingest ----------------------
+#
+# The same amortization contract as text.write_lm_table and the persisted
+# dedup corpora: the importance model is a pure function of the (slowly
+# changing) corpus + target slice, so it is trained ONCE and every
+# arriving batch is scored against the persisted table — only batch-sized
+# relations are computed per ingest. The model is DENSE (all B buckets,
+# B = 1024 rows): a batch token can land in a bucket the corpus never
+# produced, whose smoothed llr is ln((nr+B)/(nt+B)), not 0 — densifying
+# at write time keeps scoring a plain inner join with no backoff branch.
+DSIR_BATCH_MOD = 10
+DSIR_BATCH_REM = 7
+
+
+def _dsir_llr_dense(
+    spark: SparkSession,
+    tok,
+    target_lang: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Dense per-bucket add-one-smoothed log-likelihood-ratio table from
+    a ``(doc_id, lang, t)`` token relation — one conditional aggregation
+    over the exploded stream, left-joined onto the full bucket range."""
+    bucket = (
+        md5_long(F.concat(F.lit(_DSIR_SEED), F.col("t"))) % n_buckets
+    ).alias("b")
+    counts = (
+        tok.select(bucket, "lang")
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == target_lang, 1).otherwise(0)
+            ).alias("ct"),
+        )
+    )
+    totals = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    return (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("b"))
+        .join(counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("nt") + n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    / (F.col("nr") + n_buckets)
+                )
+            ).alias("llr"),
+        )
+    )
+
+
+def write_dsir_model(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "dsir_llr",
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the DSIR importance model trained on the CORPUS slice
+    (``doc_id % {mod} != {rem}``) as the dense B-row llr table. B rows
+    (kilobytes) — read + broadcast at every scoring pass; no bucketed
+    layout needed."""
+    d = docs(spark, sf_dir).where(
+        (F.col("doc_id") % DSIR_BATCH_MOD) != DSIR_BATCH_REM
+    )
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("t")
+    )
+    llr = _dsir_llr_dense(spark, tok, target_lang, n_buckets)
+    writer = llr.write.mode("overwrite")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
+def sample_dsir_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str | None = None,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score the BATCH slice (``doc_id % {mod} == {rem}`` — the arriving
+    documents) against the PERSISTED importance model
+    (:func:`write_dsir_model`): ingest-time domain-relevance scoring
+    with the model trained offline, the DSIR counterpart of
+    `lm_perplexity_persisted`.
+
+    Scale shape: only batch-sized relations are computed — the corpus
+    appears solely through the B-row persisted table, which broadcasts
+    into the scoring join; one exploded pass over the batch, per-doc
+    mean with map-side partials. Pass ``table=None`` to train the model
+    in-memory (the untabled twin, used by the equality pin)."""
+    if table is not None:
+        llr = spark.table(table)
+    else:
+        d = docs(spark, sf_dir).where(
+            (F.col("doc_id") % DSIR_BATCH_MOD) != DSIR_BATCH_REM
+        )
+        tok = d.select(
+            "doc_id", "lang",
+            F.explode(tokens_col(F.col("text"))).alias("t"),
+        )
+        llr = _dsir_llr_dense(spark, tok, target_lang, n_buckets)
+    batch = docs(spark, sf_dir).where(
+        (F.col("doc_id") % DSIR_BATCH_MOD) == DSIR_BATCH_REM
+    )
+    bucket = (
+        md5_long(F.concat(F.lit(_DSIR_SEED), F.col("t"))) % n_buckets
+    ).alias("b")
+    scored = (
+        batch.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
+        )
+        .select("doc_id", bucket)
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("llr"), 6).alias("dsir_logweight"),
+        )
+    )
+    return (
+        batch.select("doc_id", "lang", "source")
+        .join(scored, "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "dsir_logweight")
+    )
+
+
+def _dsir_persisted_sql() -> str:
+    b = md5_long_sql("CONCAT('" + _DSIR_SEED + "', t)")
+    B = DSIR_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST({_tokens_sql("text")}) AS t FROM {DOCS_SQL}
+  WHERE doc_id % {DSIR_BATCH_MOD} <> {DSIR_BATCH_REM}
+),
+counts AS (
+  SELECT {b} % {B} AS b, COUNT(*) AS cr,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY 1
+),
+totals AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM counts),
+llr AS (
+  SELECT r.range AS b,
+         LN((COALESCE(ct, 0) + 1) / CAST(nt + {B} AS DOUBLE))
+         - LN((COALESCE(cr, 0) + 1) / CAST(nr + {B} AS DOUBLE)) AS llr
+  FROM RANGE({B}) r LEFT JOIN counts ON r.range = counts.b
+  CROSS JOIN totals
+),
+btok AS (
+  SELECT doc_id, {b} % {B} AS b
+  FROM (SELECT doc_id, UNNEST({_tokens_sql("text")}) AS t FROM {DOCS_SQL}
+        WHERE doc_id % {DSIR_BATCH_MOD} = {DSIR_BATCH_REM}) bt
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(llr), 6) AS dsir_logweight
+  FROM btok JOIN llr USING (b)
+  GROUP BY doc_id
+)
+SELECT documents.doc_id, lang, source, n_tokens, dsir_logweight
+FROM {DOCS_SQL} JOIN scored ON documents.doc_id = scored.doc_id"""
+
+
+SAMPLE_DSIR_PERSISTED_SQL = _dsir_persisted_sql()

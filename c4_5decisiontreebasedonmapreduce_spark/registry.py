@@ -2158,6 +2158,42 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
 _register("chunk_documents", CHUNK.chunk_documents, CHUNK.CHUNK_SQL)
 _register("split_train_eval", SMP.split_train_eval, SMP.SPLIT_TRAIN_EVAL_SQL)
 _register("sample_dsir", SMP.sample_dsir, SMP.SAMPLE_DSIR_SQL)
+
+
+# session cache: sf_dir → persisted dense DSIR llr table (B rows)
+_DSIR_MODEL_TABLES: dict[str, str] = {}
+
+
+def _sample_dsir_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest scoring against the PERSISTED importance model
+    (`operators/sampling.py::write_dsir_model`): the model trains once
+    per session per sf_dir; every subsequent batch is scored against the
+    B-row llr table (broadcast — only batch-sized relations computed).
+    Persisted ≡ in-memory also pinned in tests."""
+    key = sf_dir.rstrip("/")
+    table = _DSIR_MODEL_TABLES.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        import tempfile
+        import uuid
+
+        table = f"dsir_llr_{uuid.uuid4().hex[:8]}"
+        SMP.write_dsir_model(
+            spark,
+            sf_dir,
+            table=table,
+            path=tempfile.mkdtemp(prefix="dsir_llr_") + "/t",
+        )
+        _DSIR_MODEL_TABLES[key] = table
+    return SMP.sample_dsir_persisted(spark, sf_dir, table=table)
+
+
+_register(
+    "sample_dsir_persisted",
+    _sample_dsir_persisted_query,
+    SMP.SAMPLE_DSIR_PERSISTED_SQL,
+)
 # the evaluation-hygiene audit composing the two: near-dup pairs that
 # straddle the train/validation/test boundary (content leaks an id-hash
 # split cannot see); split recomputed directly on the pair relation's

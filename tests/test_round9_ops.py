@@ -455,3 +455,35 @@ def test_chunking_fuzz_matches_python_reference(spark):
             assert sorted(got.get(i, [])) == sorted(expect), (i, t)
 
     run()
+
+
+# -- persisted DSIR model -------------------------------------------------------
+
+
+def test_dsir_persisted_equals_in_memory(spark, sf_oracle, tmp_path):
+    """The persisted model path scores the batch identically to the
+    in-memory twin, and the scoring plan's only parquet reads are the
+    batch documents + the B-row model table (the corpus never appears)."""
+    import contextlib
+    import io
+
+    SMP.write_dsir_model(
+        spark, sf_oracle, table="dsir_llr_test", path=str(tmp_path / "m")
+    )
+    mem = sorted(
+        map(tuple, SMP.sample_dsir_persisted(spark, sf_oracle).collect())
+    )
+    per = SMP.sample_dsir_persisted(spark, sf_oracle, table="dsir_llr_test")
+    assert sorted(map(tuple, per.collect())) == mem
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        per.explain("formatted")
+    p = buf.getvalue()
+    scans = [
+        l for l in p.splitlines() if "Location" in l and "parquet" in l
+    ]
+    assert all(
+        "documents.parquet" in l or "dsir_llr" in l or "/m" in l
+        for l in scans
+    ), scans
+    assert "BroadcastHashJoin" in p, p
