@@ -1939,6 +1939,14 @@ from c4_5decisiontreebasedonmapreduce_spark.operators.chunking import (  # noqa:
 )
 
 _register("streaming_chunk_ingest", SW.streaming_chunk_ingest, _CHUNK_SQL)
+# DSIR scoring at ingest (r9 second wave): stream-static broadcast join
+# against the importance model; per-doc mean is stateless batch code in
+# foreachBatch (docs arrive whole); drained == the persisted batch twin
+_register(
+    "streaming_dsir_scoring",
+    SW.streaming_dsir_scoring,
+    SMP.SAMPLE_DSIR_PERSISTED_SQL,
+)
 
 # passage-level decontamination at ingest (r9): per-micro-batch span
 # detection against the static benchmark gram relation — the islands

@@ -1107,3 +1107,85 @@ def streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring at INGEST: the arriving batch slice
+    (``doc_id % 10 == 7``, the shared ingest convention) scored against
+    the importance model as a STREAM-STATIC broadcast join. A document
+    arrives WHOLE in one row, so all its tokens land in one micro-batch
+    and the per-doc mean is computed as plain batch code inside
+    ``foreachBatch`` with ZERO cross-batch state (the
+    `streaming_decontaminate_spans` pattern — an unbounded streaming
+    groupBy would instead accumulate per-doc state forever); the model
+    side is B rows of llr, a broadcast hash join per micro-batch.
+    Drained result equals `sample_dsir_persisted` (shared oracle)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
+        DSIR_BATCH_MOD,
+        DSIR_BATCH_REM,
+        DSIR_BUCKETS,
+        _DSIR_SEED,
+        _dsir_llr_dense,
+        tokens_col,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
+        md5_long,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    # static side: the trained model (in-memory twin of the persisted
+    # table — registry's persisted query injects the table variant)
+    corpus = docs(spark, sf_dir).where(
+        (F.col("doc_id") % DSIR_BATCH_MOD) != DSIR_BATCH_REM
+    )
+    tok = corpus.select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("t")
+    )
+    llr = _dsir_llr_dense(
+        spark, tok, "en", DSIR_BUCKETS
+    ).localCheckpoint()
+
+    stream = _docs_stream(spark, sf_dir).where(
+        (F.col("doc_id") % DSIR_BATCH_MOD) == DSIR_BATCH_REM
+    )
+    bucket = (
+        md5_long(
+            F.concat(F.lit(_DSIR_SEED), F.col("t"))
+        )
+        % DSIR_BUCKETS
+    ).alias("b")
+    name = f"stream_dsir_{uuid.uuid4().hex[:8]}"
+
+    def score_batch(batch_df, _batch_id):
+        scored = (
+            batch_df.select(
+                "doc_id",
+                "lang",
+                "source",
+                F.explode(
+                    tokens_col(F.coalesce(F.col("text"), F.lit("")))
+                ).alias("t"),
+            )
+            .select("doc_id", "lang", "source", bucket)
+            .join(F.broadcast(llr), "b")
+            .groupBy("doc_id", "lang", "source")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.round(F.avg("llr"), 6).alias("dsir_logweight"),
+            )
+            .select(
+                "doc_id", "lang", "source", "n_tokens", "dsir_logweight"
+            )
+        )
+        scored.write.mode("append").saveAsTable(name)
+
+    spark.sql(
+        f"CREATE TABLE {name} (doc_id BIGINT, lang STRING, source STRING,"
+        " n_tokens BIGINT, dsir_logweight DOUBLE) USING parquet"
+    )
+    q = stream.writeStream.foreachBatch(score_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
