@@ -378,6 +378,29 @@ HEADLINE = {
         "eval-hygiene audit (r9): split recomputed on the near-dup pair "
         "relation's id columns (no corpus join); rollup is ≤ 6 cells"
     ),
+    "q13_customer_distribution": (
+        "TPC-H Q13 shape (r9): the priority filter lives in the OUTER "
+        "join condition and is pushed to the orders scan (a WHERE would "
+        "delete the zero-order customers); per-customer count then "
+        "count-of-counts — the second aggregate is ≤ max-orders-sized"
+    ),
+    "q17_small_qty_revenue": (
+        "TPC-H Q17 shape (r9): correlated scalar-AVG decorrelated to a "
+        "per-part average joined back on the part key; quantities are "
+        "small integers in doubles so the avg is exact under any "
+        "partial-agg order"
+    ),
+    "q11_important_stock": (
+        "TPC-H Q11 shape (r9): the grouped aggregate gated by its own "
+        "global total via a 1-row broadcast; exact-decimal mean-relative "
+        "gate (value×n > 2×total) — scale-free selectivity, no float "
+        "boundary"
+    ),
+    "sample_dsir_persisted": (
+        "ingest scoring vs the persisted importance model (r9): only "
+        "batch-sized relations computed; the dense B-row llr table "
+        "broadcasts into the scoring join"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);
