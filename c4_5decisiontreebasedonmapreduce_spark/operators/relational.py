@@ -1279,3 +1279,90 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20"""
+
+
+# -- join-key skew profiling ---------------------------------------------------
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+]
+
+
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "will this join skew?" diagnostic: for every candidate
+    join/group key, the exact distinct count, the heaviest key's row
+    count and identity, and the skew factor ``max_key_rows /
+    mean_key_rows`` (1.0 = perfectly uniform; the salted-join and
+    AQE-skew machinery only pays off when this is ≫ 1). The companion
+    of `profile_columns` for the planner's other question — not "what
+    are the values" but "how unevenly do they collide".
+
+    Determinism: the hot key is the MAX key string among the tied-max
+    counts (two-phase in SQL; `max(struct(count, key))` in Spark —
+    identical tie-break). Skew divides exact integers in both engines.
+
+    Scale shape: one grouped count per profiled key (the honest cost —
+    the distinct-key relation is what the join would build anyway),
+    each with map-side partials; the per-key rollup is 1 row. At 100 TB
+    run it per key of interest; an approximate variant would use
+    `approx_count_distinct` + a count-min sketch for the heavy hitter,
+    the same trade `profile_columns(approx=True)` documents."""
+    parts = []
+    for tbl, key in _SKEW_KEYS:
+        g = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(key).cast("string").alias("k"))
+            .agg(F.count("*").alias("c"))
+        )
+        parts.append(
+            g.agg(
+                F.count("*").alias("n_distinct"),
+                F.sum("c").alias("n_rows"),
+                F.max("c").alias("max_key_rows"),
+                F.max(F.struct(F.col("c"), F.col("k"))).alias("_m"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(key).alias("key_column"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                F.col("max_key_rows").cast("long").alias("max_key_rows"),
+                F.col("_m.k").alias("hot_key"),
+                F.round(
+                    F.col("max_key_rows")
+                    * F.col("n_distinct")
+                    / F.col("n_rows"),
+                    2,
+                ).alias("skew_factor"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _skew_sql() -> str:
+    selects = []
+    for tbl, key in _SKEW_KEYS:
+        selects.append(f"""
+SELECT '{tbl}' AS table_name, '{key}' AS key_column,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       (SELECT MAX(k) FROM (SELECT CAST({key} AS VARCHAR) AS k, COUNT(*) AS c
+                            FROM {tbl} GROUP BY 1) gi
+        WHERE gi.c = (SELECT MAX(c)
+                      FROM (SELECT COUNT(*) AS c FROM {tbl} GROUP BY {key}) gm))
+         AS hot_key,
+       ROUND(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 2) AS skew_factor
+FROM (SELECT CAST({key} AS VARCHAR) AS k, COUNT(*) AS c
+      FROM {tbl} GROUP BY 1) g""")
+    return "\nUNION ALL\n".join(selects)
+
+
+PROFILE_SKEW_SQL = _skew_sql()

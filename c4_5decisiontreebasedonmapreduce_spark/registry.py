@@ -1332,6 +1332,9 @@ _register(
     D.DEDUP_EXACT_INCR_SQL,
 )
 _register("agg_percentiles", R.percentiles_by_flag, R.PERCENTILES_SQL)
+# the skew diagnostic companion of profile_columns (r9 second wave):
+# per join key, exact distinct count + heavy hitter + skew factor
+_register("profile_skew", R.profile_skew, R.PROFILE_SKEW_SQL)
 # TPC-H Q4/Q10 shapes: EXISTS→semi-join + count, and the 4-table
 # returned-items top-20 (dims broadcast off one fact pass)
 _register("q4_order_priority", R.q4_order_priority, R.Q4_SQL)

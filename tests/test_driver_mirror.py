@@ -17,6 +17,7 @@ EVENTS_QUERIES = [
     "session_window_agg",
     "streaming_tumbling",
     "streaming_stateful",
+    "profile_skew",  # r9 second wave: profiles events.user_id/event_type
 ]
 
 
