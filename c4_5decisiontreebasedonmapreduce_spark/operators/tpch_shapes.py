@@ -699,3 +699,60 @@ t AS (SELECT SUM(value_exact) AS total_exact, COUNT(*) AS n_parts FROM pv)
 SELECT l_partkey, ROUND(CAST(value_exact AS DOUBLE), 2) AS value
 FROM pv CROSS JOIN t
 WHERE value_exact * n_parts > 2 * total_exact"""
+
+
+# -- Q15: scalar-max over an aggregate view, join-back --------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue for a
+    quarter, returning the supplier(s) that achieve the MAXIMUM — stock
+    Q15's revenue view consumed twice, once aggregated to its max and
+    once joined back on equality (ties all returned, per the spec).
+    Unlike Q2's per-group min, the scalar here is GLOBAL, so the
+    join-back is against a 1-row broadcast.
+
+    Determinism: revenue is the exact-decimal sum; the max and the
+    equality join-back compare decimals, so ties are exact, never a
+    float artifact.
+
+    Scale shape: the quarter predicate is pushed to the lineitem scan;
+    the per-supplier aggregate is the only data-sized exchange; its
+    supplier-cardinality output feeds both the 1-row max (broadcast
+    back) and the equality filter; supplier broadcasts for the name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("total_exact"))
+    )
+    best = rev.agg(F.max("total_exact").alias("best_exact"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .where(F.col("total_exact") == F.col("best_exact"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_exact").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REVENUE_SQL}) AS total_exact
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       ROUND(CAST(total_exact AS DOUBLE), 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_exact = (SELECT MAX(total_exact) FROM rev)"""

@@ -1372,6 +1372,7 @@ _register(
     TPCH.Q17_SQL,
 )
 _register("q11_important_stock", TPCH.q11_important_stock, TPCH.Q11_SQL)
+_register("q15_top_supplier", TPCH.q15_top_supplier, TPCH.Q15_SQL)
 # incremental cluster maintenance: corpus-only pairs ∪ batch-touching
 # pairs reproduce the full pair graph exactly, so the incremental
 # clustering shares dedup_cluster's oracle (identical output, pinned

@@ -1083,7 +1083,11 @@ def test_r9_tpch_shapes_plan_clean(spark, sf_small):
     # Q22/Q11: the 1-row scalar threshold crosses as a broadcast nested
     # loop — allowed because the build side is a single row; never a
     # cartesian.
-    for name in ("q22_dormant_customers", "q11_important_stock"):
+    for name in (
+        "q22_dormant_customers",
+        "q11_important_stock",
+        "q15_top_supplier",
+    ):
         p = plan_of(QUERIES[name](spark, sf_small))
         assert "CartesianProduct" not in p, name
     # Q19 evaluates the disjunction on one lineitem ⋈ part pass: exactly
