@@ -443,6 +443,59 @@ JOIN stats ON stats.attr = s.attr"""
 _register("scan_schema_tsv", _scan_schema_tsv_query, _SCAN_SCHEMA_TSV_SQL)
 
 
+def _tsv_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row audit of the reference-format TSV (sources/tsv.py:
+    tsv_ingest_audit) over the committed weather fixture — the explicit
+    accounting for the parse cases the reference's split("\\t+") handles
+    silently (collapsed empty fields, short/long rows, numeric parse
+    failures)."""
+    sch = TSV.parse_attributes_file(_DATA_DIR / "weather.attributes")
+    return TSV.tsv_ingest_audit(spark, str(_DATA_DIR / "weather.tsv"), sch)
+
+
+def _tsv_audit_sql() -> str:
+    # inline the fixture's raw lines so DuckDB classifies them with its
+    # own split logic — an independent computation over identical input
+    # (the VALUES transport mirrors _WEATHER_VALUES_SQL's precedent)
+    lines = [
+        ln
+        for ln in (_DATA_DIR / "weather.tsv").read_text().split("\n")
+        if ln != ""
+    ]
+    vals = ",\n  ".join(
+        "(" + repr(ln).replace('"', '""').replace("\\t", "' || chr(9) || '") + ")"
+        for ln in lines
+    )
+    sch = TSV.parse_attributes_file(_DATA_DIR / "weather.attributes")
+    fields = sch.spark_schema().fields
+    n = len(fields)
+    numeric_ok = " AND ".join(
+        f"TRY_CAST(REGEXP_SPLIT_TO_ARRAY(value, '\\t+')[{i + 1}] AS DOUBLE)"
+        " IS NOT NULL"
+        for i, f in enumerate(fields)
+        if f.dataType.typeName() == "double"
+    ) or "TRUE"
+    return f"""
+WITH lines(value) AS (VALUES
+  {vals}
+),
+cls AS (
+  SELECT CASE
+    WHEN LEN(STRING_SPLIT(value, chr(9))) = {n}
+         AND NOT ({numeric_ok}) THEN 'numeric_parse_failures'
+    WHEN LEN(STRING_SPLIT(value, chr(9))) = {n} THEN 'exact'
+    WHEN LEN(REGEXP_SPLIT_TO_ARRAY(value, '\\t+')) = {n}
+         AND LEN(STRING_SPLIT(value, chr(9))) > {n}
+      THEN 'collapsed_empty_fields'
+    WHEN LEN(REGEXP_SPLIT_TO_ARRAY(value, '\\t+')) < {n} THEN 'short_row'
+    ELSE 'long_row' END AS category
+  FROM lines)
+SELECT category, COUNT(*) AS n_rows FROM cls GROUP BY category"""
+
+
+_register("tsv_ingest_audit", _tsv_audit_query, _tsv_audit_sql())
+
+
 # -- rule matching / candidate expansion ------------------------------------
 
 

@@ -116,3 +116,53 @@ def read_training_tsv(
             for i, f in enumerate(fields)
         ]
     )
+
+
+def tsv_ingest_audit(
+    spark: SparkSession, path: str, schema: TrainingSchema, d=None
+) -> DataFrame:
+    """Malformed-row AUDIT of a reference-format TSV — the explicit
+    accounting for everything the reference's parser does SILENTLY
+    (`MyMapper.java:30`, ``String.split("\\t+")``): a doubled tab
+    collapses (an intended empty field is swallowed and every later
+    field shifts left), a short row leaves trailing columns unparsed,
+    a long row drops its tail, and a non-numeric token in a numeric
+    column becomes whatever ``Double.parseDouble`` throws into the
+    task. One row per category: ``exact`` (single-tab field count
+    matches the schema), ``collapsed_empty_fields`` (the reference's
+    tab-run view matches but the raw view does not — silent left
+    shift), ``short_row``, ``long_row``, plus
+    ``numeric_parse_failures`` counting rows whose tab-run fields DO
+    line up but a numeric column fails to cast. Every category the
+    audit flags is a row the reference would train on incorrectly
+    without a word.
+
+    One projection + a 5-cell aggregate over the text scan — the audit
+    costs one pass, which is why it belongs at ingest. Pass ``d`` (a
+    ``value``-column relation) to audit injected lines in tests."""
+    if d is None:
+        d = spark.read.text(path)
+    n_fields = len(schema.spark_schema().fields)
+    raw = F.size(F.split(F.col("value"), r"\t", -1))
+    runs = F.size(F.split(F.col("value"), r"\t+"))
+    numeric_ok = F.lit(True)
+    parts = F.split(F.col("value"), r"\t+")
+    for i, f in enumerate(schema.spark_schema().fields):
+        if f.dataType.typeName() == "double":
+            # try_cast: ANSI mode makes a plain cast THROW on malformed
+            # input — the audit must count bad tokens, not die on them
+            numeric_ok = numeric_ok & F.element_at(
+                parts, i + 1
+            ).try_cast("double").isNotNull()
+    category = (
+        F.when((raw == n_fields) & ~numeric_ok, "numeric_parse_failures")
+        .when(raw == n_fields, "exact")
+        .when((runs == n_fields) & (raw > n_fields), "collapsed_empty_fields")
+        .when(runs < n_fields, "short_row")
+        .otherwise("long_row")
+    )
+    return (
+        d.select(category.alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n_rows"))
+    )

@@ -487,3 +487,44 @@ def test_dsir_persisted_equals_in_memory(spark, sf_oracle, tmp_path):
         for l in scans
     ), scans
     assert "BroadcastHashJoin" in p, p
+
+
+# -- TSV ingest audit ------------------------------------------------------------
+
+
+def test_tsv_audit_classifies_all_malformed_categories(spark):
+    """Inject one line per malformation the reference parses silently
+    (SURVEY §1.1): collapsed empty field (doubled tab — the reference's
+    split('\\t+') swallows it and shifts fields left), short row, long
+    row, numeric garbage in a well-shaped row; plus clean lines."""
+    from c4_5decisiontreebasedonmapreduce_spark.sources import tsv as TSV
+
+    sch = TSV.parse_attributes_lines(
+        [
+            "outlook:string:sunny,overcast,rainy",
+            "temperature:numeric",
+            "humidity:numeric",
+            "windy:string:true,false",
+            "play:yes,no",
+        ]
+    )
+    lines = [
+        "sunny\t85.0\t85.0\tfalse\tno",        # exact
+        "rainy\t70.0\t96.0\ttrue\tyes",        # exact
+        "sunny\t\t90.0\ttrue\tno\textra",      # doubled tab: runs==5, raw==6
+        "overcast\t83.0\t86.0\tfalse",         # short (4 fields)
+        "rainy\t68.0\t80.0\tfalse\tyes\tzz",   # long (6 raw, 6 runs)
+        "sunny\tNaNo\t95.0\tfalse\tno",        # numeric garbage, shape ok
+    ]
+    d = spark.createDataFrame([(x,) for x in lines], "value string")
+    got = {
+        r.category: r.n_rows
+        for r in TSV.tsv_ingest_audit(spark, "", sch, d=d).collect()
+    }
+    assert got == {
+        "exact": 2,
+        "collapsed_empty_fields": 1,
+        "short_row": 1,
+        "long_row": 1,
+        "numeric_parse_failures": 1,
+    }, got
