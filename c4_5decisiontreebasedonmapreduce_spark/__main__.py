@@ -78,12 +78,66 @@ def cli(argv: list[str] | None = None, spark=None) -> int:
     pr.add_argument("output", help="directory for predictions parquet")
     pr.add_argument("attributes")
     pr.add_argument("--model", required=True, help="model.json from train")
+    cu = sub.add_parser(
+        "curate",
+        help="pre-training data prep: PII scrub → exact dedup → quality "
+        "gate → packing manifest (add --decontaminate for the benchmark "
+        "eval-leak scrub in the chain)",
+    )
+    cu.add_argument(
+        "input", help="directory containing documents.parquet"
+    )
+    cu.add_argument(
+        "output", help="directory for manifest/ (and report/) parquet"
+    )
+    cu.add_argument(
+        "--decontaminate", action="store_true",
+        help="compose the shingle-containment benchmark scrub into the "
+        "chain (pipeline_pretraining_decontam)",
+    )
+    cu.add_argument(
+        "--report", action="store_true",
+        help="also write the per-source corpus-health report",
+    )
     args = p.parse_args(argv)
 
     own_session = spark is None
     if own_session:
         spark = get_spark(app_name="c45-cli")
     try:
+        if args.cmd == "curate":
+            from c4_5decisiontreebasedonmapreduce_spark.operators import (
+                pipeline as PL,
+            )
+
+            fn = (
+                PL.pretraining_decontam_pipeline
+                if args.decontaminate
+                else PL.pretraining_pipeline
+            )
+            manifest = fn(spark, args.input)
+            os.makedirs(args.output, exist_ok=True)
+            manifest.write.mode("overwrite").parquet(
+                os.path.join(args.output, "manifest")
+            )
+            if args.report:
+                PL.corpus_report(spark, args.input).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(args.output, "report"))
+            rows = manifest.collect()
+            print(
+                json.dumps(
+                    {
+                        "shards": len(rows),
+                        "n_docs": sum(r.n_docs for r in rows),
+                        "n_tokens": sum(r.n_tokens for r in rows),
+                        "n_windows": sum(r.n_windows for r in rows),
+                        "decontaminated": bool(args.decontaminate),
+                    }
+                )
+            )
+            return 0
+
         schema = parse_attributes_file(args.attributes)
         if args.cmd == "train":
             df = read_training_tsv(spark, args.input, schema)

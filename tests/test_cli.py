@@ -87,3 +87,52 @@ def test_cli_train_prune_flag(spark, tmp_path, capsys):
     assert len(pruned) <= len(full)
     assert sum(r["n"] for r in pruned) == sum(r["n"] for r in full) == 14
     assert all(r["label"] for r in pruned)
+
+
+def test_cli_curate_writes_manifest_and_summary(spark, tmp_path, capsys):
+    """The LLM-pipeline user surface: `curate` runs scrub → dedup →
+    gate → pack over an sf_dir and writes the per-shard manifest; the
+    stdout JSON summary reconciles with the written parquet."""
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        pipeline as PL,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    out = str(tmp_path / "curated")
+    rc = cli(["curate", sf, out, "--report"], spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.splitlines()[-1])
+    manifest = spark.read.parquet(out + "/manifest")
+    rows = manifest.collect()
+    assert summary["shards"] == len(rows) > 0
+    assert summary["n_docs"] == sum(r.n_docs for r in rows)
+    assert summary["n_tokens"] == sum(r.n_tokens for r in rows)
+    assert not summary["decontaminated"]
+    # written manifest ≡ the registry op recomputed
+    expect = sorted(map(tuple, PL.pretraining_pipeline(spark, sf).collect()))
+    assert sorted(map(tuple, rows)) == expect
+    assert spark.read.parquet(out + "/report").count() > 0
+
+
+def test_cli_curate_decontaminate_flag(spark, tmp_path, capsys):
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        pipeline as PL,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    out = str(tmp_path / "curated_d")
+    rc = cli(["curate", sf, out, "--decontaminate"], spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert summary["decontaminated"]
+    got = sorted(
+        map(tuple, spark.read.parquet(out + "/manifest").collect())
+    )
+    expect = sorted(
+        map(tuple, PL.pretraining_decontam_pipeline(spark, sf).collect())
+    )
+    assert got == expect
