@@ -528,3 +528,65 @@ def test_tsv_audit_classifies_all_malformed_categories(spark):
         "long_row": 1,
         "numeric_parse_failures": 1,
     }, got
+
+
+def test_tsv_audit_fuzz_matches_python_reference(spark):
+    """Random tab patterns (leading/trailing/doubled tabs, numeric
+    garbage, empty-ish lines) classified identically to a pure-Python
+    reference implementing the same rules."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from c4_5decisiontreebasedonmapreduce_spark.sources import tsv as TSV
+
+    sch = TSV.parse_attributes_lines(
+        [
+            "a:string:x,y",
+            "b:numeric",
+            "c:yes,no",
+        ]
+    )
+    n = 3
+
+    def py_category(line: str) -> str:
+        raw = line.split("\t")
+        runs = re.split(r"\t+", line)
+        def num_ok() -> bool:
+            try:
+                float(runs[1])
+                return True
+            except (ValueError, IndexError):
+                return False
+        if len(raw) == n and not num_ok():
+            return "numeric_parse_failures"
+        if len(raw) == n:
+            return "exact"
+        if len(runs) == n and len(raw) > n:
+            return "collapsed_empty_fields"
+        if len(runs) < n:
+            return "short_row"
+        return "long_row"
+
+    lines_strategy = st.lists(
+        st.text(alphabet="xy1.\te", min_size=1, max_size=20),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(lines_strategy)
+    def run(lines):
+        d = spark.createDataFrame([(x,) for x in lines], "value string")
+        got = {
+            r.category: r.n_rows
+            for r in TSV.tsv_ingest_audit(spark, "", sch, d=d).collect()
+        }
+        expect = {}
+        for ln in lines:
+            c = py_category(ln)
+            expect[c] = expect.get(c, 0) + 1
+        assert got == expect, (lines, got, expect)
+
+    run()
