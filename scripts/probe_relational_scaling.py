@@ -66,6 +66,7 @@ PROBE_QUERIES = [
     "q13_customer_distribution",
     "q17_small_qty_revenue",
     "q11_important_stock",
+    "q15_top_supplier",
 ]
 
 WARM_REPS = 2
