@@ -117,14 +117,15 @@ def cli(argv: list[str] | None = None, spark=None) -> int:
             )
             manifest = fn(spark, args.input)
             os.makedirs(args.output, exist_ok=True)
-            manifest.write.mode("overwrite").parquet(
-                os.path.join(args.output, "manifest")
-            )
+            manifest_path = os.path.join(args.output, "manifest")
+            manifest.write.mode("overwrite").parquet(manifest_path)
             if args.report:
                 PL.corpus_report(spark, args.input).write.mode(
                     "overwrite"
                 ).parquet(os.path.join(args.output, "report"))
-            rows = manifest.collect()
+            # summarize from the just-written parquet — collect() on the
+            # lazy manifest would re-run the whole pipeline a second time
+            rows = spark.read.parquet(manifest_path).collect()
             print(
                 json.dumps(
                     {

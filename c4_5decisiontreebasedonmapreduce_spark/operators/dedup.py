@@ -685,7 +685,36 @@ def _bloom_filter_rows(
 # once per (corpus, geometry) and reused across scrub calls; at
 # deployment this is a tiny artifact shipped with the benchmark
 # release, not per-batch work. Value: (m_bits, bitmap, lit Column).
-_BLOOM_CACHE: dict[tuple[str, int | None, int], tuple] = {}
+# Cache key carries (a) the Spark applicationId — the lit Column is a
+# py4j handle into the session's JVM, dead after a restart — and (b) a
+# file-level fingerprint (path, mtime_ns, size per parquet part) of the
+# documents table, so a rewritten sf_dir rebuilds the bitmap instead of
+# silently missing new contamination. Entries for other app ids /
+# fingerprints are evicted (only one is ever live per sf_dir).
+_BLOOM_CACHE: dict[tuple, tuple] = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    """File-level identity of ``sf_dir``'s documents table: (relpath,
+    mtime_ns, size) per data file. No Spark job — driver-side stat of a
+    directory that holds a handful of parquet parts."""
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(root):
+        return (root, None)
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return ((root, st.st_mtime_ns, st.st_size),)
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in sorted(files):
+            if fn.startswith((".", "_")):
+                continue
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            out.append((os.path.relpath(p, root), st.st_mtime_ns, st.st_size))
+    return tuple(sorted(out))
 
 # auto-sizing: ~8 bits per distinct benchmark shingle keeps FP ≈ 2.5%
 # at k=3 (false positives only re-enter the exact join — they cost
@@ -745,7 +774,13 @@ def decontaminate_bloom(
     )
     corp_full = sh.where(~is_bench)
     sizes = corp_full.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    cache_key = (sf_dir, m_bits, k)
+    cache_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _docs_fingerprint(sf_dir),
+        m_bits,
+        k,
+    )
     if cache_key in _BLOOM_CACHE:
         m_resolved, bitmap, lit_map = _BLOOM_CACHE[cache_key]
     else:
@@ -768,6 +803,14 @@ def decontaminate_bloom(
             if fill > BLOOM_MAX_FILL
             else F.lit(np.asarray(bitmap, dtype=np.int64))
         )
+        # stale entries (old session, rewritten data, other geometry
+        # for this sf_dir) can never be read again — drop them
+        for stale in [
+            sk
+            for sk in _BLOOM_CACHE
+            if sk[1] == sf_dir and sk != cache_key
+        ]:
+            del _BLOOM_CACHE[stale]
         _BLOOM_CACHE[cache_key] = (m_resolved, bitmap, lit_map)
     if lit_map is None:
         corp = corp_full.select("doc_id", "shingle")

@@ -462,8 +462,13 @@ def _tsv_audit_sql() -> str:
         for ln in (_DATA_DIR / "weather.tsv").read_text().split("\n")
         if ln != ""
     ]
+    # explicit SQL escaping (single-quote doubled INSIDE a single-quoted
+    # literal, tabs via chr(9)) — repr() would switch delimiters on a
+    # line containing a quote and silently mangle the transport
     vals = ",\n  ".join(
-        "(" + repr(ln).replace('"', '""').replace("\\t", "' || chr(9) || '") + ")"
+        "('"
+        + ln.replace("'", "''").replace("\t", "' || chr(9) || '")
+        + "')"
         for ln in lines
     )
     sch = TSV.parse_attributes_file(_DATA_DIR / "weather.attributes")
@@ -475,21 +480,33 @@ def _tsv_audit_sql() -> str:
         for i, f in enumerate(fields)
         if f.dataType.typeName() == "double"
     ) or "TRUE"
+    # runs = Java String.split("\t+") limit-0 length: trailing empties
+    # drop ("x\t\t" → 1), an all-tab line → 0, the empty line → 1 —
+    # mirroring sources/tsv.py::tsv_ingest_audit's run view exactly
+    runs = (
+        "CASE WHEN value = '' THEN 1 "
+        "WHEN REGEXP_MATCHES(value, '^\\t+$') THEN 0 "
+        "ELSE LEN(REGEXP_SPLIT_TO_ARRAY("
+        "REGEXP_REPLACE(value, '\\t+$', ''), '\\t+')) END"
+    )
     return f"""
 WITH lines(value) AS (VALUES
   {vals}
 ),
+v AS (
+  SELECT value,
+         LEN(STRING_SPLIT(value, chr(9))) AS raw,
+         {runs} AS runs
+  FROM lines),
 cls AS (
   SELECT CASE
-    WHEN LEN(STRING_SPLIT(value, chr(9))) = {n}
+    WHEN runs = {n} AND raw = {n}
          AND NOT ({numeric_ok}) THEN 'numeric_parse_failures'
-    WHEN LEN(STRING_SPLIT(value, chr(9))) = {n} THEN 'exact'
-    WHEN LEN(REGEXP_SPLIT_TO_ARRAY(value, '\\t+')) = {n}
-         AND LEN(STRING_SPLIT(value, chr(9))) > {n}
-      THEN 'collapsed_empty_fields'
-    WHEN LEN(REGEXP_SPLIT_TO_ARRAY(value, '\\t+')) < {n} THEN 'short_row'
+    WHEN runs = {n} AND raw = {n} THEN 'exact'
+    WHEN runs = {n} AND raw > {n} THEN 'collapsed_empty_fields'
+    WHEN runs < {n} THEN 'short_row'
     ELSE 'long_row' END AS category
-  FROM lines)
+  FROM v)
 SELECT category, COUNT(*) AS n_rows FROM cls GROUP BY category"""
 
 
@@ -2297,29 +2314,34 @@ _FIRST_WINDOW = [
     "c45_train",
     "c45_predict",
     "sink_roundtrip",
+    # the TSV malformed-row ingest audit (r10 rotation in — r9 op the
+    # driver never graded; Java split-limit-0 semantics re-pinned r10)
+    "tsv_ingest_audit",
     # relational core: aggregation / join / window representatives
-    # (r9 rotation: join_range out — its sort-merge+residual shape is
-    # re-exercised by q21's non-equi semi/anti pair, which is in)
+    # (r10 rotation: q3/q6/join_broadcast/join_semi_anti/join_salted/
+    # window_funcs/agg_rollup/merge_cdc out — all long-stable, proven
+    # by the full-registry parity suite since r5-r8; in their place the
+    # never-graded r9 TPC-H shapes q2/q7/q11/q13/q15/q17 and the skew
+    # profiler, per the r9 verdict's rotation directive)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
     "q21_sole_returner",
-    "join_broadcast",
-    "join_semi_anti",
-    "join_salted",
-    "window_funcs",
-    "agg_rollup",
-    "merge_cdc",
-    # text analysis / tokenizer training (r9 rotation: tokenize out —
-    # its explode is the first stage of tfidf/lm_perplexity, both in;
-    # chunk_documents in, the context-window projection)
+    "profile_skew",
+    # text analysis / tokenizer training (r10 rotation: lang_id/tfidf
+    # out — stable since r4; both stay full-registry graded)
     "chunk_documents",
-    "lang_id",
-    "tfidf",
     "lm_perplexity",
     "bpe_train",
-    # dedup / decontamination family
-    "dedup_exact",
+    # sampling / split hygiene (r9 second-session ops, never graded)
+    "sample_dsir_persisted",
+    "split_leakage_audit",
+    # dedup / decontamination family (r10: dedup_exact out — its
+    # fingerprint groupBy is stage 1 of dedup_cluster, which stays)
     "dedup_ngram_jaccard",
     "dedup_minhash",
     # (r9 rotation: dedup_simhash out — same band-join family as
@@ -2334,18 +2356,21 @@ _FIRST_WINDOW = [
     "decontaminate_apply",
     "decontaminate_spans",
     "decontaminate_spans_apply",
-    # similarity search
-    "similarity_topk",
+    # similarity search (r10: similarity_topk out — it is the exact
+    # baseline the two ANN entries are pinned against in pytest)
     "similarity_ann_ivf",
     "similarity_ann_ivfpq",
-    # sampling / packing / pipeline
+    # sampling / packing / pipeline (r10: scrub_pii out — graded green
+    # r7-r9 and its regex projection is stage 1 of pipeline_pretraining)
     "sample_mixture",
     "pack_sequences",
     "pack_assignments",
     "pipeline_pretraining",
-    "scrub_pii",
-    # streaming representative
+    # streaming representatives (r10: the two never-graded r9 ingest
+    # ops join the long-running stateful representative)
     "streaming_stateful",
+    "streaming_dsir_scoring",
+    "streaming_chunk_ingest",
 ]
 
 

@@ -137,6 +137,18 @@ def tsv_ingest_audit(
     audit flags is a row the reference would train on incorrectly
     without a word.
 
+    The tab-run view uses JAVA ``String.split`` limit-0 semantics —
+    trailing empty strings are DROPPED (``"x\\ty\\t\\t".split("\\t+")``
+    is ``["x","y"]``, length 2, and an all-tab line splits to length 0)
+    — because that is exactly what `MyMapper.java:30` sees: a row with
+    trailing tabs IS a short row to the reference, even though its
+    single-tab field count matches the schema. Spark's ``split`` keeps
+    the trailing empty, so the run view strips trailing tab-runs first
+    and special-cases the two Java quirks (empty line → length 1,
+    all-tab line → length 0). The reference's view is checked FIRST in
+    the classification: a line only counts ``exact`` when both the
+    tab-run view and the raw single-tab view line up.
+
     One projection + a 5-cell aggregate over the text scan — the audit
     costs one pass, which is why it belongs at ingest. Pass ``d`` (a
     ``value``-column relation) to audit injected lines in tests."""
@@ -144,7 +156,18 @@ def tsv_ingest_audit(
         d = spark.read.text(path)
     n_fields = len(schema.spark_schema().fields)
     raw = F.size(F.split(F.col("value"), r"\t", -1))
-    runs = F.size(F.split(F.col("value"), r"\t+"))
+    # Java split("\t+") limit 0: runs collapse AND trailing empties drop
+    runs = (
+        F.when(F.col("value") == "", F.lit(1))  # "".split() → [""]
+        .when(F.col("value").rlike(r"^\t+$"), F.lit(0))  # all-tab → []
+        .otherwise(
+            F.size(
+                F.split(
+                    F.regexp_replace(F.col("value"), r"\t+$", ""), r"\t+"
+                )
+            )
+        )
+    )
     numeric_ok = F.lit(True)
     parts = F.split(F.col("value"), r"\t+")
     for i, f in enumerate(schema.spark_schema().fields):
@@ -154,9 +177,10 @@ def tsv_ingest_audit(
             numeric_ok = numeric_ok & F.element_at(
                 parts, i + 1
             ).try_cast("double").isNotNull()
+    aligned = (runs == n_fields) & (raw == n_fields)
     category = (
-        F.when((raw == n_fields) & ~numeric_ok, "numeric_parse_failures")
-        .when(raw == n_fields, "exact")
+        F.when(aligned & ~numeric_ok, "numeric_parse_failures")
+        .when(aligned, "exact")
         .when((runs == n_fields) & (raw > n_fields), "collapsed_empty_fields")
         .when(runs < n_fields, "short_row")
         .otherwise("long_row")

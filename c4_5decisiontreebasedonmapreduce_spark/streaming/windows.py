@@ -1124,6 +1124,7 @@ def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         DSIR_BATCH_MOD,
         DSIR_BATCH_REM,
         DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
         _DSIR_SEED,
         _dsir_llr_dense,
         tokens_col,
@@ -1142,7 +1143,7 @@ def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("t")
     )
     llr = _dsir_llr_dense(
-        spark, tok, "en", DSIR_BUCKETS
+        spark, tok, DSIR_TARGET_LANG, DSIR_BUCKETS
     ).localCheckpoint()
 
     stream = _docs_stream(spark, sf_dir).where(

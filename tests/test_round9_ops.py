@@ -515,6 +515,9 @@ def test_tsv_audit_classifies_all_malformed_categories(spark):
         "overcast\t83.0\t86.0\tfalse",         # short (4 fields)
         "rainy\t68.0\t80.0\tfalse\tyes\tzz",   # long (6 raw, 6 runs)
         "sunny\tNaNo\t95.0\tfalse\tno",        # numeric garbage, shape ok
+        # trailing tab: raw==5 but Java split("\t+") limit-0 DROPS the
+        # trailing empty — the reference sees 4 fields, a short row
+        "sunny\t85.0\t85.0\tfalse\t",
     ]
     d = spark.createDataFrame([(x,) for x in lines], "value string")
     got = {
@@ -524,7 +527,7 @@ def test_tsv_audit_classifies_all_malformed_categories(spark):
     assert got == {
         "exact": 2,
         "collapsed_empty_fields": 1,
-        "short_row": 1,
+        "short_row": 2,
         "long_row": 1,
         "numeric_parse_failures": 1,
     }, got
@@ -550,18 +553,29 @@ def test_tsv_audit_fuzz_matches_python_reference(spark):
     )
     n = 3
 
+    def java_split_runs(line: str) -> list[str]:
+        # Java String.split("\t+") limit 0: trailing empty strings are
+        # removed; the empty string still yields [""]
+        if line == "":
+            return [""]
+        r = re.split(r"\t+", line)
+        while r and r[-1] == "":
+            r.pop()
+        return r
+
     def py_category(line: str) -> str:
         raw = line.split("\t")
-        runs = re.split(r"\t+", line)
+        runs = java_split_runs(line)
         def num_ok() -> bool:
             try:
                 float(runs[1])
                 return True
             except (ValueError, IndexError):
                 return False
-        if len(raw) == n and not num_ok():
+        aligned = len(runs) == n and len(raw) == n
+        if aligned and not num_ok():
             return "numeric_parse_failures"
-        if len(raw) == n:
+        if aligned:
             return "exact"
         if len(runs) == n and len(raw) > n:
             return "collapsed_empty_fields"
