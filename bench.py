@@ -115,10 +115,18 @@ BENCH_QUERIES = [
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "decontaminate_bloom",
+    # r10 auto mode: on THIS corpus (shared vocab) it should detect the
+    # bloom tax and track `decontaminate` + the sample probe's cost
+    "decontaminate_bloom_auto",
     "chunk_documents",
     "sample_dsir",
     "split_train_eval",
     "pipeline_finetuning",
+    # round-10: released-tokenizer BPE composition — windows counted in
+    # real subword symbols (the replace-chain projection's cost vs the
+    # whitespace twins directly above is the number that matters)
+    "pack_sequences_bpe",
+    "chunk_documents_bpe",
 ]
 
 

@@ -308,6 +308,140 @@ def bpe_encode_rel(
     )
 
 
+# ---------------------------------------------------------------------------
+# the RELEASED tokenizer: a committed merge artifact + closed-form apply
+#
+# Real pipelines do not retrain the tokenizer per corpus slice — they train
+# it once (on a sample) and ship the merge list with the model. The
+# committed artifact `data/bpe_merges.tsv` is bpe_train's output at the
+# driver's grading scale (sf0.01), pinned reproducible in tests. Everything
+# downstream (BPE-aware packing/chunking) applies this FIXED merge list.
+#
+# Apply without Python: greedy left-to-right merge replay is expressible as
+# a chain of literal string REPLACEs over a slash-delimited symbol string.
+# A word's symbols are joined as `//c//a//t//` (every boundary is `//`);
+# merge (l, r) is `replace(s, '/l//r/', '/lr/')` — the pattern consumes one
+# slash of each outer boundary and the replacement restores it, so symbol
+# boundaries survive, and because literal replace scans left-to-right
+# without revisiting its own output, overlapping occurrences resolve
+# EXACTLY like `_merge_word` (`//a//a//a//` + (a,a) → `//aa//a//`).
+# Spark's `replace` and DuckDB's `REPLACE` share these semantics, so the
+# same construction is both the JVM-codegen Column path and the oracle SQL
+# — no mapInPandas, no golden pinning. Words inside one document are
+# joined with a 4-slash boundary (`t////d`), which no `/l//r/` pattern can
+# ever match across, so merges never cross word boundaries.
+
+from pathlib import Path as _Path
+
+BPE_MERGES_PATH = (
+    _Path(__file__).resolve().parent.parent.parent / "data" / "bpe_merges.tsv"
+)
+
+_FIXED_MERGES: list[tuple[int, str, str, str, int]] | None = None
+
+
+def fixed_merges() -> list[tuple[int, str, str, str, int]]:
+    """The committed tokenizer artifact, parsed once per process."""
+    global _FIXED_MERGES
+    if _FIXED_MERGES is None:
+        rows = []
+        for ln in BPE_MERGES_PATH.read_text().splitlines():
+            if not ln or ln.startswith("#"):
+                continue
+            rank, lhs, rhs, merged, cnt = ln.split("\t")
+            rows.append((int(rank), lhs, rhs, merged, int(cnt)))
+        _FIXED_MERGES = rows
+    return _FIXED_MERGES
+
+
+def _doc_symbol_string(text) -> "F.Column":
+    """The whole document as one delimited symbol string: each token's
+    characters joined by ``//``, tokens joined by ``////``."""
+    per_word = F.transform(
+        tokens_col(text),
+        lambda w: F.concat(F.lit("//"), F.regexp_replace(w, "(.)", r"$1//")),
+    )
+    return F.array_join(per_word, "")
+
+
+def _apply_merges_col(s, merges) -> "F.Column":
+    for _, left, right, merged, _ in merges:
+        s = F.replace(
+            s, F.lit(f"/{left}//{right}/"), F.lit(f"/{merged}/")
+        )
+    return s
+
+
+def bpe_symbol_count_col(
+    text, merges: list[tuple[int, str, str, str, int]] | None = None
+) -> "F.Column":
+    """Per-document BPE symbol count under the fixed merge list — one
+    whole-stage-codegen projection (build the delimited string, chain
+    one literal replace per merge rank, count ``/+``-separated
+    segments). NULL-token-free by construction; a token-less document
+    counts 0. The corpus is touched exactly once and nothing shuffles."""
+    merges = fixed_merges() if merges is None else merges
+    s = _apply_merges_col(_doc_symbol_string(text), merges)
+    # segments of '/+'-split: ['', sym1, ..., symN, ''] → size-2;
+    # an empty string splits to [''] (size 1), so clamp at 0
+    return F.greatest(F.size(F.split(s, "/+")) - 2, F.lit(0))
+
+
+def bpe_symbols_col(
+    text, merges: list[tuple[int, str, str, str, int]] | None = None
+) -> "F.Column":
+    """The document's BPE symbol ARRAY under the fixed merge list —
+    the same replace chain, split on ``/+`` (word boundaries collapse
+    with symbol boundaries; only the leading/trailing segments are
+    empty, so one filter strips them)."""
+    merges = fixed_merges() if merges is None else merges
+    s = _apply_merges_col(_doc_symbol_string(text), merges)
+    return F.filter(F.split(s, "/+"), lambda t: t != "")
+
+
+def _apply_merges_sql(expr: str, merges) -> str:
+    s = (
+        "ARRAY_TO_STRING(LIST_TRANSFORM("
+        f"{_tokens_sql_ref(expr)}, "
+        "w -> '//' || REGEXP_REPLACE(w, '(.)', '\\1//', 'g')), '')"
+    )
+    for _, left, right, merged, _ in merges:
+        s = f"REPLACE({s}, '/{left}//{right}/', '/{merged}/')"
+    return s
+
+
+def bpe_symbol_count_sql(
+    expr: str, merges: list[tuple[int, str, str, str, int]] | None = None
+) -> str:
+    """DuckDB twin of :func:`bpe_symbol_count_col` — identical REPLACE
+    chain, so the oracle computes the count independently from the same
+    committed artifact."""
+    merges = fixed_merges() if merges is None else merges
+    s = _apply_merges_sql(expr, merges)
+    return (
+        f"GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY({s}, '/+')) - 2, 0)"
+    )
+
+
+def bpe_symbols_sql(
+    expr: str, merges: list[tuple[int, str, str, str, int]] | None = None
+) -> str:
+    """DuckDB twin of :func:`bpe_symbols_col`."""
+    merges = fixed_merges() if merges is None else merges
+    s = _apply_merges_sql(expr, merges)
+    return (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY({s}, '/+'), t -> t <> '')"
+    )
+
+
+def _tokens_sql_ref(expr: str) -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        _tokens_sql,
+    )
+
+    return _tokens_sql(expr)
+
+
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`bpe_encode_rel` over the `documents` table. Rows-only in
     the registry (merge replay is not SQL-expressible); segmentation

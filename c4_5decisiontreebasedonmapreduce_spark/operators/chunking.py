@@ -55,16 +55,41 @@ def chunk_documents(
     return chunks_from(docs(spark, sf_dir), size=size, stride=stride)
 
 
+def chunk_documents_bpe(
+    spark: SparkSession,
+    sf_dir: str,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """:func:`chunk_documents` in REAL subword units: windows and
+    strides count BPE symbols of the released tokenizer
+    (`operators/bpe.py::fixed_merges`) instead of whitespace-regex
+    tokens, and ``chunk_text`` is the space-joined symbol slice — the
+    context-window view a model with this tokenizer actually sees.
+    Same zero-exchange single-projection plan (the symbol array is one
+    codegen'd replace-chain per row, no explode/join/Python)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as B
+
+    return chunks_from(
+        docs(spark, sf_dir),
+        size=size,
+        stride=stride,
+        toks=B.bpe_symbols_col(F.col("text")),
+    )
+
+
 def chunks_from(
     d,
     size: int = CHUNK_SIZE,
     stride: int = CHUNK_STRIDE,
     carry: tuple[str, ...] = (),
+    toks=None,
 ) -> DataFrame:
     """The chunking projection over an arbitrary ``(doc_id, text, …)``
     relation; ``carry`` columns ride through unchanged (the composed
-    pipelines carry ``source``)."""
-    toks = tokens_col(F.col("text"))
+    pipelines carry ``source``). ``toks`` overrides the tokenizer
+    column (default: the shared whitespace-regex convention)."""
+    toks = tokens_col(F.col("text")) if toks is None else toks
     base = d.select("doc_id", *carry, toks.alias("toks")).withColumn(
         "n", F.size("toks")
     )
@@ -117,3 +142,16 @@ CHUNK_SQL = CHUNK_SQL_TEMPLATE.format(
     stride=CHUNK_STRIDE,
     size=CHUNK_SIZE,
 )
+
+
+def chunk_bpe_sql() -> str:
+    """Oracle for :func:`chunk_documents_bpe` — the SAME chunk chain
+    over the DuckDB twin of the BPE symbol array."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as B
+
+    return CHUNK_SQL_TEMPLATE.format(
+        tokens=B.bpe_symbols_sql("text"),
+        docs=DOCS_SQL,
+        stride=CHUNK_STRIDE,
+        size=CHUNK_SIZE,
+    )

@@ -727,6 +727,51 @@ BLOOM_BITS_PER_ELEMENT = 8
 BLOOM_M_CAP = 1 << 22
 BLOOM_MAX_FILL = 0.5  # past half-full the filter drops too little to pay
 
+# mode="auto": the prefilter only pays when it DROPS most corpus
+# shingle rows — on a corpus that shares the benchmark's vocabulary
+# (the driver's synthetic documents: ~74% membership) the bitmap
+# build + k probe hashes are a pure tax over the exact plan (measured
+# 3.86 vs 2.42 s at sf0.1, r9 verdict 'What's wrong' #2). Saturation
+# alone can't tell (a near-empty bitmap still passes a shared-vocab
+# corpus), so auto probes a deterministic 1/BLOOM_AUTO_SAMPLE_MOD
+# sample of CORPUS shingles (hash-sampled on an independent seed so
+# the sample is uncorrelated with the probe positions, which derive
+# from the md5) against the built bitmap — two arithmetic-only jobs
+# over the already-checkpointed shingle relation — and skips the
+# prefilter when more than BLOOM_AUTO_MAX_KEEP of them would survive.
+# The same decision Spark's own runtime bloom filter makes from
+# column stats; output is bit-identical either way.
+BLOOM_AUTO_MAX_KEEP = 0.5
+BLOOM_AUTO_SAMPLE_MOD = 17
+
+
+def _bloom_keep_rate(
+    corp_full: DataFrame, bitmap: list, m_resolved: int, k: int, lit_map
+) -> float:
+    """Estimated fraction of corpus shingle rows the prefilter would
+    KEEP, from a deterministic hash sample (see BLOOM_AUTO_SAMPLE_MOD).
+    Runs over the checkpointed shingle relation — arithmetic only."""
+    samp = corp_full.where(
+        F.pmod(
+            F.xxhash64(F.col("shingle"), F.lit("bloomauto")),
+            F.lit(BLOOM_AUTO_SAMPLE_MOD),
+        )
+        == 0
+    )
+    n = samp.count()
+    if n == 0:
+        return 0.0
+    kept = _bloom_filter_rows(
+        samp,
+        "shingle",
+        bitmap,
+        m_resolved,
+        k,
+        hash_col="_bloom_h",
+        lit_map=lit_map,
+    ).count()
+    return kept / n
+
 
 def decontaminate_bloom(
     spark: SparkSession,
@@ -735,6 +780,7 @@ def decontaminate_bloom(
     df_cap: int = SHINGLE_DF_CAP,
     m_bits: int | None = None,
     k: int = BLOOM_K,
+    mode: str = "always",
 ) -> DataFrame:
     """:func:`decontaminate` with the benchmark-shingle Bloom filter
     pushed onto the corpus side: corpus shingles that cannot be in any
@@ -757,7 +803,14 @@ def decontaminate_bloom(
     runs the exact plan: graceful degradation, never a saturated no-op
     filter. The bitmap, its geometry, and the constructed literal
     Column are cached per (corpus, geometry) — the benchmark side is
-    static, so this is the once-per-release artifact build."""
+    static, so this is the once-per-release artifact build.
+
+    ``mode="auto"`` additionally estimates the corpus KEEP rate from a
+    hash sample (:func:`_bloom_keep_rate`) and skips the prefilter when
+    most shingles would survive anyway — the shared-vocabulary case
+    where the bloom is a measured net tax. Either way the output stays
+    bit-identical; the decision is pinned in tests/test_round10_ops.py
+    on both a shared-vocab and a disjoint-vocab fixture."""
     is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
     # the md5 is materialized INTO the checkpointed shingle relation:
     # the core references its corpus side three times (df counts,
@@ -812,6 +865,10 @@ def decontaminate_bloom(
         ]:
             del _BLOOM_CACHE[stale]
         _BLOOM_CACHE[cache_key] = (m_resolved, bitmap, lit_map)
+    if lit_map is not None and mode == "auto":
+        keep = _bloom_keep_rate(corp_full, bitmap, m_resolved, k, lit_map)
+        if keep > BLOOM_AUTO_MAX_KEEP:
+            lit_map = None  # prefilter would keep most rows: run exact
     if lit_map is None:
         corp = corp_full.select("doc_id", "shingle")
     else:

@@ -32,11 +32,14 @@ shuffle), an Arrow collect bounded by frontier × Σ domains × classes
 (data-volume independent), numpy reduction, and a routing projection in
 which only rows whose SPLIT attribute is null are exploded (|children|
 copies of just the unknown rows — linear in missing values, never
-corpus-sized). The bound check fails loudly with the same message
-contract as tree.py's guard; the distributed reduction fallback of the
-unweighted trainer applies there because clean data dominates — a
-fractional run only happens when the user explicitly opts into null
-semantics, and its contingency is the same size as the clean one.
+corpus-sized). Past the Arrow bound (wide frontier × wide schema) the
+level switches to :func:`_distributed_fractional_stats` — the weighted
+twin of tree.py's distributed reduction (`tree.py:1130-1167`): the SAME
+melt exchange feeds JVM-side entropy aggregates, the collected result is
+frontier×attrs-sized, and the chosen splits' routing masses come from a
+winners-only second collect off the checkpointed contingency. Both paths
+are pinned rule-for-rule equal on the wide stress schema in
+tests/test_fractional.py.
 
 Prediction: the returned model is an ordinary :class:`DecisionListModel`
 whose rule predicates test concrete values, so ``transform`` leaves rows
@@ -253,6 +256,309 @@ def _fractional_level_stats(
     return hist, stats, masses
 
 
+def _distributed_fractional_stats(
+    wcont: DataFrame,
+    *,
+    cat_names: list[str],
+    num_names: list[str],
+    label_domain: list[str],
+    min_ratio: float,
+):
+    """The weighted distributed reduction — `tree._level_rels`' shape
+    (class histograms + categorical gain ratios + numeric best-splits
+    unioned into ONE collected action) with ``SUM(w)`` in place of
+    ``COUNT(*)`` and the three Quinlan-fractional differences of
+    :func:`_fractional_level_stats`: per-attribute Info over KNOWN rows
+    only, gain scaled by the known fraction F, and the unknown mass as
+    one extra split-info branch. Collected output is ≤
+    |frontier|·(|attrs|+|classes|) rows — data-volume independent — so
+    this path has no driver bound; it is the wide-frontier fallback the
+    standard trainer already had (`tree.py:1130-1167`). Pinned
+    rule-for-rule equal to the driver path in tests/test_fractional.py
+    (same 1e-10 argmax quantization as the standard pair)."""
+    from c4_5decisiontreebasedonmapreduce_spark.functions.entropy import (
+        entropy_from_counts,
+        xlog2x,
+    )
+
+    w_d = F.col("wsum").cast("double")
+    none_d = F.lit(None).cast("double")
+    rels = [
+        wcont.where(F.col(S.AID) == S.CC_AID).select(
+            F.lit("cc").alias("kind"),
+            S.RID,
+            F.col(S.CLASS).alias(S.AID),
+            w_d.alias("gain_ratio"),
+            none_d.alias("boundary"),
+        )
+    ]
+    if cat_names:
+        catk = wcont.where(F.col(S.AID).isin(cat_names))
+        unk = (
+            catk.where(F.col("value_s").isNull())
+            .groupBy(S.RID, S.AID)
+            .agg(F.sum(w_d).alias("unknown"))
+        )
+        known = catk.where(F.col("value_s").isNotNull())
+        per_value = known.groupBy(S.RID, S.AID, "value_s").agg(
+            F.sum(w_d).alias("nv"),
+            entropy_from_counts(F.sum(w_d), F.sum(xlog2x(w_d))).alias(
+                "ent_v"
+            ),
+        )
+        per_attr = per_value.groupBy(S.RID, S.AID).agg(
+            F.sum("nv").alias("n_known"),
+            (F.sum(F.col("nv") * F.col("ent_v")) / F.sum("nv")).alias(
+                "entr"
+            ),
+            F.sum(xlog2x(F.col("nv"))).alias("xl_known"),
+        )
+        info_attr = (
+            known.groupBy(S.RID, S.AID, S.CLASS)
+            .agg(F.sum(w_d).alias("wc"))
+            .groupBy(S.RID, S.AID)
+            .agg(
+                entropy_from_counts(
+                    F.sum("wc"), F.sum(xlog2x(F.col("wc")))
+                ).alias("info")
+            )
+        )
+        j = (
+            per_attr.join(info_attr, [S.RID, S.AID])
+            .join(unk, [S.RID, S.AID], "left")
+            .withColumn("unknown", F.coalesce("unknown", F.lit(0.0)))
+        )
+        total_w = F.col("n_known") + F.col("unknown")
+        split_info = entropy_from_counts(
+            total_w, F.col("xl_known") + xlog2x(F.col("unknown"))
+        )
+        rels.append(
+            j.select(
+                F.lit("st").alias("kind"),
+                S.RID,
+                S.AID,
+                (
+                    (F.col("n_known") / total_w)
+                    * S._gain_ratio_col(
+                        F.col("info"), F.col("entr"), split_info
+                    )
+                ).alias("gain_ratio"),
+                none_d.alias("boundary"),
+            )
+        )
+    if num_names:
+        from pyspark.sql import Window
+
+        numk = wcont.where(
+            F.col(S.AID).isin(num_names)
+            & F.col(S.CLASS).isin(list(label_domain))
+        )
+        unk = (
+            numk.where(F.col("value_d").isNull())
+            .groupBy(S.RID, S.AID)
+            .agg(F.sum(w_d).alias("unknown"))
+        )
+        classes = [f"c{i}" for i in range(len(label_domain))]
+        matrix = (
+            numk.where(F.col("value_d").isNotNull())
+            .groupBy(S.RID, S.AID, F.col("value_d").alias(S.VALUE))
+            .pivot(S.CLASS, list(label_domain))
+            .agg(F.sum(w_d))
+            .select(
+                S.RID,
+                S.AID,
+                S.VALUE,
+                *[
+                    F.coalesce(F.col(f"`{lab}`"), F.lit(0.0)).alias(c)
+                    for c, lab in zip(classes, label_domain)
+                ],
+            )
+        )
+        # quantile binning caps each (rid, aid) group at max_bins rows,
+        # so the plain per-group window is right here — same reasoning
+        # as the standard trainer's bucketed=False call
+        w_cum = (
+            Window.partitionBy(S.RID, S.AID)
+            .orderBy(S.VALUE)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(S.RID, S.AID)
+        cum = matrix.select(
+            S.RID,
+            S.AID,
+            S.VALUE,
+            *[F.sum(c).over(w_cum).alias(f"le_{c}") for c in classes],
+            *[F.sum(c).over(w_all).alias(f"tot_{c}") for c in classes],
+        )
+        n_le = sum(F.col(f"le_{c}") for c in classes)
+        n = sum(F.col(f"tot_{c}") for c in classes)
+        scored = (
+            cum.withColumn("n_le", n_le)
+            .withColumn("n", n)
+            .withColumn("n_gt", F.col("n") - F.col("n_le"))
+            .where(
+                (F.col("n_le") < F.col("n"))
+                & (F.col("n_le") >= min_ratio * F.col("n"))
+                & (F.col("n_gt") >= min_ratio * F.col("n"))
+            )
+            .withColumn(
+                "ent_le",
+                entropy_from_counts(
+                    F.col("n_le"),
+                    sum(xlog2x(F.col(f"le_{c}")) for c in classes),
+                ),
+            )
+            .withColumn(
+                "ent_gt",
+                entropy_from_counts(
+                    F.col("n_gt"),
+                    sum(
+                        xlog2x(F.col(f"tot_{c}") - F.col(f"le_{c}"))
+                        for c in classes
+                    ),
+                ),
+            )
+            .withColumn(
+                "info",
+                entropy_from_counts(
+                    F.col("n"),
+                    sum(xlog2x(F.col(f"tot_{c}")) for c in classes),
+                ),
+            )
+            .withColumn(
+                "entr",
+                (
+                    F.col("n_le") * F.col("ent_le")
+                    + F.col("n_gt") * F.col("ent_gt")
+                )
+                / F.col("n"),
+            )
+        )
+        # the driver path's argmin: min conditional entropy, smallest
+        # boundary on ties (np.argmin picks the first of sorted values)
+        w_rank = Window.partitionBy(S.RID, S.AID).orderBy("entr", S.VALUE)
+        best = (
+            scored.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .join(unk, [S.RID, S.AID], "left")
+            .withColumn("unknown", F.coalesce("unknown", F.lit(0.0)))
+        )
+        total_w = F.col("n") + F.col("unknown")
+        split_info = (
+            F.log2(total_w)
+            - (
+                xlog2x(F.col("n_le"))
+                + xlog2x(F.col("n_gt"))
+                + xlog2x(F.col("unknown"))
+            )
+            / total_w
+        )
+        rels.append(
+            best.select(
+                F.lit("st").alias("kind"),
+                S.RID,
+                S.AID,
+                (
+                    (F.col("n") / total_w)
+                    * S._gain_ratio_col(
+                        F.col("info"), F.col("entr"), split_info
+                    )
+                ).alias("gain_ratio"),
+                F.col(S.VALUE).alias("boundary"),
+            )
+        )
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionByName(r)
+    hist: dict[int, dict[str, float]] = {}
+    stats: dict[int, list] = {}
+    for row in out.collect():
+        if row["kind"] == "cc":
+            hist.setdefault(row[S.RID], {})[row[S.AID]] = float(
+                row["gain_ratio"]
+            )
+        else:
+            stats.setdefault(row[S.RID], []).append(
+                {
+                    S.AID: row[S.AID],
+                    "gain_ratio": float(row["gain_ratio"]),
+                    "boundary": row["boundary"],
+                }
+            )
+    return hist, stats
+
+
+def _collect_split_masses(
+    wcont: DataFrame,
+    splits: list[tuple[int, list]],
+    label_domain: list[str],
+) -> dict[tuple[int, str], dict]:
+    """Per-branch known masses for the CHOSEN split of each node — the
+    only masses :func:`_route_fractional` ever reads, so the distributed
+    path collects winners-only: ≤ |frontier|·max(|domain|, 1) rows, not
+    the full contingency that tripped the driver bound. One broadcast
+    join of the (rid, aid, boundary) winners relation against the
+    checkpointed weighted contingency, two bounded collects."""
+    spark = wcont.sparkSession
+    w_d = F.col("wsum").cast("double")
+    cat_pairs = [
+        (p, ch[0][0].attr)
+        for p, ch in splits
+        if ch[0][0].value is not None and ch[0][0].op == "=="
+    ]
+    num_pairs = [
+        (p, ch[0][0].attr, float(ch[0][0].value))
+        for p, ch in splits
+        if ch[0][0].op != "=="
+    ]
+    masses: dict[tuple[int, str], dict] = {}
+    if cat_pairs:
+        winners = F.broadcast(
+            spark.createDataFrame(cat_pairs, f"{S.RID} int, {S.AID} string")
+        )
+        rows = (
+            wcont.join(winners, [S.RID, S.AID])
+            .where(F.col("value_s").isNotNull())
+            .groupBy(S.RID, S.AID, "value_s")
+            .agg(F.sum(w_d).alias("nv"))
+            .collect()
+        )
+        for r in rows:
+            m = masses.setdefault(
+                (r[S.RID], r[S.AID]),
+                {"kind": "cat", "by_value": {}, "n_known": 0.0},
+            )
+            m["by_value"][r["value_s"]] = float(r["nv"])
+            m["n_known"] += float(r["nv"])
+    if num_pairs:
+        winners = F.broadcast(
+            spark.createDataFrame(
+                num_pairs, f"{S.RID} int, {S.AID} string, bnd double"
+            )
+        )
+        rows = (
+            wcont.where(F.col(S.CLASS).isin(list(label_domain)))
+            .join(winners, [S.RID, S.AID])
+            .where(F.col("value_d").isNotNull())
+            .groupBy(S.RID, S.AID, "bnd")
+            .agg(
+                F.sum(F.when(F.col("value_d") <= F.col("bnd"), w_d)).alias(
+                    "w_le"
+                ),
+                F.sum(w_d).alias("n_known"),
+            )
+            .collect()
+        )
+        for r in rows:
+            masses[(r[S.RID], r[S.AID])] = {
+                "kind": "num",
+                "values": [float(r["bnd"])],
+                "n_le": [float(r["w_le"] or 0.0)],
+                "n_known": float(r["n_known"]),
+            }
+    return masses
+
+
 def _route_fractional(
     level: DataFrame,
     splits: list[tuple[int, list]],
@@ -387,25 +693,37 @@ def train_fractional(
         spark.conf.set(shuffle_key, "8")
         while frontier:
             bound = len(frontier) * stat_rows_per_node
-            if bound > driver_stats_max_rows:
-                raise ValueError(
-                    f"fractional trainer's level contingency bound {bound} "
-                    f"exceeds driver_stats_max_rows={driver_stats_max_rows}"
-                    " — raise the bound or reduce max_bins (the"
-                    " distributed-reduction fallback exists only in the"
-                    " standard trainer)"
+            if bound <= driver_stats_max_rows:
+                # bounded-contingency fast path (tree.py's Arrow shape)
+                pdf = _melt_weighted(
+                    level, cat_names, num_names, schema.label
+                ).toPandas()
+                pdf["wsum"] = pdf["wsum"].astype(np.float64)
+                hist, stats, masses = _fractional_level_stats(
+                    pdf,
+                    cat_names=cat_names,
+                    num_names=num_names,
+                    label_domain=label_domain,
+                    min_ratio=min_ratio,
                 )
-            pdf = _melt_weighted(
-                level, cat_names, num_names, schema.label
-            ).toPandas()
-            pdf["wsum"] = pdf["wsum"].astype(np.float64)
-            hist, stats, masses = _fractional_level_stats(
-                pdf,
-                cat_names=cat_names,
-                num_names=num_names,
-                label_domain=label_domain,
-                min_ratio=min_ratio,
-            )
+            else:
+                # wide-frontier fallback: the weighted distributed
+                # reduction (same one-exchange melt; the contingency is
+                # checkpointed because the winners' routing masses are
+                # collected from it AFTER the split decision — winners
+                # only, so that second collect is frontier-bounded, not
+                # contingency-sized)
+                wcont = _melt_weighted(
+                    level, cat_names, num_names, schema.label
+                ).localCheckpoint(eager=False)
+                hist, stats = _distributed_fractional_stats(
+                    wcont,
+                    cat_names=cat_names,
+                    num_names=num_names,
+                    label_domain=label_domain,
+                    min_ratio=min_ratio,
+                )
+                masses = None
             if frontier[0].depth >= max_depth:
                 stats = {}
             frontier, splits = _decide_level(
@@ -413,6 +731,8 @@ def train_fractional(
             )
             if not frontier:
                 break
+            if masses is None:
+                masses = _collect_split_masses(wcont, splits, label_domain)
             level = _route_fractional(level, splits, masses)
             if cache:
                 level = level.localCheckpoint(eager=False)

@@ -175,6 +175,38 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack(d)
 
 
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`pack` with windows counted in REAL subword tokens: per-doc
+    token counts come from the released BPE tokenizer
+    (`operators/bpe.py::fixed_merges`, the committed `data/bpe_merges.tsv`
+    artifact) instead of the whitespace-regex convention — a "512-token
+    window" here is 512 BPE symbols, which is what a trainer actually
+    consumes. The symbol count is one whole-stage-codegen replace-chain
+    projection riding the corpus scan (`bpe_symbol_count_col`): NO
+    explode, NO vocab join, NO Python — the plan is byte-identical in
+    shape to :func:`pack_sequences` (same per-shard prefix sum, same
+    no-global-funnel pin), only the ``n_tokens`` expression differs."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as B
+
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    vd = d.select(
+        "doc_id",
+        B.bpe_symbol_count_col(F.col("text")).cast("int").alias("n_tokens"),
+    )
+    return pack(vd)
+
+
+def _pack_sequences_bpe_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as B
+
+    return _pack_sql(
+        n_tokens_sql=f"CAST({B.bpe_symbol_count_sql('text')} AS BIGINT)"
+    )
+
+
 def pack_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`pack` over `documents` in the reproducible RANDOM
     concatenation order — :func:`shuffle_deterministic`'s manifest made

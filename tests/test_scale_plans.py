@@ -819,6 +819,31 @@ def test_pack_sequences_no_global_funnel(spark, sf_small):
     assert "Exchange" not in between
 
 
+def test_pack_sequences_bpe_no_global_funnel(spark, sf_small):
+    """The BPE-token pack must keep pack_sequences' exact scale shape:
+    the replace-chain symbol count is a scan-side projection (no
+    Python, no explode-join), and the per-shard prefix sum stays the
+    only data-sized exchange — no SinglePartition, no join at all."""
+    p = plan_of(QUERIES["pack_sequences_bpe"](spark, sf_small))
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # exactly ONE explode — the chunk-id sequence; a token explode (the
+    # vocab-join encode shape this op deliberately avoids) would add one
+    assert p.count("explode(") == 1
+    assert p.count("hashpartitioning(shard") == 1  # window shuffle only
+
+
+def test_chunk_documents_bpe_zero_exchange(spark, sf_small):
+    """BPE chunking must stay the zero-shuffle projection chunking is:
+    one scan, one Generate (the window-start explode), no Exchange, no
+    Python stage."""
+    p = plan_of(QUERIES["chunk_documents_bpe"](spark, sf_small))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_pretraining_pipeline_two_data_exchanges(spark, sf_small):
     """The fused scrub→dedup→gate→pack pipeline must hold its composed
     shape: ONE parquet scan, and beyond the tiny-table RoundRobin
