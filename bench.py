@@ -127,6 +127,14 @@ BENCH_QUERIES = [
     # whitespace twins directly above is the number that matters)
     "pack_sequences_bpe",
     "chunk_documents_bpe",
+    # round-10: ingest-time embedding dedup (batch×corpus centroid
+    # buckets; persisted twin amortizes the corpus assignment pass)
+    "dedup_embedding_incremental",
+    "dedup_embedding_incremental_persisted",
+    # round-10: asset near-dup dedup (one Python feature pass + the
+    # embedding machinery) and the cost-based join regime chooser
+    "dedup_assets",
+    "join_auto",
 ]
 
 

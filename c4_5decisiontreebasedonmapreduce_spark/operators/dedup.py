@@ -1492,6 +1492,43 @@ EMB_PROBES = 4  # multi-probe width of the IVF-pruned candidate generator
 CENTROID_STRIDE = 50  # deterministic pseudo-codebook: vec_id % 50 == 0
 
 
+def _emb_centroids(e: DataFrame) -> DataFrame:
+    """The deterministic pseudo-codebook relation. ``vec_id % 50 == 0``
+    can never hit the ingest-batch slice (``% 10 == 7``), so the
+    codebook is corpus-only by arithmetic and stays stable under
+    ingest — which is what lets the incremental op reproduce the full
+    run's candidate set exactly."""
+    return e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+
+
+def _emb_assignments(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Each vector's EMB_PROBES nearest centroids — ``(vec_id,
+    centroid_id)``, the bucket key of every embedding-dedup candidate
+    join. One broadcast crossJoin (N×C) + a per-vector argtop window;
+    never an N-sized shuffle (the window partitions by vec_id)."""
+    # try_divide: ANSI mode is on by default in Spark 4, so a plain
+    # `/` ABORTS THE JOB on the first zero-norm vector; NULL cosine
+    # instead sorts last and the degenerate vector just never wins
+    c_cos = F.try_divide(
+        _dot(F.col("emb"), F.col("c_emb")).cast("double"),
+        F.col("norm") * F.col("c_norm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", c_cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= EMB_PROBES)
+        .select("vec_id", "centroid_id")
+    )
+
+
 def dedup_embedding(
     spark: SparkSession, sf_dir: str, exact: bool = False
 ) -> DataFrame:
@@ -1533,45 +1570,7 @@ def dedup_embedding(
             .where(F.col("vec_a") < F.col("vec_b"))
         )
     else:
-        cents = e.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("emb").alias("c_emb"),
-            F.col("norm").alias("c_norm"),
-        )
-        # try_divide: ANSI mode is on by default in Spark 4, so a plain
-        # `/` ABORTS THE JOB on the first zero-norm vector; NULL cosine
-        # instead sorts last and the degenerate vector just never wins
-        c_cos = F.try_divide(
-            _dot(F.col("emb"), F.col("c_emb")).cast("double"),
-            F.col("norm") * F.col("c_norm"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("c_cos"), F.asc("centroid_id")
-        )
-        # materialized: both sides of the bucket self-join read it, and
-        # without this the N×C assignment crossJoin runs twice. Tiny —
-        # N × EMB_PROBES ids regardless of dimension.
-        assign = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("c_cos", c_cos)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= EMB_PROBES)
-            .select("vec_id", "centroid_id")
-            .localCheckpoint()
-        )
-        cand = (
-            assign.select(F.col("vec_id").alias("vec_a"), "centroid_id")
-            .join(
-                assign.select(F.col("vec_id").alias("vec_b"), "centroid_id"),
-                "centroid_id",
-            )
-            .where(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-            .distinct()
-        )
-        pairs = cand.join(e.select(*a_cols), "vec_a").join(
-            e.select(*b_cols), "vec_b"
-        )
+        return _ivf_cosine_pairs(e, COSINE_THRESHOLD)
     cos = F.round(
         F.try_divide(
             _dot(F.col("emb_a"), F.col("emb_b")).cast("double"),
@@ -1582,6 +1581,56 @@ def dedup_embedding(
     return (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _ivf_cosine_pairs(e: DataFrame, threshold: float) -> DataFrame:
+    """The IVF-pruned near-dup pair core over any normed ``(vec_id,
+    emb, norm)`` relation — dedup_embedding's scale path, factored out
+    so asset features (`multimodal.dedup_assets`) ride the identical
+    machinery. ``e`` should be materialized by the caller (it feeds the
+    codebook filter, the assignment crossJoin and both verify sides)."""
+    cents = _emb_centroids(e)
+    # materialized: both sides of the bucket self-join read it, and
+    # without this the N×C assignment crossJoin runs twice. Tiny —
+    # N × EMB_PROBES ids regardless of dimension.
+    assign = _emb_assignments(e, cents).localCheckpoint()
+    cand = (
+        assign.select(F.col("vec_id").alias("vec_a"), "centroid_id")
+        .join(
+            assign.select(F.col("vec_id").alias("vec_b"), "centroid_id"),
+            "centroid_id",
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        e.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("emb").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+        ),
+        "vec_a",
+    ).join(
+        e.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("emb").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+        ),
+        "vec_b",
+    )
+    cos = F.round(
+        F.try_divide(
+            _dot(F.col("emb_a"), F.col("emb_b")).cast("double"),
+            F.col("norm_a") * F.col("norm_b"),
+        ),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
 
@@ -1670,6 +1719,149 @@ FROM dots
 JOIN norms na ON na.vec_id = vec_a
 JOIN norms nb ON nb.vec_id = vec_b
 WHERE ROUND(dot / (na.norm * nb.norm), 6) >= {COSINE_THRESHOLD}"""
+
+
+# ---------------------------------------------------------------------------
+# ingest-time embedding dedup (SemDeDup at ingest) — r10, verdict item 5
+
+
+def write_embedding_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "emb_corpus",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the CORPUS side's ingest state for embedding dedup: the
+    EMB_PROBES centroid assignments ``(vec_id, centroid_id)``, BUCKETED
+    BY ``centroid_id`` — the embedding-family analog of
+    `write_incremental_corpus`'s band table. A batch's candidate join on
+    ``centroid_id`` reads it pre-partitioned (no Exchange on the corpus
+    side, plan-pinned); the assignment crossJoin over the corpus runs
+    once at write time, and ingest recomputes assignments only for the
+    arriving vectors. 4 int64-pair rows per vector — at 100 TB this is
+    the ~1% manifest next to the raw ``array<float>`` table.
+
+    Why assignments and not the PQ codes table: pair-ADC pruning was
+    MEASURED unsafe for dedup identity on this corpus (a true ≥0.45
+    pair's code-reconstructed cosine reaches -0.04 at sf0.001 /
+    +0.08 at sf0.01 — the same near-isotropic quantization error that
+    forces similarity's 32×k refine), so any margin that preserves the
+    no-false-negative contract prunes nothing. Candidates therefore come
+    from bucket co-occurrence alone and EVERY candidate is verified
+    exactly — the raw-vector read stays candidate-sized."""
+    e = embeddings_with_norm(spark, sf_dir)
+    corpus = e.where((F.col("vec_id") % INCR_BATCH_MOD) != INCR_BATCH_REM)
+    assign = _emb_assignments(corpus, _emb_centroids(corpus))
+    writer = (
+        assign.write.mode("overwrite")
+        .bucketBy(n_buckets, "centroid_id")
+        .sortBy("centroid_id")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
+def dedup_embedding_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_assign: DataFrame | None = None,
+) -> DataFrame:
+    """Match a newly ingested batch of vectors (``vec_id % 10 == 7``,
+    the shared ingest convention) against the existing corpus — and
+    against itself — without re-scoring corpus × corpus: the
+    :func:`dedup_incremental` decomposition for the embedding family.
+
+    Candidates are centroid-bucket co-occurrences (the same
+    EMB_PROBES multi-probe assignment as :func:`dedup_embedding`, whose
+    pseudo-codebook is corpus-only by arithmetic and therefore stable
+    under ingest): an ASYMMETRIC batch×corpus join on ``centroid_id`` —
+    pass ``corpus_assign`` (the persisted bucketed table from
+    :func:`write_embedding_corpus`) and the corpus side is read
+    pre-partitioned with no Exchange — plus a batch self-join for
+    intra-batch duplicates. Every candidate is verified with the exact
+    decimal cosine (see :func:`write_embedding_corpus` for why ADC
+    pruning is disabled here); the raw-vector reads are candidate-sized
+    joins against the embeddings scan. Output ``(vec_new, dup_of,
+    cosine)`` is EXACTLY the full :func:`dedup_embedding` run's
+    batch-touching subset (oracle-shared, equality also pinned in
+    tests)."""
+    is_batch = (F.col("vec_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    if corpus_assign is None:
+        e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
+        assign = _emb_assignments(e, _emb_centroids(e)).localCheckpoint()
+        batch_assign = assign.where(is_batch)
+        corpus_assign = assign.where(~is_batch)
+    else:
+        e = embeddings_with_norm(spark, sf_dir)
+        # only batch-sized relations are computed: the centroid scan is
+        # C rows (pushed-down stride filter) and assignments run over
+        # the batch slice alone
+        cents = _emb_centroids(e).localCheckpoint()
+        batch_assign = _emb_assignments(
+            e.where(is_batch), cents
+        ).localCheckpoint()
+    new_side = batch_assign.select(
+        F.col("vec_id").alias("vec_new"), "centroid_id"
+    )
+    cross = new_side.join(
+        corpus_assign.select(F.col("vec_id").alias("dup_of"), "centroid_id"),
+        "centroid_id",
+    )
+    intra = new_side.join(
+        batch_assign.select(F.col("vec_id").alias("dup_of"), "centroid_id"),
+        "centroid_id",
+    ).where(F.col("vec_new") > F.col("dup_of"))
+    cand = (
+        cross.select("vec_new", "dup_of")
+        .unionByName(intra.select("vec_new", "dup_of"))
+        .distinct()
+    )
+    pairs = cand.join(
+        e.select(
+            F.col("vec_id").alias("vec_new"),
+            F.col("emb").alias("emb_n"),
+            F.col("norm").alias("norm_n"),
+        ),
+        "vec_new",
+    ).join(
+        e.select(
+            F.col("vec_id").alias("dup_of"),
+            F.col("emb").alias("emb_c"),
+            F.col("norm").alias("norm_c"),
+        ),
+        "dup_of",
+    )
+    cos = F.round(
+        F.try_divide(
+            _dot(F.col("emb_n"), F.col("emb_c")).cast("double"),
+            F.col("norm_n") * F.col("norm_c"),
+        ),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_new", "dup_of", "cosine")
+    )
+
+
+# the oracle IS the full IVF run's batch-touching subset, remapped to
+# ingest direction (vec_new = the batch member; the LATER batch member
+# for intra-batch pairs) — shared CTE so the two can never drift
+DEDUP_EMBEDDING_INCR_SQL = f"""
+WITH full_pairs AS ({DEDUP_EMBEDDING_IVF_SQL}
+)
+SELECT CASE WHEN vec_b % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+            THEN vec_b ELSE vec_a END AS vec_new,
+       CASE WHEN vec_b % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+            THEN vec_a ELSE vec_b END AS dup_of,
+       cosine
+FROM full_pairs
+WHERE vec_a % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+   OR vec_b % {INCR_BATCH_MOD} = {INCR_BATCH_REM}"""
 
 
 # ---------------------------------------------------------------------------

@@ -1058,6 +1058,9 @@ _register("join_semi_anti", _join_semi_anti_query, _JOIN_SEMI_ANTI_SQL)
 _register("join_range", R.join_range_shipments, R.JOIN_RANGE_SQL)
 _register("asof_join", R.asof_join_purchase_view, R.ASOF_SQL)
 _register("join_salted", R.join_salted_order_revenue, R.JOIN_SALTED_SQL)
+# r10: the cost-based regime chooser wiring profile_skew's measurement
+# to salted_join's remedy; output regime-independent, oracle shared
+_register("join_auto", R.join_auto_order_revenue, R.JOIN_SALTED_SQL)
 _register("window_funcs", _window_funcs_query, _WINDOW_FUNCS_SQL)
 # sort+limit semantics are graded via q3_shipping_priority (ORDER BY +
 # LIMIT 10) and sort_numeric_values (global rank); the standalone
@@ -1104,6 +1107,55 @@ _register(
     D.DEDUP_EMBEDDING_SQL,
 )
 _register("dedup_embedding_ivf", D.dedup_embedding_ivf, D.DEDUP_EMBEDDING_IVF_SQL)
+
+# ingest-time embedding dedup (r10): the batch×corpus / batch×batch
+# decomposition over centroid-bucket candidates; oracle = the full IVF
+# run's batch-touching subset via a shared CTE
+_register(
+    "dedup_embedding_incremental",
+    D.dedup_embedding_incremental,
+    D.DEDUP_EMBEDDING_INCR_SQL,
+)
+
+# session-scoped persisted corpus assignment tables (the
+# write_embedding_corpus ingest state; same amortization semantics as
+# _EXACT_CORPUS_TABLES — the cold rep pays the one-time write)
+_EMB_CORPUS_TABLES: dict[str, str] = {}
+
+
+def _dedup_embedding_incremental_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_embedding_incremental` against the PERSISTED bucketed
+    corpus assignment table: the corpus-side crossJoin/argtop runs once
+    per session per sf_dir; each batch's candidate join reads the
+    corpus pre-partitioned on centroid_id (no corpus-side Exchange,
+    plan-pinned in tests/test_scale_plans.py)."""
+    key = sf_dir.rstrip("/")
+    table = _EMB_CORPUS_TABLES.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        import tempfile
+        import uuid
+
+        table = f"emb_corpus_{uuid.uuid4().hex[:8]}"
+        D.write_embedding_corpus(
+            spark,
+            sf_dir,
+            table=table,
+            path=tempfile.mkdtemp(prefix="emb_corpus_") + "/t",
+        )
+        _EMB_CORPUS_TABLES[key] = table
+    return D.dedup_embedding_incremental(
+        spark, sf_dir, corpus_assign=spark.table(table)
+    )
+
+
+_register(
+    "dedup_embedding_incremental_persisted",
+    _dedup_embedding_incremental_persisted_query,
+    D.DEDUP_EMBEDDING_INCR_SQL,
+)
+
 _register("dedup_cluster", D.dedup_cluster, D.DEDUP_CLUSTER_SQL)
 
 
@@ -1262,6 +1314,10 @@ _register("q5_local_supplier", R.q5_local_supplier_volume, R.Q5_SQL)
 # composed multimodal pipeline: decode materialized once, resize +
 # frame-sample consumers read the checkpoint (decode crosses Python once)
 _register("multimodal_frames", M.multimodal_frames, M.MULTIMODAL_FRAMES_SQL)
+# r10: asset near-dup dedup — payload → (stub) encoder features → the
+# embedding dedup machinery; the sha256-derived stub makes the whole
+# composition hash-gradable (oracle recomputes features from hex)
+_register("dedup_assets", M.dedup_assets, M.DEDUP_ASSETS_SQL)
 # incremental batch-vs-corpus near-dedup (asymmetric LSH band join)
 _register("dedup_incremental", D.dedup_incremental, D.DEDUP_INCREMENTAL_SQL)
 
@@ -2365,8 +2421,10 @@ _FIRST_WINDOW = [
     "q21_sole_returner",
     "profile_skew",
     # text analysis / tokenizer training (r10 rotation: lang_id/tfidf
-    # out — stable since r4; both stay full-registry graded)
-    "chunk_documents",
+    # out — stable since r4; chunk_documents → chunk_documents_bpe, the
+    # subword twin that grades the replace-chain segmentation per chunk;
+    # the displaced entries stay full-registry graded)
+    "chunk_documents_bpe",
     "lm_perplexity",
     "bpe_train",
     # sampling / split hygiene (r9 second-session ops, never graded)
@@ -2381,13 +2439,18 @@ _FIRST_WINDOW = [
     # split/DSIR/chunk stages into one graded query)
     "pipeline_finetuning",
     "dedup_embedding_ivf",
+    # r10: the ingest-time embedding dedup joins the graded window in
+    # place of dedup_spans_apply (r9-graded green; spans itself stays)
+    "dedup_embedding_incremental",
     "dedup_cluster",
     "dedup_spans",
-    "dedup_spans_apply",
+    # r10: dedup_assets (the multimodal→ANN composition) replaces the
+    # r9-graded decontaminate_spans_apply; the spans family keeps its
+    # detect+apply pair in via decontaminate_spans itself
+    "dedup_assets",
     "decontaminate",
     "decontaminate_apply",
     "decontaminate_spans",
-    "decontaminate_spans_apply",
     # similarity search (r10: similarity_topk out — it is the exact
     # baseline the two ANN entries are pinned against in pytest)
     "similarity_ann_ivf",
@@ -2397,7 +2460,10 @@ _FIRST_WINDOW = [
     "sample_mixture",
     "pack_sequences",
     "pack_sequences_bpe",
-    "pack_assignments",
+    # r10: join_auto (regime chooser) replaces the r9-graded
+    # pack_assignments (its layout stays pinned by pack_sequences'
+    # conservation tests + full-registry parity)
+    "join_auto",
     "pipeline_pretraining",
     # streaming representatives (r10: the two never-graded r9 ingest
     # ops join the long-running stateful representative)

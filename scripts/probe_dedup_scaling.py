@@ -90,6 +90,16 @@ def build_multiplied(spark, sf_dir: str, k: int, out_dir: str) -> None:
 
 
 def probe(spark, sf_dir: str, k: int) -> dict:
+    # $SPARK_GRAFT_PROBE_OPS: comma-separated op-name filter (default:
+    # everything). The K=100 curation-chain run (r9 verdict item 6)
+    # uses this to probe just pipeline_pretraining/decontaminate/
+    # dedup_spans/dedup_ngram_jaccard without paying the full matrix.
+    only = os.environ.get("SPARK_GRAFT_PROBE_OPS")
+    only_set = set(only.split(",")) if only else None
+
+    def wanted(name: str) -> bool:
+        return only_set is None or name in only_set
+
     tmp = tempfile.mkdtemp(prefix=f"dedup_probe_x{k}_")
     try:
         build_multiplied(spark, sf_dir, k, tmp)
@@ -98,15 +108,22 @@ def probe(spark, sf_dir: str, k: int) -> dict:
 
         sh = D._shingles_df(spark, tmp).localCheckpoint()
         rec["shingle_rows"] = sh.count()
-        t0 = time.perf_counter()
-        rec["jaccard_candidates"] = D._jaccard_candidates(sh).count()
-        rec["jaccard_cand_sec"] = round(time.perf_counter() - t0, 2)
-        shh = sh.withColumn(
-            "h", D.md5_long(F.col("shingle")) % D.MINHASH_P
-        ).localCheckpoint()
-        t0 = time.perf_counter()
-        rec["minhash_candidates"] = D._minhash_candidates(shh).count()
-        rec["minhash_cand_sec"] = round(time.perf_counter() - t0, 2)
+        if wanted("jaccard_candidates"):
+            t0 = time.perf_counter()
+            rec["jaccard_candidates"] = D._jaccard_candidates(sh).count()
+            rec["jaccard_cand_sec"] = round(time.perf_counter() - t0, 2)
+        if wanted("minhash_candidates"):
+            shh = sh.withColumn(
+                "h", D.md5_long(F.col("shingle")) % D.MINHASH_P
+            ).localCheckpoint()
+            t0 = time.perf_counter()
+            rec["minhash_candidates"] = D._minhash_candidates(shh).count()
+            rec["minhash_cand_sec"] = round(time.perf_counter() - t0, 2)
+            shh.unpersist()
+        # free the shingle checkpoint before the op sweep — at K=100 it
+        # is hundreds of millions of rows and every op below rebuilds
+        # its own relations anyway
+        sh.unpersist()
 
         for name, fn in (
             ("ngram_jaccard", D.dedup_ngram_jaccard),
@@ -143,6 +160,8 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("sample_dsir", SMP.sample_dsir),
             ("pipeline_finetuning", PL.finetuning_pipeline),
         ):
+            if not wanted(name):
+                continue
             t0 = time.perf_counter()
             rec[f"{name}_rows"] = fn(spark, tmp).count()
             rec[f"{name}_sec"] = round(time.perf_counter() - t0, 2)

@@ -343,3 +343,192 @@ def test_bloom_cache_invalidates_on_rewrite(spark, tmp_path):
     assert len(keys_after) == 1 and keys_after != keys_before
     exact = D.decontaminate(spark, sf).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, exact))
+
+
+# -- ingest-time embedding dedup (r9 verdict item 5) -------------------------
+
+
+def test_dedup_embedding_incremental_equals_full_subset(spark, sf_small):
+    """The incremental op must be EXACTLY the full dedup_embedding
+    (IVF path) run's batch-touching subset, remapped to ingest
+    direction — same contract the minhash/exact/span incrementals pin."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    full = D.dedup_embedding(spark, sf_small).collect()
+    expect = set()
+    for r in full:
+        a_b = r.vec_a % D.INCR_BATCH_MOD == D.INCR_BATCH_REM
+        b_b = r.vec_b % D.INCR_BATCH_MOD == D.INCR_BATCH_REM
+        if not (a_b or b_b):
+            continue
+        if b_b:
+            expect.add((r.vec_b, r.vec_a, r.cosine))
+        else:
+            expect.add((r.vec_a, r.vec_b, r.cosine))
+    got = {
+        (r.vec_new, r.dup_of, r.cosine)
+        for r in D.dedup_embedding_incremental(spark, sf_small).collect()
+    }
+    assert got == expect
+    assert got  # non-vacuous: the slice contains real near-dups
+
+
+def test_dedup_embedding_persisted_matches_inmemory(spark, sf_small, tmp_path):
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    table = "emb_corpus_eq_test"
+    corpus = D.write_embedding_corpus(
+        spark, sf_small, table=table, path=str(tmp_path / "emb_corpus")
+    )
+    try:
+        a = sorted(
+            map(
+                tuple,
+                D.dedup_embedding_incremental(spark, sf_small).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                D.dedup_embedding_incremental(
+                    spark, sf_small, corpus_assign=corpus
+                ).collect(),
+            )
+        )
+        assert a == b and a
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# -- cost-based join regime chooser (r9 verdict item 8) ----------------------
+
+
+def test_join_auto_picks_each_regime(spark, sf_small):
+    """The three regimes on their right fixtures, with the plan pinned:
+    small dim → broadcast; big dim + skewed fact → salted (join key
+    carries the salt); big dim + uniform fact → plain shuffle join."""
+    import contextlib
+    import io
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        relational as R,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.registry import load_table
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # 1. broadcast: customer is dim-sized at every sf
+    orders = load_table(spark, sf_small, "orders")
+    cust = load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    regime, ev = R.join_auto_decision(orders, cust, "o_custkey")
+    assert regime == "broadcast", ev
+    p = plan_of(R.join_auto(orders, cust, "o_custkey", "c_custkey"))
+    assert "BroadcastHashJoin" in p, p
+
+    # big dim shared by the two other fixtures (> AUTO_BROADCAST_MAX_ROWS)
+    dim = spark.range(R.AUTO_BROADCAST_MAX_ROWS + 1_000).select(
+        F.col("id").alias("d_key"), (F.col("id") % 100).alias("d_attr")
+    )
+
+    # 2. salted: 60% of fact rows share one key
+    skewed = spark.range(20_000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 5 < 3, F.lit(7)).otherwise(F.col("id")).alias(
+            "f_key"
+        ),
+    )
+    regime, ev = R.join_auto_decision(skewed, dim, "f_key")
+    assert regime == "salted", ev
+    salted = R.join_auto(skewed, dim, "f_key", "d_key")
+    p = plan_of(salted)
+    assert "salt" in p, p  # the (key, salt) join condition is physical
+    # identity with the plain join, the salted_join contract
+    plain = skewed.join(dim, skewed["f_key"] == dim["d_key"])
+    assert sorted(
+        (r.row_id, r.d_key) for r in salted.collect()
+    ) == sorted((r.row_id, r.d_key) for r in plain.collect())
+
+    # 3. shuffle: same sizes, uniform keys. Catalyst may still broadcast
+    # the small FACT side of the plain join on this fixture — that's its
+    # call, not join_auto's; disable auto-broadcast so the pin isolates
+    # the regime choice (no salt, no forced broadcast → SortMergeJoin).
+    uniform = spark.range(20_000).select(
+        F.col("id").alias("row_id"), F.col("id").alias("f_key")
+    )
+    regime, ev = R.join_auto_decision(uniform, dim, "f_key")
+    assert regime == "shuffle", ev
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(R.join_auto(uniform, dim, "f_key", "d_key"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "salt" not in p and "BroadcastHashJoin" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+
+
+# -- asset near-dup dedup (r9 verdict item 7) --------------------------------
+
+
+def test_dedup_assets_identical_payloads_score_one(spark):
+    """Two assets with byte-identical payloads must pair at cosine 1.0
+    (the stub encoder is content-deterministic); unrelated assets stay
+    below threshold except hash near-collisions."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        multimodal as M,
+    )
+
+    rows = [(i, f"unique text {i} " * 3) for i in range(200)]
+    rows[150] = (150, rows[50][1])  # exact duplicate payload of doc 50
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assets = d.select(
+        "doc_id",
+        F.lit("image/fake").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = M.feature_extract(assets)
+    dec = F.transform(F.col("feature"), lambda x: x.cast("decimal(10,6)"))
+    e = (
+        feats.select(F.col("doc_id").alias("vec_id"), dec.alias("emb"))
+        .withColumn(
+            "norm", F.sqrt(D._dot(F.col("emb"), F.col("emb")).cast("double"))
+        )
+        .localCheckpoint()
+    )
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in D._ivf_cosine_pairs(
+            e, M.ASSET_COSINE_THRESHOLD
+        ).collect()
+    }
+    assert pairs.get((50, 150)) == 1.0, pairs
+
+
+def test_dedup_assets_single_python_pass(spark, sf_small):
+    """Payloads cross Python exactly once: the returned plan is fed
+    entirely from the feature checkpoint — zero Arrow/Python eval nodes
+    and zero parquet re-scans downstream (the multimodal_frames
+    contract)."""
+    import contextlib
+    import io
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        multimodal as M,
+    )
+
+    df = M.dedup_assets(spark, sf_small)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "FlatMapGroupsInPandas" not in p and "MapInPandas" not in p, p
+    assert p.count(") Scan parquet") == 0, p

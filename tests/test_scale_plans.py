@@ -1136,3 +1136,50 @@ def plan_scan_count(plan: str, table: str) -> int:
         for line in plan.splitlines()
         if "Location" in line and f"{table}.parquet" in line
     )
+
+
+def test_embedding_persisted_corpus_join_no_shuffle(spark, sf_small, tmp_path):
+    """r10: the persisted embedding-dedup corpus assignment table
+    (bucketed by centroid_id) must join a batch assignment relation with
+    NO Exchange on the corpus side — the embedding-family twin of
+    test_incremental_persisted_corpus_join_no_shuffle."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    table = "emb_corpus_plan_test"
+    corpus = D.write_embedding_corpus(
+        spark, sf_small, table=table, n_buckets=8,
+        path=str(tmp_path / "emb_corpus_plan"),
+    )
+    e = D.embeddings_with_norm(spark, sf_small)
+    is_batch = (F.col("vec_id") % D.INCR_BATCH_MOD) == D.INCR_BATCH_REM
+    batch = D._emb_assignments(
+        e.where(is_batch), D._emb_centroids(e).localCheckpoint()
+    ).localCheckpoint()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_bloom = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the runtime bloom-filter subquery injected for this SMJ carries
+    # its own Exchange in the formatted output — an optimizer side
+    # planchannel, not a corpus shuffle; silence it so the count below
+    # isolates the JOIN's exchanges
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try:
+        joined = batch.select(
+            F.col("vec_id").alias("vec_new"), "centroid_id"
+        ).join(
+            corpus.select(F.col("vec_id").alias("dup_of"), "centroid_id"),
+            "centroid_id",
+        )
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Bucketed: true" in p, p
+        assert p.count(") Exchange") == 1, p  # batch side only
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
