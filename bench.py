@@ -55,22 +55,15 @@ BENCH_QUERIES = [
     "join_broadcast",
     "window_funcs",
     "asof_join",
-    "event_windows",
     "sessionize",
     # LLM-pipeline extensions
     "tokenize",
     "tfidf",
     "quality_signals",
-    "repetition_signals",
     "lm_perplexity",
-    "lm_perplexity_persisted",
-    "shuffle_deterministic",
-    "sample_stratified",
     "sample_mixture",
-    "sample_temperature",
     "pipeline_curation",
     "dedup_exact",
-    "dedup_exact_incremental_persisted",
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_incremental",
@@ -104,12 +97,27 @@ BENCH_QUERIES = [
     "similarity_ann_ivfpq_persisted",
     # round-9 second wave: the heavier new TPC-H shapes (q12/q14/q19/q22
     # are broadcast-dim single-pass aggregates in the q1/q6 cost class —
-    # untracked to keep the wall bounded; q16/q21/q2/q7 exercise new
+    # untracked to keep the wall bounded; q17/q21/q2/q7 exercise new
     # plan machinery), the bloom-prefiltered decontaminate twin (same
     # output as `decontaminate` above — the delta IS the bloom's win),
-    # and the chunk/DSIR/finetuning curation stages
-    "q16_supplier_cnt",
-    "q13_customer_distribution",
+    # and the chunk/DSIR/finetuning curation stages.
+    #
+    # r10 prune (NOT silent — listed here so the r9→r10 comparison
+    # subtracts them): the driver's stdout tail window is ~1800 chars
+    # and at 74 tracked queries the compact line's per-query map no
+    # longer fits even at 2 decimals — the degrade chain would drop the
+    # WHOLE map, the exact failure the r9 comment below warns about.
+    # Ten cost-class-duplicated, sub-0.7s entries left the line (all
+    # stay oracle-graded in the full registry): sample_temperature +
+    # sample_stratified (sample_mixture covers the two-scan and
+    # broadcast-rate classes), shuffle_deterministic (flat 0.2s every
+    # round), q16_supplier_cnt + q13_customer_distribution (agg shapes
+    # covered by q17/q21/q2/q7), lm_perplexity_persisted +
+    # dedup_exact_incremental_persisted (persisted amortization still
+    # measured by dedup_incremental_persisted / ivfpq_persisted /
+    # dedup_embedding_incremental_persisted), event_windows (sessionize
+    # keeps the event-time class), repetition_signals (one projection),
+    # split_train_eval (zero-shuffle projection).
     "q17_small_qty_revenue",
     "q21_sole_returner",
     "q2_min_cost_supplier",
@@ -120,7 +128,6 @@ BENCH_QUERIES = [
     "decontaminate_bloom_auto",
     "chunk_documents",
     "sample_dsir",
-    "split_train_eval",
     "pipeline_finetuning",
     # round-10: released-tokenizer BPE composition — windows counted in
     # real subword symbols (the replace-chain projection's cost vs the

@@ -401,6 +401,34 @@ HEADLINE = {
         "batch-sized relations computed; the dense B-row llr table "
         "broadcasts into the scoring join"
     ),
+    "pack_sequences_bpe": (
+        "r10 subword packing: the 64-replace BPE chain is a scan-side "
+        "codegen projection — same one shard exchange as pack_sequences, "
+        "no explode/join/Python added"
+    ),
+    "chunk_documents_bpe": (
+        "r10 subword chunking: zero exchanges, one Generate; the symbol "
+        "array comes from the same replace chain split on '/+'"
+    ),
+    "dedup_embedding_incremental": (
+        "r10 ingest embedding dedup: asymmetric batch×corpus centroid "
+        "bucket join + batch self-join; exact verify candidate-sized "
+        "(pair-ADC measured unsafe for identity — see dedup.py)"
+    ),
+    "dedup_assets": (
+        "r10 asset near-dup: ONE mapInPandas feature pass checkpointed; "
+        "all downstream candidate/verify work is JVM Column code over "
+        "the 16-dim feature relation"
+    ),
+    "join_auto": (
+        "r10 regime chooser: on this fixture the dim-size probe picks "
+        "broadcast — same plan as the hand-broadcast join"
+    ),
+    "decontaminate_bloom_auto": (
+        "r10 cost-aware bloom: on the shared-vocab corpus the keep-rate "
+        "sample says skip — the plan IS the exact op's plan plus two "
+        "sample jobs"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);

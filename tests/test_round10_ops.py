@@ -532,3 +532,46 @@ def test_dedup_assets_single_python_pass(spark, sf_small):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     assert "FlatMapGroupsInPandas" not in p and "MapInPandas" not in p, p
     assert p.count(") Scan parquet") == 0, p
+
+
+# -- K=100 curation-chain linearity (r9 verdict item 6) ----------------------
+
+
+def test_k100_candidate_and_output_linearity(spark, sf_small, tmp_path):
+    """Two decades of scaling, pinned: on a 100×-multiplied corpus
+    (copy-tagged tokens — copies mutually non-duplicate, per-copy
+    structure preserved; the probe script's construction) the jaccard
+    candidate relation, the span detector's output, and the
+    decontamination flag set must each be EXACTLY 100.00× the K=1 run.
+    Anything superlinear is the pipeline bending, not the data. The
+    sf0.1 twin of this run (with wall times) lives in BASELINE.md."""
+    import importlib.util
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    spec = importlib.util.spec_from_file_location(
+        "probe_dedup_scaling",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "probe_dedup_scaling.py",
+        ),
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+
+    counts = {}
+    for k in (1, 100):
+        out = str(tmp_path / f"x{k}")
+        probe.build_multiplied(spark, sf_small, k, out)
+        sh = D._shingles_df(spark, out).localCheckpoint()
+        counts[k] = {
+            "cand": D._jaccard_candidates(sh).count(),
+            "spans": D.dedup_spans(spark, out).count(),
+            "decontam": D.decontaminate(spark, out).count(),
+        }
+        sh.unpersist()
+    assert counts[1]["cand"] > 0
+    for key in ("cand", "spans", "decontam"):
+        assert counts[100][key] == 100 * counts[1][key], (key, counts)
