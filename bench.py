@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "pack_shuffled",
     "pipeline_pretraining",
+    "pipeline_pretraining_bpe",
     "pipeline_pretraining_decontam",
     "pipeline_mixture_pack",
     "corpus_report",

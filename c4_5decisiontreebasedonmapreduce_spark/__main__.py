@@ -99,6 +99,13 @@ def cli(argv: list[str] | None = None, spark=None) -> int:
         "--report", action="store_true",
         help="also write the per-source corpus-health report",
     )
+    cu.add_argument(
+        "--tokenizer", choices=("whitespace", "bpe"), default="whitespace",
+        help="unit the packing manifest counts: the shared whitespace "
+        "convention, or released-tokenizer BPE symbols "
+        "(data/bpe_merges.tsv) — what a trainer with that tokenizer "
+        "actually consumes",
+    )
     args = p.parse_args(argv)
 
     own_session = spark is None
@@ -110,12 +117,22 @@ def cli(argv: list[str] | None = None, spark=None) -> int:
                 pipeline as PL,
             )
 
-            fn = (
-                PL.pretraining_decontam_pipeline
-                if args.decontaminate
-                else PL.pretraining_pipeline
-            )
-            manifest = fn(spark, args.input)
+            kwargs = {}
+            if args.tokenizer == "bpe":
+                from c4_5decisiontreebasedonmapreduce_spark.operators.bpe import (
+                    bpe_symbol_count_col,
+                )
+                from pyspark.sql import functions as F
+
+                kwargs["window_tokens"] = bpe_symbol_count_col(F.col("text"))
+            if args.decontaminate:
+                manifest = PL.pretraining_decontam_pipeline(
+                    spark, args.input, **kwargs
+                )
+            elif args.tokenizer == "bpe":
+                manifest = PL.pretraining_pipeline_bpe(spark, args.input)
+            else:
+                manifest = PL.pretraining_pipeline(spark, args.input)
             os.makedirs(args.output, exist_ok=True)
             manifest_path = os.path.join(args.output, "manifest")
             manifest.write.mode("overwrite").parquet(manifest_path)
@@ -134,6 +151,7 @@ def cli(argv: list[str] | None = None, spark=None) -> int:
                         "n_tokens": sum(r.n_tokens for r in rows),
                         "n_windows": sum(r.n_windows for r in rows),
                         "decontaminated": bool(args.decontaminate),
+                        "tokenizer": args.tokenizer,
                     }
                 )
             )

@@ -228,26 +228,71 @@ def pretraining_pipeline(
     return _manifest_from(d, quality_gate, seq_len, n_shards)
 
 
+def pretraining_pipeline_bpe(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_gate: float = QUALITY_GATE,
+    seq_len: int = PT_SEQ_LEN,
+    n_shards: int = PT_SHARDS,
+) -> DataFrame:
+    """:func:`pretraining_pipeline` with the packing half counted in
+    RELEASED-tokenizer BPE symbols (`operators.bpe.fixed_merges` over
+    the SCRUBBED text — the text that actually ships): the manifest's
+    ``n_tokens``/``n_windows`` are what a trainer with this tokenizer
+    consumes. The scrub/dedup/quality-gate half keeps the shared
+    whitespace scoring (same survivors as the whitespace pipeline,
+    pinned in tests); the symbol count is one more codegen'd
+    replace-chain expression riding the SAME single corpus scan — plan
+    shape unchanged (one scan, two data-sized exchanges)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.bpe import (
+        bpe_symbol_count_col,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pii import scrub_pii
+
+    d = scrub_pii(docs(spark, sf_dir)).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return _manifest_from(
+        d,
+        quality_gate,
+        seq_len,
+        n_shards,
+        window_tokens=bpe_symbol_count_col(F.col("text")),
+    )
+
+
 def _manifest_from(
     d: DataFrame,
     quality_gate: float = QUALITY_GATE,
     seq_len: int = PT_SEQ_LEN,
     n_shards: int = PT_SHARDS,
+    window_tokens=None,
 ) -> DataFrame:
     """dedup → quality gate → packing manifest over a ``(doc_id, text)``
     relation — the tail of :func:`pretraining_pipeline`, shared with
-    the decontaminating variant."""
+    the decontaminating variant. ``window_tokens`` (a Column over
+    ``text``) overrides the unit the PACKING half counts — the BPE
+    pipeline passes the released-tokenizer symbol count so windows are
+    what a trainer consumes, while the dedup/quality gate keeps the
+    shared whitespace scoring semantics (its formulas are pinned by
+    the standalone quality oracles and must not drift per tokenizer)."""
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long,
     )
 
     fingerprint, n_tokens, quality, _ = _scored_cols()
-    enriched = d.select(
+    cols = [
         "doc_id",
         fingerprint.alias("fingerprint"),
         n_tokens.alias("n_tokens"),
         quality.alias("quality_score"),
-    )
+    ]
+    if window_tokens is not None:
+        cols.append(window_tokens.cast("long").alias("wtok"))
+    enriched = d.select(*cols)
     keep_id = F.min("doc_id").over(Window.partitionBy("fingerprint"))
     gated = (
         enriched.withColumn("keep_id", keep_id)
@@ -269,8 +314,9 @@ def _manifest_from(
         )
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
+    count_col = "wtok" if window_tokens is not None else "n_tokens"
     spans = gated.withColumn(
-        "tok_end", F.sum("n_tokens").over(w).cast("long")
+        "tok_end", F.sum(count_col).over(w).cast("long")
     )
     return spans.groupBy("shard").agg(
         F.count("*").cast("int").alias("n_docs"),
@@ -291,6 +337,7 @@ def pretraining_decontam_pipeline(
     seq_len: int = PT_SEQ_LEN,
     n_shards: int = PT_SHARDS,
     min_overlap: float | None = None,
+    window_tokens=None,
 ) -> DataFrame:
     """:func:`pretraining_pipeline` with the eval-leak scrub in the
     chain: PII scrub → benchmark DECONTAMINATION (the shingle-
@@ -336,7 +383,9 @@ def pretraining_decontam_pipeline(
     corpus = d.where(~is_bench).join(
         F.broadcast(flagged), "doc_id", "left_anti"
     )
-    return _manifest_from(corpus, quality_gate, seq_len, n_shards)
+    return _manifest_from(
+        corpus, quality_gate, seq_len, n_shards, window_tokens=window_tokens
+    )
 
 
 def _pretraining_sql(
@@ -344,6 +393,7 @@ def _pretraining_sql(
     seq_len: int = PT_SEQ_LEN,
     n_shards: int = PT_SHARDS,
     decontam: bool = False,
+    bpe: bool = False,
 ) -> str:
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long_sql,
@@ -364,7 +414,7 @@ def _pretraining_sql(
     )
 
     shard = md5_long_sql(
-        "CONCAT('" + _SHARD_SEED + "', CAST(doc_id AS VARCHAR))"
+        "CONCAT('" + _SHARD_SEED + "', CAST(g.doc_id AS VARCHAR))"
     )
     toks = (
         "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text),"
@@ -401,6 +451,24 @@ corpus AS (
     AND doc_id NOT IN (SELECT doc_id FROM flagged)
 )"""
     source = "corpus" if decontam else "clean"
+    if bpe:
+        from c4_5decisiontreebasedonmapreduce_spark.operators.bpe import (
+            bpe_symbol_count_sql,
+        )
+
+        # the packing unit joins back to the (scrubbed) text source —
+        # `scored` deliberately does not carry text
+        wtok_select = (
+            ",\n         CAST("
+            + bpe_symbol_count_sql("src.text")
+            + " AS BIGINT) AS wtok"
+        )
+        wtok_join = f"\n  JOIN {source} src ON src.doc_id = g.doc_id"
+        count_expr = "wtok"
+    else:
+        wtok_select = ""
+        wtok_join = ""
+        count_expr = "n_tokens"
     return f"""
 WITH clean AS (
   SELECT doc_id,
@@ -412,18 +480,19 @@ WITH clean AS (
 ){decontam_ctes if decontam else ""},
 {_scored_ctes(source)},
 gated AS (
-  SELECT doc_id, n_tokens,
+  SELECT g.doc_id, g.n_tokens{wtok_select},
          CAST({shard} % {n_shards} AS INT) AS shard
   FROM (
     SELECT s.*, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
     FROM scored s
-  )
-  WHERE doc_id = keep_id AND quality_score >= {quality_gate}
-        AND n_tokens > 0
+  ) g{wtok_join}
+  WHERE g.doc_id = keep_id AND quality_score >= {quality_gate}
+        AND g.n_tokens > 0
 ),
 spans AS (
   SELECT shard, doc_id, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS tok_end
+         SUM({count_expr}) OVER (PARTITION BY shard ORDER BY doc_id)
+           AS tok_end
   FROM gated
 )
 SELECT shard,
@@ -436,6 +505,7 @@ FROM spans GROUP BY shard"""
 
 PRETRAINING_PIPELINE_SQL = _pretraining_sql()
 PRETRAINING_DECONTAM_SQL = _pretraining_sql(decontam=True)
+PRETRAINING_BPE_SQL = _pretraining_sql(bpe=True)
 
 
 # batch twin of streaming.windows.streaming_quality_gate: the gate

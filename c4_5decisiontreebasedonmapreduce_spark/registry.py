@@ -2059,6 +2059,14 @@ _register(
     PL.pretraining_pipeline,
     PL.PRETRAINING_PIPELINE_SQL,
 )
+# r10: the same prep with the PACKING half counted in released-tokenizer
+# BPE symbols — the manifest a trainer with this tokenizer consumes;
+# gate/dedup semantics unchanged (same survivors, pinned in tests)
+_register(
+    "pipeline_pretraining_bpe",
+    PL.pretraining_pipeline_bpe,
+    PL.PRETRAINING_BPE_SQL,
+)
 
 # ...and with benchmark DECONTAMINATION in the chain (r9): scrub →
 # eval-leak flagging over the scrubbed text (whole-doc removal, the
@@ -2096,6 +2104,17 @@ from c4_5decisiontreebasedonmapreduce_spark.operators.chunking import (  # noqa:
 )
 
 _register("streaming_chunk_ingest", SW.streaming_chunk_ingest, _CHUNK_SQL)
+# r10: the subword twin — the BPE replace-chain is pure Column code, so
+# it rides the same stateless streaming projection (shared BPE oracle)
+from c4_5decisiontreebasedonmapreduce_spark.operators.chunking import (  # noqa: E402
+    chunk_bpe_sql as _chunk_bpe_sql,
+)
+
+_register(
+    "streaming_chunk_bpe_ingest",
+    SW.streaming_chunk_bpe_ingest,
+    _chunk_bpe_sql(),
+)
 # DSIR scoring at ingest (r9 second wave): stream-static broadcast join
 # against the importance model; per-doc mean is stateless batch code in
 # foreachBatch (docs arrive whole); drained == the persisted batch twin

@@ -1109,6 +1109,41 @@ def streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_chunk_bpe_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`streaming_chunk_ingest` in RELEASED-tokenizer subword
+    units: the BPE symbol array is a pure Column replace-chain
+    (`operators.bpe.bpe_symbols_col`), so it drops straight into the
+    stateless streaming projection — the context windows a model with
+    this tokenizer actually sees, cut the moment a document lands.
+    Drained result equals the batch twin (shared oracle,
+    ``chunk_bpe_sql``)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.bpe import (
+        bpe_symbols_col,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.chunking import (
+        chunks_from,
+    )
+
+    docs = _docs_stream(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    out = chunks_from(docs, toks=bpe_symbols_col(F.col("text")))
+    name = f"stream_chunk_bpe_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scoring at INGEST: the arriving batch slice
     (``doc_id % 10 == 7``, the shared ingest convention) scored against

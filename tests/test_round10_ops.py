@@ -575,3 +575,119 @@ def test_k100_candidate_and_output_linearity(spark, sf_small, tmp_path):
     assert counts[1]["cand"] > 0
     for key in ("cand", "spans", "decontam"):
         assert counts[100][key] == 100 * counts[1][key], (key, counts)
+
+
+def test_replace_chain_consistent_with_bpe_encode(spark, sf_small):
+    """Cross-path consistency: the closed-form replace chain evaluated
+    with the LIVE-trained merges must count exactly what bpe_encode's
+    Arrow distinct-word replay counts, per document — two independent
+    implementations of the same segmentation (JVM string replaces vs
+    Python _merge_word over the vocab) agreeing over the whole corpus."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    d = docs(spark, sf_small).select("doc_id", "text")
+    merges = B.train_merges(B.word_counts(d).localCheckpoint())
+    chain = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id",
+            B.bpe_symbol_count_col(F.col("text"), merges=merges).alias("n"),
+        ).collect()
+    }
+    replay = {
+        r.doc_id: r.n_bpe_symbols for r in B.bpe_encode_rel(d).collect()
+    }
+    # bpe_encode drops token-less docs at the join; the chain counts 0
+    assert replay and all(chain[k] == v for k, v in replay.items())
+    for k in set(chain) - set(replay):
+        assert chain[k] == 0, k
+
+
+# -- BPE-counted pretraining pipeline (r10 second wave) ----------------------
+
+
+def test_pipeline_bpe_same_survivors_bigger_windows(spark, sf_small):
+    """The BPE pipeline must keep the whitespace pipeline's EXACT
+    survivor set per shard (the gate/dedup semantics are shared and
+    must not drift per tokenizer) while its token totals count subword
+    symbols — strictly more than whitespace tokens, with the window
+    arithmetic consistent."""
+    import math
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        pipeline as PL,
+    )
+
+    ws = {r.shard: r for r in PL.pretraining_pipeline(spark, sf_small).collect()}
+    bp = {
+        r.shard: r
+        for r in PL.pretraining_pipeline_bpe(spark, sf_small).collect()
+    }
+    assert set(ws) == set(bp) and ws
+    for shard, w in ws.items():
+        b = bp[shard]
+        assert b.n_docs == w.n_docs, shard
+        assert b.n_tokens > w.n_tokens, shard
+        assert b.n_windows == math.ceil(b.n_tokens / PL.PT_SEQ_LEN), shard
+        assert b.n_full_windows == b.n_tokens // PL.PT_SEQ_LEN, shard
+
+
+def test_pipeline_bpe_plan_shape_unchanged(spark, sf_small):
+    """The symbol count is one more scan-side expression: same ONE
+    parquet scan, same two data-sized exchanges, still zero Python."""
+    import contextlib
+    import io
+
+    from c4_5decisiontreebasedonmapreduce_spark import registry
+
+    df = registry.queries()["pipeline_pretraining_bpe"](spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert p.count(") Scan parquet") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning(") == 2, p
+
+
+def test_streaming_chunk_bpe_drained_equals_batch(spark, sf_small):
+    """The streaming BPE chunk ingest drained over the bounded source
+    equals the batch twin row-for-row."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        chunking as CH,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.streaming.windows import (
+        streaming_chunk_bpe_ingest,
+    )
+
+    got = sorted(
+        map(tuple, streaming_chunk_bpe_ingest(spark, sf_small).collect())
+    )
+    want = sorted(
+        map(tuple, CH.chunk_documents_bpe(spark, sf_small).collect())
+    )
+    assert got == want and got
+
+
+def test_cli_curate_bpe_tokenizer(spark, tmp_path, capsys):
+    """`curate --tokenizer bpe` writes the BPE-counted manifest."""
+    import json
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.__main__ import cli
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        pipeline as PL,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    out = str(tmp_path / "curated_bpe")
+    rc = cli(["curate", sf, out, "--tokenizer", "bpe"], spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert summary["tokenizer"] == "bpe"
+    rows = spark.read.parquet(out + "/manifest").collect()
+    expect = sorted(
+        map(tuple, PL.pretraining_pipeline_bpe(spark, sf).collect())
+    )
+    assert sorted(map(tuple, rows)) == expect
