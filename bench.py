@@ -143,6 +143,17 @@ BENCH_QUERIES = [
     # embedding machinery) and the cost-based join regime chooser
     "dedup_assets",
     "join_auto",
+    # round-10 second wave: ranked retrieval (inverted-index join +
+    # per-query top-k window) and small-file compaction (the write IS
+    # the op; the fragment fixture is session-cached setup).
+    # layout_partition_prune is untracked: its pruned rescan is a
+    # sub-0.1s 1-partition agg — the pruning evidence lives in pytest.
+    "bm25_topk",
+    "bm25_topk_persisted",
+    "layout_compact_rescan",
+    # layout_cluster_range / layout_advise are untracked (sub-0.1s
+    # single-agg reads; their evidence is the pytest footer-stat and
+    # verdict pins); streaming ops stay unbenched per convention.
 ]
 
 
@@ -191,7 +202,15 @@ def main() -> None:
     # excess is another tenant competing for the same cores
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
     load_threshold = cpus * 1.25
-    for name in BENCH_QUERIES:
+    # $SPARK_GRAFT_BENCH_QUERIES (comma-separated names) subsets the
+    # tracked list — used by the contract test to exercise the CLI
+    # end-to-end without paying the full set's wall; the line-budget
+    # behavior at full size is unit-tested on compact_line directly
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    tracked = (
+        [n for n in subset.split(",") if n] if subset else BENCH_QUERIES
+    )
+    for name in tracked:
         if name not in qs:
             continue
         try:
@@ -226,7 +245,28 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    full = {
+    full = build_full_record(
+        best, med, cold, spread, loads, noisy, elevated,
+        load_threshold, reps, sf, errors,
+    )
+    # $SPARK_GRAFT_BENCH_FULL overrides the diagnostics path so test
+    # harness runs (tiny sf, 1 rep) don't clobber the committed artifact
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full.json"),
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(compact_line(full, errors))
+    spark.stop()
+
+
+def build_full_record(
+    best, med, cold, spread, loads, noisy, elevated,
+    load_threshold, reps, sf, errors,
+) -> dict:
+    return {
         "metric": "headline_queries_total",
         "value": round(sum(best.values()), 3),
         "value_is": "sum of per-query warm minimum over reps",
@@ -248,17 +288,14 @@ def main() -> None:
         "sf": sf,
         **({"errors": errors} if errors else {}),
     }
-    # $SPARK_GRAFT_BENCH_FULL overrides the diagnostics path so test
-    # harness runs (tiny sf, 1 rep) don't clobber the committed artifact
-    full_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_FULL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_full.json"),
-    )
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1)
-    # the ONE stdout JSON line, kept compact: the driver parses only the
-    # tail of stdout, so the extended diagnostics live in bench_full.json
+
+
+def compact_line(full: dict, errors: dict) -> str:
+    """The ONE stdout JSON line, kept compact: the driver parses only
+    the tail of stdout, so the extended diagnostics live in
+    bench_full.json. Unit-tested directly (tests/test_driver_contract)
+    at the full tracked-set size so the subprocess contract test can run
+    a small subset without losing line-budget coverage."""
     compact = {
         k: full[k]
         for k in (
@@ -289,17 +326,21 @@ def main() -> None:
             line = json.dumps(compact, separators=(",", ":"))
             if len(line) <= 1800:
                 break
-        if len(line) > 1800:
-            compact["queries"] = {
-                k: round(v, 2) for k, v in compact["queries"].items()
-            }
-            line = json.dumps(compact, separators=(",", ":"))
+        # 3dp → 2dp → 1dp → integer seconds before losing the map (the
+        # int step only ever fires on a pathological record — every
+        # query over ~100 s — where whole seconds still beat no map)
+        for nd in (2, 1, 0):
+            if len(line) > 1800:
+                compact["queries"] = {
+                    k: (round(v, nd) if nd else int(round(v)))
+                    for k, v in compact["queries"].items()
+                }
+                line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1800:
             compact.pop("queries", None)
             line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1800, f"bench stdout line still {len(line)} chars"
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,345 @@
+"""BM25 full-text retrieval over the `documents` table.
+
+Extension surface (SURVEY.md §2.C): ranked retrieval is a first-class
+LLM-data-pipeline need — retrieval-based data selection, contamination
+forensics ("which corpus docs would a benchmark question retrieve?"),
+and eval-set curation all reduce to "score a small query set against a
+huge corpus and keep top-k per query". The reference engine has no text
+surface at all (it is a C4.5 trainer, `/root/reference/src/program/
+Main.java:44-47`); this module exists purely on the engine's extension
+north star.
+
+Scale shape (the inverted-index join, NOT a query×corpus cross):
+
+- the corpus side is aggregated FIRST to its posting relation
+  ``(doc_id, token, tf)`` — one explode + one hash aggregate, the same
+  shape as :func:`..operators.text.tfidf` — and checkpointed once; the
+  document-length and document-frequency relations both derive from it
+  without touching the raw corpus again.
+- query terms join the postings on ``token``: cost is the sum of the
+  matched posting lists, never ``|Q|×|D|``. The query set is the SMALL
+  static side (an eval suite / benchmark workload); AQE broadcasts it
+  at any realistic scale. A df-cap (drop query terms whose posting list
+  exceeds ``df_cap`` — near-zero idf stopwords) bounds the worst case
+  exactly like dedup_ngram_jaccard's shingle df-cap; the graded entry
+  leaves it off because the synthetic corpus's 31-token vocabulary
+  would drop every term.
+- per-term contributions are rounded to 6 dp and summed as
+  DECIMAL(18,6) so the score is EXACT and partition-order-independent
+  (the same cross-engine determinism trick as similarity_topk's decimal
+  dot product, `operators/similarity.py:74`); ranking orders by the
+  exact score with a doc_id tie-break.
+- top-k per query is one ``row_number`` window partitioned by query_id
+  — parallelism = number of queries, each partition bounded by the
+  query's matched postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+    DOCS_SQL,
+    _tokens_sql,
+    docs,
+    tokens_col,
+)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+
+# which documents play the query workload: a deterministic ~1% doc_id
+# slice (the analogue of decontamination's benchmark slice,
+# operators/dedup.py DECONTAM_BENCH_MOD — intentionally a different
+# modulus so the two "held-out" sets don't coincide)
+BM25_QUERY_MOD = 97
+BM25_QUERY_REM = 3
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Top-``top_k`` corpus documents per query under BM25
+    (Robertson/Sparck-Jones idf, Lucene's +1 shift so idf is always
+    positive):
+
+    ``score(q, d) = Σ_{t ∈ q∩d} ln(1 + (N - df + 0.5)/(df + 0.5))
+                    · tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))``
+
+    ``N`` counts corpus documents, ``dl`` is the document's token count,
+    ``avgdl`` the mean over documents with ≥1 token. Query documents are
+    excluded from the corpus (retrieving yourself is not a result).
+    Output: ``(query_id, doc_id, score, n_terms, rank)``.
+    """
+    d = docs(spark, sf_dir)
+    is_query = F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM
+    corpus = d.where(~is_query)
+
+    # postings: the ONLY pass over the corpus text (checkpointed — it
+    # feeds dl, df, and the score join; un-checkpointed Spark would
+    # re-run the explode three times, exactly the tfidf lesson)
+    tf = (
+        corpus.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    if df_cap is not None:
+        dfreq = dfreq.where(F.col("df") <= df_cap)
+
+    # two scalars, broadcast: corpus size and mean document length
+    stats = corpus.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+        )
+    )
+
+    qterms = (
+        d.where(is_query)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokens_col(F.col("text"))).alias("token"),
+        )
+        .distinct()
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tf_norm, 6).cast("decimal(18,6)")
+
+    scored = (
+        qterms.join(tf, "token")
+        .join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib).alias("score_dec"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("score", F.col("score_dec").cast("double"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.col("n_terms").cast("int").alias("n_terms"),
+            "rank",
+        )
+    )
+
+
+_CORPUS_PRED = f"doc_id % {BM25_QUERY_MOD} <> {BM25_QUERY_REM}"
+_QUERY_PRED = f"doc_id % {BM25_QUERY_MOD} = {BM25_QUERY_REM}"
+
+BM25_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token
+  FROM {DOCS_SQL} WHERE {_CORPUS_PRED}
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM {DOCS_SQL} WHERE {_CORPUS_PRED}) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl
+),
+qterms AS (
+  SELECT DISTINCT query_id, token FROM (
+    SELECT doc_id AS query_id, UNNEST({_tokens_sql('text')}) AS token
+    FROM {DOCS_SQL} WHERE {_QUERY_PRED})
+),
+contrib AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(ROUND(
+      LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf * {BM25_K1 + 1!r})
+      / (t.tf + {BM25_K1!r} * ({1 - BM25_B!r}
+                               + {BM25_B!r} * l.dl / s.avgdl)),
+      6) AS DECIMAL(18,6)) AS c
+  FROM qterms q
+  JOIN tf t USING (token)
+  JOIN dfreq d USING (token)
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score,
+         COUNT(*) AS n_terms
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, CAST(n_terms AS INT) AS n_terms,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {BM25_TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index
+
+
+def build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denormalized scoring relation ``(token, doc_id, tf, dl, df)``
+    — postings with the per-doc length and per-token document frequency
+    already joined in, so a query-time consumer does ONE join (terms →
+    postings) instead of three. This is what :func:`write_postings`
+    persists and what the streaming scorer broadcasts against."""
+    d = docs(spark, sf_dir)
+    corpus = d.where(
+        ~(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM)
+    )
+    tf = (
+        corpus.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return tf.join(dl, "doc_id").join(dfreq, "token").select(
+        "token", "doc_id", "tf", "dl", "df"
+    )
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two scalars the score formula needs: corpus document count
+    (ALL corpus docs, token-less included) and mean token length over
+    docs with ≥1 token — computed exactly as :func:`bm25_topk` does, so
+    persisted and in-memory scoring share arithmetic to the last bit."""
+    d = docs(spark, sf_dir)
+    corpus = d.where(
+        ~(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM)
+    )
+    tf = (
+        corpus.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return corpus.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+    )
+
+
+def write_postings(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "bm25_postings",
+    stats_table: str = "bm25_stats",
+    n_buckets: int = 8,
+    path: str | None = None,
+    stats_path: str | None = None,
+) -> None:
+    """Persist the inverted index BUCKETED BY token — the scoring
+    join's key — plus the 1-row stats table. The corpus text pass runs
+    once at write time; every subsequent query (or ingest micro-batch)
+    joins its terms against this table with NO corpus-side Exchange and
+    NO corpus text scan (plan-pinned in tests/test_scale_plans.py). The
+    same static-index economics as `write_benchmark_shingles`: the
+    corpus changes rarely, the query workload streams."""
+    writer = (
+        build_postings(spark, sf_dir)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "token")
+        .sortBy("token")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    sw = corpus_stats(spark, sf_dir).write.mode("overwrite")
+    if stats_path is not None:
+        sw = sw.option("path", stats_path)
+    sw.saveAsTable(stats_table)
+
+
+def bm25_topk_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "bm25_postings",
+    stats_table: str = "bm25_stats",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """:func:`bm25_topk` against the persisted index: the plan scans the
+    postings + stats tables and the query slice only — the corpus text
+    column appears in NO ReadSchema, and the postings side joins without
+    an Exchange (token-bucketed storage). Output identical to the
+    in-memory op (shared oracle)."""
+    post = spark.table(table)
+    stats = spark.table(stats_table)
+    d = docs(spark, sf_dir)
+    qterms = (
+        d.where(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokens_col(F.col("text"))).alias("token"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tf_norm, 6).cast("decimal(18,6)")
+    scored = (
+        F.broadcast(qterms)
+        .join(post, "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib).alias("score_dec"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("score", F.col("score_dec").cast("double"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.col("n_terms").cast("int").alias("n_terms"),
+            "rank",
+        )
+    )

@@ -2123,6 +2123,19 @@ _register(
     SW.streaming_dsir_scoring,
     SMP.SAMPLE_DSIR_PERSISTED_SQL,
 )
+# r10 second wave: BM25 retrieval at ingest — arriving docs (the bm25
+# query slice, so drained == batch bm25_topk and the oracle is shared)
+# scored per micro-batch against the static postings index; a doc
+# arrives whole, so its top-k is batch-local (zero cross-batch state)
+from c4_5decisiontreebasedonmapreduce_spark.operators.retrieval import (  # noqa: E402
+    BM25_TOPK_SQL as _BM25_TOPK_SQL,
+)
+
+_register(
+    "streaming_bm25_scoring",
+    SW.streaming_bm25_scoring,
+    _BM25_TOPK_SQL,
+)
 
 # passage-level decontamination at ingest (r9): per-micro-batch span
 # detection against the static benchmark gram relation — the islands
@@ -2392,6 +2405,167 @@ _register(
 )
 
 
+# -- ranked retrieval / storage layout (round 10, second wave) --------------
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
+    layout as LY,
+)
+from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
+    retrieval as RV,
+)
+
+_register("bm25_topk", RV.bm25_topk, RV.BM25_TOPK_SQL)
+
+
+_BM25_POSTINGS_TABLES: dict[tuple, tuple[str, str]] = {}
+
+
+def _bm25_topk_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`bm25_topk` against the PERSISTED token-bucketed inverted index
+    (`operators/retrieval.py::write_postings`, written once per session
+    per sf_dir): the query plan scans postings + 1-row stats + the query
+    slice only — no corpus text scan, no postings-side Exchange
+    (plan-pinned in tests/test_scale_plans.py). Output identical to the
+    in-memory op (shared oracle)."""
+    key = _layout_cache_key(sf_dir)  # fingerprinted like the layout dirs
+    tables = _BM25_POSTINGS_TABLES.get(key)
+    if tables is None or not all(
+        spark.catalog.tableExists(t) for t in tables
+    ):
+        import tempfile
+        import uuid
+
+        suffix = uuid.uuid4().hex[:8]
+        tables = (f"bm25_post_{suffix}", f"bm25_stats_{suffix}")
+        RV.write_postings(
+            spark,
+            sf_dir,
+            table=tables[0],
+            stats_table=tables[1],
+            path=tempfile.mkdtemp(prefix="bm25_post_") + "/t",
+            stats_path=tempfile.mkdtemp(prefix="bm25_stats_") + "/t",
+        )
+        _BM25_POSTINGS_TABLES[key] = tables
+    return RV.bm25_topk_persisted(
+        spark, sf_dir, table=tables[0], stats_table=tables[1]
+    )
+
+
+_register(
+    "bm25_topk_persisted", _bm25_topk_persisted_query, RV.BM25_TOPK_SQL
+)
+
+# layout artifacts are one-time ingest products (like the persisted
+# corpus/LM/PQ tables above): written once per sf_dir; the measured op
+# is what a user pays per query — the pruned rescan. Plain parquet
+# directories (no JVM-bound state), so cache entries survive session
+# restarts; keys carry the source table's file-level fingerprint (the
+# decontaminate_bloom lesson — a rewritten corpus must rebuild, never
+# silently serve the stale copy).
+_LAYOUT_PART_DIRS: dict[tuple, str] = {}
+_LAYOUT_FRAG_DIRS: dict[tuple, str] = {}
+
+
+def _layout_cache_key(sf_dir: str) -> tuple:
+    return (sf_dir.rstrip("/"), D._docs_fingerprint(sf_dir))
+
+
+def _layout_partition_prune_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source stats for one language off the hive-partitioned
+    layout (`operators/layout.py::write_partitioned`): the lang
+    predicate becomes a PartitionFilter, so only the `lang=en/`
+    directory is listed or opened — the layout that makes per-slice
+    curation O(slice) at 100 TB (file-listing + plan pins in
+    tests/test_round10_ops.py)."""
+    import os as _os
+
+    key = _layout_cache_key(sf_dir)
+    path = _LAYOUT_PART_DIRS.get(key)
+    if path is None or not _os.path.isdir(path):
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="layout_part_") + "/t"
+        LY.write_partitioned(spark, sf_dir, path)
+        _LAYOUT_PART_DIRS[key] = path
+    return LY.pruned_stats(spark, path)
+
+
+_register(
+    "layout_partition_prune",
+    _layout_partition_prune_query,
+    LY.PRUNED_STATS_SQL,
+)
+
+
+def _layout_compact_rescan_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-file compaction, graded by identity: fragment the documents
+    table into 64 round-robin files once per session (the simulated
+    naive-ingest debris), then THE OP — size the directory from
+    filesystem metadata, rewrite as ceil(bytes/target) balanced files —
+    runs on every call, and the rescan must hash-match the original
+    table row-for-row (md5 of the text travels with each row)."""
+    import os as _os
+    import tempfile
+
+    key = _layout_cache_key(sf_dir)
+    frag = _LAYOUT_FRAG_DIRS.get(key)
+    if frag is None or not _os.path.isdir(frag):
+        frag = tempfile.mkdtemp(prefix="layout_frag_") + "/t"
+        LY.fragment(spark, sf_dir, frag)
+        _LAYOUT_FRAG_DIRS[key] = frag
+    dst = tempfile.mkdtemp(prefix="layout_compact_") + "/t"
+    LY.compact_files(spark, frag, dst)
+    return LY.rescan_checksum(spark, dst)
+
+
+_register(
+    "layout_compact_rescan",
+    _layout_compact_rescan_query,
+    LY.RESCAN_CHECKSUM_SQL,
+)
+
+
+_LAYOUT_CLUSTER_DIRS: dict[tuple, str] = {}
+
+
+def _layout_cluster_range_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range stats off the range-clustered layout
+    (`operators/layout.py::write_clustered`, written once per session):
+    the BETWEEN predicate is pushed into the scan where the key-ordered
+    row groups' min/max stats skip everything outside the middle-decile
+    range — sort-based data skipping for keys too wide to hive-partition
+    (footer-stat disjointness pinned in tests/test_round10_ops.py)."""
+    import os as _os
+
+    key = _layout_cache_key(sf_dir)
+    path = _LAYOUT_CLUSTER_DIRS.get(key)
+    if path is None or not _os.path.isdir(path):
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="layout_cluster_") + "/t"
+        LY.write_clustered(spark, sf_dir, path)
+        _LAYOUT_CLUSTER_DIRS[key] = path
+    lo, hi = LY.cluster_range_bounds(spark, sf_dir)
+    return LY.clustered_range_stats(spark, path, lo, hi)
+
+
+_register(
+    "layout_cluster_range",
+    _layout_cluster_range_query,
+    LY.CLUSTERED_RANGE_STATS_SQL,
+)
+
+_register("layout_advise", LY.layout_advise, LY.LAYOUT_ADVISE_SQL)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 #
@@ -2437,14 +2611,20 @@ _FIRST_WINDOW = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_qty_revenue",
-    "q21_sole_returner",
+    # (r10 second wave: q21_sole_returner out — graded green r9; the
+    # TPC-H family keeps 7 shapes in the window; in its place the
+    # range-clustered-layout rescan, never graded)
+    "layout_cluster_range",
     "profile_skew",
     # text analysis / tokenizer training (r10 rotation: lang_id/tfidf
     # out — stable since r4; chunk_documents → chunk_documents_bpe, the
     # subword twin that grades the replace-chain segmentation per chunk;
     # the displaced entries stay full-registry graded)
     "chunk_documents_bpe",
-    "lm_perplexity",
+    # (r10 second wave: lm_perplexity out — graded green r9 and its LM
+    # family stays full-registry graded; in its place the new ranked-
+    # retrieval op, never graded anywhere yet)
+    "bm25_topk",
     "bpe_train",
     # sampling / split hygiene (r9 second-session ops, never graded)
     "sample_dsir_persisted",
@@ -2452,7 +2632,10 @@ _FIRST_WINDOW = [
     # dedup / decontamination family (r10: dedup_exact out — its
     # fingerprint groupBy is stage 1 of dedup_cluster, which stays)
     "dedup_ngram_jaccard",
-    "dedup_minhash",
+    # (r10 second wave: dedup_minhash out — graded green r6-r9 and the
+    # band-join family stays via dedup_ngram_jaccard/spans/cluster; in
+    # its place the partition-column advisor, never graded)
+    "layout_advise",
     # (r9 rotation: dedup_simhash out — same band-join family as
     # minhash, which stays; pipeline_finetuning in, composing the new
     # split/DSIR/chunk stages into one graded query)
@@ -2468,15 +2651,24 @@ _FIRST_WINDOW = [
     # detect+apply pair in via decontaminate_spans itself
     "dedup_assets",
     "decontaminate",
-    "decontaminate_apply",
+    # (r10 second wave: decontaminate_apply out — graded green r9, and
+    # the apply surgery stays graded via decontaminate_spans below; in
+    # its place the partition-pruned-layout rescan, never graded)
+    "layout_partition_prune",
     "decontaminate_spans",
     # similarity search (r10: similarity_topk out — it is the exact
-    # baseline the two ANN entries are pinned against in pytest)
-    "similarity_ann_ivf",
+    # baseline the two ANN entries are pinned against in pytest;
+    # second wave: similarity_ann_ivf out too, graded green r9 — ivfpq
+    # subsumes its probe machinery; in its place the persisted-index
+    # BM25, never graded)
+    "bm25_topk_persisted",
     "similarity_ann_ivfpq",
     # sampling / packing / pipeline (r10: scrub_pii out — graded green
     # r7-r9 and its regex projection is stage 1 of pipeline_pretraining)
-    "sample_mixture",
+    # (r10 second wave: sample_mixture out — graded green r9;
+    # sample_dsir_persisted above keeps the sampling family graded; in
+    # its place the small-file-compaction identity rescan, never graded)
+    "layout_compact_rescan",
     "pack_sequences",
     "pack_sequences_bpe",
     # r10: join_auto (regime chooser) replaces the r9-graded
@@ -2485,8 +2677,10 @@ _FIRST_WINDOW = [
     "join_auto",
     "pipeline_pretraining",
     # streaming representatives (r10: the two never-graded r9 ingest
-    # ops join the long-running stateful representative)
-    "streaming_stateful",
+    # ops; second wave: streaming_stateful out — graded green r7-r9,
+    # its stateful machinery stays pytest-pinned — for the ingest-time
+    # BM25 scorer, never graded)
+    "streaming_bm25_scoring",
     "streaming_dsir_scoring",
     "streaming_chunk_ingest",
 ]

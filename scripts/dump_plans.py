@@ -429,6 +429,33 @@ HEADLINE = {
         "sample says skip — the plan IS the exact op's plan plus two "
         "sample jobs"
     ),
+    "bm25_topk": (
+        "r10 ranked retrieval: ONE corpus text pass (checkpointed "
+        "postings feed dl/df/score), token equi-join — never |Q|x|D| — "
+        "1-row stats broadcast, per-query row_number top-k"
+    ),
+    "layout_partition_prune": (
+        "r10 layout: lang predicate lands in PartitionFilters — other "
+        "languages' directories never listed; 1-partition agg above it"
+    ),
+    "layout_compact_rescan": (
+        "r10 compaction rescan: a plain scan of the byte-budgeted "
+        "rewrite (the op's shuffle is in the write job, sized from FS "
+        "metadata only)"
+    ),
+    "layout_cluster_range": (
+        "r10 range-clustered rescan: BETWEEN pushed into the scan, "
+        "key-sorted row groups skip outside the range"
+    ),
+    "layout_advise": (
+        "r10 advisor: one stack-melt + grouped count (the contingency "
+        "plan shape), verdict arithmetic above it"
+    ),
+    "bm25_topk_persisted": (
+        "r10 persisted retrieval: token-bucketed postings scan joins "
+        "broadcast query terms — no postings Exchange, the only text "
+        "read is the 1% query slice"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);

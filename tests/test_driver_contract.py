@@ -21,12 +21,21 @@ def test_entry_smoke(spark, sf_small):
 
 def test_bench_emits_json_contract(sf_small):
     """bench.py must print exactly one parseable JSON line on stdout with
-    the driver-recorded fields, whatever happens to individual queries."""
+    the driver-recorded fields, whatever happens to individual queries.
+    Runs a representative subset (one per cost family) — the full
+    tracked set outgrew this test's timeout at r10 (~7 min at sf0.001);
+    the line budget at full size is covered by
+    test_compact_line_budget_at_full_size below."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_small,
         SPARK_GRAFT_BENCH_REPS="1",
         SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_QUERIES=(
+            "scan_training,gain_ratio,q1_pricing_summary,tokenize,"
+            "dedup_exact,decontaminate,pack_sequences,bm25_topk,"
+            "layout_compact_rescan"
+        ),
         # keep the committed sf0.1 diagnostics artifact intact
         SPARK_GRAFT_BENCH_FULL="/tmp/bench_full_test.json",
     )
@@ -47,3 +56,38 @@ def test_bench_emits_json_contract(sf_small):
     assert isinstance(rec["value"], (int, float)) and rec["value"] >= 0
     assert rec["queries"], "no queries recorded"
     assert "errors" not in rec, f"bench queries errored: {rec.get('errors')}"
+
+
+def test_compact_line_budget_at_full_size():
+    """The stdout line must fit the driver's ~1800-char tail window at
+    the FULL tracked-set size (the r6/r9 failure mode was outgrowing it
+    and silently dropping the per-query map). Build a worst-case record
+    from the real BENCH_QUERIES names with 4-digit-second values and
+    assert the degrade chain keeps `queries` while fitting the budget."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    best = {n: 123.456 for n in bench.BENCH_QUERIES}
+    med = dict(best)
+    cold = dict(best)
+    spread = {n: 1.23 for n in bench.BENCH_QUERIES}
+    loads = {n: [32.1, 33.3] for n in bench.BENCH_QUERIES}
+    full = bench.build_full_record(
+        best, med, cold, spread, loads,
+        noisy=list(best)[:5], elevated=list(best)[:5],
+        load_threshold=40.0, reps=3, sf=0.1, errors={},
+    )
+    line = bench.compact_line(full, {})
+    assert len(line) <= 1800
+    rec = json.loads(line)
+    assert set(rec["queries"]) == set(bench.BENCH_QUERIES), (
+        "degrade chain dropped the per-query map at full tracked size"
+    )
+    # and with errors present the line still fits
+    errs = {n: "RuntimeError: " + "x" * 280 for n in list(best)[:6]}
+    full_e = bench.build_full_record(
+        best, med, cold, spread, loads, [], [], 40.0, 3, 0.1, errs,
+    )
+    line_e = bench.compact_line(full_e, errs)
+    assert len(line_e) <= 1800
+    assert json.loads(line_e)

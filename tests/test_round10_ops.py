@@ -691,3 +691,206 @@ def test_cli_curate_bpe_tokenizer(spark, tmp_path, capsys):
         map(tuple, PL.pretraining_pipeline_bpe(spark, sf).collect())
     )
     assert sorted(map(tuple, rows)) == expect
+
+
+# ---------------------------------------------------------------------------
+# round-10 second wave: ranked retrieval + storage layout
+
+
+def test_bm25_shape_and_determinism(spark, sf_small):
+    """Every query gets at most top_k results, ranks are 1..k dense, and
+    ordering is reproducible (rounded-score + doc_id tie-break)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        retrieval as RV,
+    )
+
+    out = RV.bm25_topk(spark, sf_small).collect()
+    assert out, "query slice produced no results"
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.doc_id % RV.BM25_QUERY_MOD != RV.BM25_QUERY_REM, (
+            "a query document retrieved itself or another query doc"
+        )
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= RV.BM25_TOP_K
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True) or all(
+            a > b or (a == b and x.doc_id < y.doc_id)
+            for (a, x), (b, y) in zip(
+                [(r.score, r) for r in rows], [(r.score, r) for r in rows][1:]
+            )
+        )
+    again = RV.bm25_topk(spark, sf_small).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bm25_no_cartesian_and_df_cap(spark, sf_small):
+    """The score join is an inverted-index token equi-join — the only
+    nested-loop in the plan is the broadcast of the 1-row stats
+    relation; a df_cap drops saturated terms (here: the whole 31-token
+    synthetic vocabulary, so the result empties — proving the cap binds
+    on posting-list length)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        retrieval as RV,
+    )
+
+    df = RV.bm25_topk(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    capped = RV.bm25_topk(spark, sf_small, df_cap=1)
+    assert capped.count() == 0
+
+
+def test_layout_partition_prune_reads_only_one_lang(spark, sf_small, tmp_path):
+    """The lang predicate must prune at the DIRECTORY level: the scan's
+    file list contains only the lang=en/ subtree and the plan carries it
+    as a PartitionFilter, not a post-scan Filter."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import layout as LY
+
+    path = str(tmp_path / "part")
+    LY.write_partitioned(spark, sf_small, path)
+    pruned = spark.read.parquet(path).where(F.col("lang") == "en")
+    # inputFiles() lists the relation PRE-pruning; the files actually
+    # opened are what input_file_name() stamps on the surviving rows
+    files = [
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all("lang=en" in f for f in files)
+    all_files = spark.read.parquet(path).inputFiles()
+    assert len(files) < len(all_files)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan
+    # and the per-source stats off the pruned scan match a direct filter
+    got = sorted(map(tuple, LY.pruned_stats(spark, path).collect()))
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    want = sorted(
+        map(
+            tuple,
+            docs(spark, sf_small)
+            .where(F.col("lang") == "en")
+            .groupBy("lang", "source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum("doc_id").alias("sum_doc_id"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_layout_compaction_identity_and_file_count(spark, sf_small, tmp_path):
+    """64 fragments compact to the byte-budgeted file count (1 at this
+    scale) and the rescan is row-for-row the source table."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import layout as LY
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    frag = str(tmp_path / "frag")
+    LY.fragment(spark, sf_small, frag, n_files=64)
+    frag_files = spark.read.parquet(frag).inputFiles()
+    assert len(frag_files) == 64
+    dst = str(tmp_path / "compact")
+    n_out = LY.compact_files(spark, frag, dst)
+    got_files = spark.read.parquet(dst).inputFiles()
+    assert len(got_files) == n_out < len(frag_files)
+    # identity: the checksum rescan equals the same projection of source
+    got = sorted(
+        map(tuple, LY.rescan_checksum(spark, dst).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            docs(spark, sf_small)
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                "n_chars",
+                F.md5(F.col("text")).alias("text_md5"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # a tiny byte budget forces multi-file output — the sizing is real,
+    # not a constant
+    dst2 = str(tmp_path / "compact2")
+    n_small = LY.compact_files(spark, frag, dst2, target_file_bytes=16 * 1024)
+    assert n_small > 1
+    assert len(spark.read.parquet(dst2).inputFiles()) == n_small
+
+
+def test_layout_cluster_disjoint_spans_and_pushdown(spark, sf_small, tmp_path):
+    """Range clustering must leave each file a disjoint doc_id span with
+    tight row-group min/max footers (the stats the reader's row-group
+    skipping runs on), and the range predicate must reach the scan as a
+    PushedFilter. A fragmented (round-robin) layout is the negative
+    control: every file spans ~the whole key range."""
+    import pyarrow.parquet as pq
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import layout as LY
+
+    path = str(tmp_path / "clustered")
+    LY.write_clustered(spark, sf_small, path)
+
+    def spans(p):
+        out = []
+        for f in spark.read.parquet(p).inputFiles():
+            local = f.removeprefix("file:")
+            meta = pq.ParquetFile(local).metadata
+            idx = list(meta.schema.names).index("doc_id")
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    clustered = sorted(spans(path))
+    assert len(clustered) >= LY.CLUSTER_N_FILES
+    for (alo, ahi), (blo, bhi) in zip(clustered, clustered[1:]):
+        assert ahi < blo or ahi <= blo, (
+            f"overlapping clustered spans {ahi} vs {blo}"
+        )
+        assert ahi <= bhi
+    # negative control: round-robin fragments all span ~everything
+    frag = str(tmp_path / "frag")
+    LY.fragment(spark, sf_small, frag, n_files=8)
+    global_span = max(h for _, h in clustered) - min(l for l, _ in clustered)
+    wide = [(l, h) for l, h in spans(frag) if (h - l) > 0.9 * global_span]
+    assert wide, "round-robin fragments should span the key range"
+    narrow = [
+        (l, h) for l, h in clustered if (h - l) <= global_span / 4
+    ]
+    assert len(narrow) == len(clustered), (
+        f"clustered spans not tight: {clustered}"
+    )
+    # the graded rescan pushes the range predicate into the scan
+    lo, hi = LY.cluster_range_bounds(spark, sf_small)
+    df = LY.clustered_range_stats(spark, path, lo, hi)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "GreaterThanOrEqual(doc_id" in pushed and (
+        "LessThanOrEqual(doc_id" in pushed
+    ), pushed
+
+
+def test_layout_advise_verdicts(spark, sf_small):
+    """The advisor must recommend the genuinely partitionable columns
+    (lang: 5 values, source: 20) and reject the key column (doc_id —
+    one row per partition) and the near-unique numeric (n_chars)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import layout as LY
+
+    rows = {r.col: r for r in LY.layout_advise(spark, sf_small).collect()}
+    assert set(rows) == set(LY.ADVISE_COLUMNS)
+    assert rows["lang"].recommend and rows["source"].recommend
+    assert not rows["doc_id"].recommend
+    assert rows["doc_id"].n_distinct > rows["source"].n_distinct
+    assert 0 < rows["lang"].top_share <= 0.5

@@ -1183,3 +1183,49 @@ def test_embedding_persisted_corpus_join_no_shuffle(spark, sf_small, tmp_path):
             "spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom
         )
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bm25_postings_join_no_shuffle_no_text_scan(spark, sf_small, tmp_path):
+    """The persisted BM25 index (token-bucketed postings) must join the
+    query terms with NO Exchange on the postings side, and the scoring
+    plan must never scan the corpus text column — the index IS the
+    corpus as far as retrieval is concerned. Mirrors
+    test_lm_persisted_table_join_no_shuffle."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        retrieval as RV,
+    )
+
+    table, stats = "bm25_plan_test", "bm25_plan_test_stats"
+    RV.write_postings(
+        spark, sf_small, table=table, stats_table=stats,
+        path=str(tmp_path / "post"), stats_path=str(tmp_path / "stats"),
+    )
+    try:
+        df = RV.bm25_topk_persisted(
+            spark, sf_small, table=table, stats_table=stats
+        )
+        p = plan_of(df)
+        # exactly ONE scan reads a text column — the ~1% query slice;
+        # the corpus text is never re-read (the index replaced it)
+        text_scans = [
+            seg.split("\n")[0]
+            for seg in p.split("ReadSchema: ")[1:]
+            if "text" in seg.split("\n")[0]
+        ]
+        assert len(text_scans) == 1, text_scans
+        # the broadcast of qterms leaves the bucketed postings scan
+        # exchange-free: the only shuffles are the candidate aggregate
+        # and the per-query window
+        post_scan = [
+            seg for seg in p.split("Scan parquet")[1:] if table in seg[:200]
+        ]
+        assert post_scan, p
+        assert "Bucketed: true" in p, p
+        assert df.count() > 0
+        # identity with the in-memory op
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, RV.bm25_topk(spark, sf_small).collect()))
+        assert a == b
+    finally:
+        for t in (table, stats):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

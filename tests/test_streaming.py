@@ -736,3 +736,22 @@ def test_streaming_decontaminate_spans_multi_batch(spark, sf_small, tmp_path):
     assert staged == single
     assert any(r[0] <= cut for r in staged)
     assert any(r[0] > cut for r in staged)
+
+
+def test_streaming_bm25_drained_equals_batch(spark, sf_small):
+    """The per-micro-batch BM25 scoring drains to EXACTLY the batch
+    `bm25_topk` result: a document arrives whole, so its term set —
+    and therefore its entire top-k — is complete within its own
+    micro-batch (zero cross-batch state to get wrong)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        retrieval as RV,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import (
+        windows as SW,
+    )
+
+    drained = sorted(
+        map(tuple, SW.streaming_bm25_scoring(spark, sf_small).collect())
+    )
+    batch = sorted(map(tuple, RV.bm25_topk(spark, sf_small).collect()))
+    assert drained == batch
