@@ -1486,3 +1486,206 @@ FROM (SELECT CAST({key} AS VARCHAR) AS k, COUNT(*) AS c
 
 
 PROFILE_SKEW_SQL = _skew_sql()
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (r10 second wave)
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion per user: the earliest ``view``, the
+    earliest ``click`` strictly after it, the earliest ``purchase``
+    strictly after that. Output per user: the three stage timestamps,
+    ``stage_reached`` (0–3), and the exact microsecond view→purchase
+    latency for full conversions.
+
+    Scale shape: one filtered aggregate per stage (each a partial+final
+    hash agg over the stage's OWN events only — predicate pushed to the
+    scan), chained by equi-joins on user_id. Every relation after stage
+    1 is bounded by the user count, not the event count, and all joins
+    share the user_id hash partitioning, so AQE reuses one exchange
+    layout end-to-end. No window over the raw event stream — the
+    sessionize-style sort-per-user is avoided entirely because funnels
+    only need per-stage minima, not full orderings."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            stage.cast("int").alias("stage_reached"),
+            F.when(
+                F.col("t3").isNotNull(),
+                F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t1")),
+            ).alias("convert_micros"),
+        )
+    )
+
+
+FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s2.t2
+  GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, t1, t2, t3,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END AS INT) AS stage_reached,
+  CASE WHEN t3 IS NOT NULL THEN DATE_DIFF('microsecond', t1, t3) END
+    AS convert_micros
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)"""
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (r10 second wave)
+
+
+DIFF_REMOVED_MOD, DIFF_REMOVED_REM = 31, 5
+DIFF_CHANGED_MOD, DIFF_CHANGED_REM = 23, 7
+DIFF_ADDED_MOD, DIFF_ADDED_REM = 41, 3
+DIFF_ADDED_OFFSET = 10_000_000
+
+
+def _snapshot_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simulated next corpus version, derived deterministically from
+    v1 so the diff is oracle-gradable: a ~3% slice dropped, a ~4% slice
+    edited, a ~2% slice re-ingested under new ids."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    d = docs(spark, sf_dir).select("doc_id", "text")
+    kept = d.where(
+        F.col("doc_id") % DIFF_REMOVED_MOD != DIFF_REMOVED_REM
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_CHANGED_MOD == DIFF_CHANGED_REM,
+            F.concat(F.col("text"), F.lit(" [v2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.where(
+        F.col("doc_id") % DIFF_ADDED_MOD == DIFF_ADDED_REM
+    ).select(
+        (F.col("doc_id") + DIFF_ADDED_OFFSET).alias("doc_id"), "text"
+    )
+    return kept.unionByName(added)
+
+
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version audit — the read-side counterpart of `merge_cdc`:
+    which documents were added, removed, or changed between two
+    snapshots, by content hash. One full-outer join on doc_id over
+    (id, md5) projections; unchanged rows are dropped AFTER the join
+    (both sides are needed to know a row is unchanged), so the result
+    is bounded by the churn, not the corpus.
+
+    Scale shape: each side is a scan-side projection to (id, 32-byte
+    md5) — the join never carries text; both sides hash-partition on
+    doc_id (bucketing both snapshots by id would make it shuffle-free,
+    the same economics as the persisted dedup corpora). Output:
+    ``(doc_id, status, old_md5, new_md5)``."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    v1 = docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("old_md5")
+    )
+    v2 = _snapshot_v2(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("new_md5")
+    )
+    joined = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("new_md5").isNull(), "removed")
+        .when(F.col("old_md5").isNull(), "added")
+        .when(F.col("old_md5") != F.col("new_md5"), "changed")
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("doc_id", "status", "old_md5", "new_md5")
+    )
+
+
+_V2_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {DIFF_CHANGED_MOD} = {DIFF_CHANGED_REM}
+            THEN text || ' [v2]' ELSE text END AS text
+FROM {{docs}}
+WHERE doc_id % {DIFF_REMOVED_MOD} <> {DIFF_REMOVED_REM}
+UNION ALL
+SELECT doc_id + {DIFF_ADDED_OFFSET} AS doc_id, text
+FROM {{docs}}
+WHERE doc_id % {DIFF_ADDED_MOD} = {DIFF_ADDED_REM}"""
+
+
+def _diff_snapshots_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        DOCS_SQL,
+    )
+
+    v2 = _V2_SQL.format(docs=DOCS_SQL)
+    return f"""
+WITH v1 AS (SELECT doc_id, MD5(text) AS old_md5 FROM {DOCS_SQL}),
+v2 AS (SELECT doc_id, MD5(text) AS new_md5 FROM ({v2}) s)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 IS NULL THEN 'added'
+            WHEN old_md5 <> new_md5 THEN 'changed' END AS status,
+       old_md5, new_md5
+FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE new_md5 IS NULL OR old_md5 IS NULL OR old_md5 <> new_md5"""
+
+
+DIFF_SNAPSHOTS_SQL = _diff_snapshots_sql()

@@ -1075,6 +1075,11 @@ _register("date_funcs", R.date_funcs_orders, R.DATE_FUNCS_SQL)
 _register("json_funcs", R.json_funcs_events, R.JSON_FUNCS_SQL)
 _register("event_windows", _event_windows_query, _EVENT_WINDOWS_SQL)
 _register("sessionize", R.sessionize_events, R.SESSIONIZE_SQL)
+# r10 second wave: ordered-funnel conversion (per-stage filtered minima
+# chained on user_id — no per-user event sort) and the corpus snapshot
+# diff (content-hash full-outer audit, merge_cdc's read-side twin)
+_register("funnel_conversion", R.funnel_conversion, R.FUNNEL_SQL)
+_register("diff_snapshots", R.diff_snapshots, R.DIFF_SNAPSHOTS_SQL)
 
 
 # -- LLM-pipeline extensions (SURVEY.md §2.C) --------------------------------

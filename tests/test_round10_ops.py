@@ -894,3 +894,92 @@ def test_layout_advise_verdicts(spark, sf_small):
     assert not rows["doc_id"].recommend
     assert rows["doc_id"].n_distinct > rows["source"].n_distinct
     assert 0 < rows["lang"].top_share <= 0.5
+
+
+def test_funnel_matches_bruteforce(spark, sf_small):
+    """The chained-min funnel must equal a per-user brute-force replay
+    of the ordered-stage definition over the collected event log."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        relational as R,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
+        load_table,
+    )
+
+    events = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        t1 = min((t for t, e in evs if e == "view"), default=None)
+        t2 = (
+            min((t for t, e in evs if e == "click" and t > t1), default=None)
+            if t1
+            else None
+        )
+        t3 = (
+            min(
+                (t for t, e in evs if e == "purchase" and t > t2),
+                default=None,
+            )
+            if t2
+            else None
+        )
+        stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        expect[uid] = (t1, t2, t3, stage)
+    got = {
+        r.user_id: (r.t1, r.t2, r.t3, r.stage_reached)
+        for r in R.funnel_conversion(spark, sf_small).collect()
+    }
+    assert got == expect
+    # latency is exact microseconds for full conversions only
+    for r in R.funnel_conversion(spark, sf_small).collect():
+        if r.stage_reached == 3:
+            want = int((r.t3 - r.t1).total_seconds() * 1_000_000)
+            assert abs(r.convert_micros - want) <= 1
+        else:
+            assert r.convert_micros is None
+
+
+def test_diff_snapshots_statuses_by_construction(spark, sf_small):
+    """Every diff row's status must match the v2 construction rules, and
+    unchanged documents must be absent."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        relational as R,
+    )
+
+    rows = R.diff_snapshots(spark, sf_small).collect()
+    assert rows
+    seen = {r.doc_id: r for r in rows}
+    assert len(seen) == len(rows), "one row per doc_id"
+    n_status = {"added": 0, "removed": 0, "changed": 0}
+    for r in rows:
+        n_status[r.status] += 1
+        if r.status == "removed":
+            assert r.doc_id % R.DIFF_REMOVED_MOD == R.DIFF_REMOVED_REM
+            assert r.new_md5 is None and r.old_md5
+        elif r.status == "added":
+            assert r.doc_id >= R.DIFF_ADDED_OFFSET
+            assert (
+                r.doc_id - R.DIFF_ADDED_OFFSET
+            ) % R.DIFF_ADDED_MOD == R.DIFF_ADDED_REM
+            assert r.old_md5 is None and r.new_md5
+        else:
+            assert r.doc_id % R.DIFF_CHANGED_MOD == R.DIFF_CHANGED_REM
+            assert r.doc_id % R.DIFF_REMOVED_MOD != R.DIFF_REMOVED_REM
+            assert r.old_md5 and r.new_md5 and r.old_md5 != r.new_md5
+    assert all(v > 0 for v in n_status.values()), n_status
+    # unchanged docs are absent: a doc in neither slice never appears
+    for r in rows:
+        base = (
+            r.doc_id - R.DIFF_ADDED_OFFSET
+            if r.status == "added"
+            else r.doc_id
+        )
+        assert base < R.DIFF_ADDED_OFFSET
