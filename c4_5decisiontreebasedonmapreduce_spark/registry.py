@@ -2570,6 +2570,19 @@ _register(
 
 _register("layout_advise", LY.layout_advise, LY.LAYOUT_ADVISE_SQL)
 
+# unigram-LM tokenizer family (r10 second wave): the seed substring
+# ranking is pure relational algebra (oracle-paired); the EM loop and
+# the Viterbi corpus encoding are iterative/sequential — rows-only,
+# graded by the independent pure-Python reference + driver≡distributed
+# parity pins in tests/test_round10_ops.py (the bpe_train pattern)
+from c4_5decisiontreebasedonmapreduce_spark.operators import (  # noqa: E402
+    unigram as UG,
+)
+
+_register("unigram_seed_vocab", UG.unigram_seed_vocab, UG.UNIGRAM_SEED_SQL)
+_register("unigram_train", UG.unigram_train)
+_register("unigram_encode", UG.unigram_encode)
+
 
 # ---------------------------------------------------------------------------
 # driver-facing ordering
@@ -2636,10 +2649,12 @@ _FIRST_WINDOW = [
     "split_leakage_audit",
     # dedup / decontamination family (r10: dedup_exact out — its
     # fingerprint groupBy is stage 1 of dedup_cluster, which stays)
-    "dedup_ngram_jaccard",
-    # (r10 second wave: dedup_minhash out — graded green r6-r9 and the
-    # band-join family stays via dedup_ngram_jaccard/spans/cluster; in
-    # its place the partition-column advisor, never graded)
+    # (r10 second wave: dedup_ngram_jaccard + dedup_minhash out — both
+    # graded green r6-r9 and the candidate-join family keeps
+    # spans/cluster/embedding entries below; in their place the
+    # partition-column advisor and the unigram tokenizer seed, both
+    # never graded)
+    "unigram_seed_vocab",
     "layout_advise",
     # (r9 rotation: dedup_simhash out — same band-join family as
     # minhash, which stays; pipeline_finetuning in, composing the new

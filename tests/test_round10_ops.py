@@ -983,3 +983,148 @@ def test_diff_snapshots_statuses_by_construction(spark, sf_small):
             else r.doc_id
         )
         assert base < R.DIFF_ADDED_OFFSET
+
+
+# -- unigram-LM tokenizer (r10 second wave) ---------------------------------
+
+
+def _unigram_reference(texts):
+    """Independent pure-Python replay of the unigram hard-EM spec:
+    word counts -> overlap-counted substring seed (all singles + top-64
+    multi by count desc, piece asc) -> N_ITERS of Viterbi (equal score:
+    longer final piece wins) + count re-estimation with zero-mass
+    pruning -> ranked final vocab."""
+    import math
+    from collections import Counter
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        unigram as UG,
+    )
+
+    wc = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", (t or "").lower()):
+            if w:
+                wc[w] += 1
+    sub = Counter()
+    for w, f in wc.items():
+        for i in range(len(w)):
+            for L in range(1, min(UG.UNIGRAM_MAX_PIECE_LEN, len(w) - i) + 1):
+                sub[w[i : i + L]] += f
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[: UG.UNIGRAM_SEED_MULTI]
+    seed = {p: c for p, c in sub.items() if len(p) == 1}
+    seed.update(dict(multi))
+
+    def viterbi(word, logp):
+        n = len(word)
+        neg = float("-inf")
+        dp = [neg] * (n + 1)
+        dp[0] = 0.0
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for j in range(max(0, i - UG.UNIGRAM_MAX_PIECE_LEN), i):
+                lp = logp.get(word[j:i])
+                if lp is None or dp[j] == neg:
+                    continue
+                s = dp[j] + lp
+                if s > dp[i] or (s == dp[i] and j < back[i]):
+                    dp[i], back[i] = s, j
+        out, i = [], n
+        while i > 0:
+            out.append(word[back[i] : i])
+            i = back[i]
+        return out[::-1]
+
+    def logprobs(counts):
+        tot = sum(counts.values())
+        return {p: math.log(c / tot) for p, c in counts.items() if c > 0}
+
+    logp = logprobs(seed)
+    counts = seed
+    for _ in range(UG.UNIGRAM_N_ITERS):
+        nxt = Counter()
+        for w, f in wc.items():
+            for p in viterbi(w, logp):
+                nxt[p] += f
+        keep = {p: c for p, c in nxt.items() if c > 0}
+        for p in logp:
+            if len(p) == 1 and p not in keep:
+                keep[p] = 0
+        logp = logprobs({p: c for p, c in keep.items() if c > 0})
+        floor = math.log(0.5 / max(sum(keep.values()), 1))
+        for p, c in keep.items():
+            if c == 0:
+                logp[p] = floor
+        counts = keep
+
+    tot = sum(c for c in counts.values() if c > 0)
+    final = sorted(
+        ((p, c) for p, c in counts.items() if c > 0),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return [
+        (p, len(p), c, round(math.log(c / tot), 6), i + 1)
+        for i, (p, c) in enumerate(final)
+    ]
+
+
+def test_unigram_train_matches_reference(spark, sf_small):
+    """The production trainer (Spark seed + driver EM) must equal the
+    independent pure-Python replay exactly — counts, logprobs, ranks."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        unigram as UG,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    texts = [r.text for r in docs(spark, sf_small).collect()]
+    want = _unigram_reference(texts)
+    got = [
+        (r.piece, r.piece_len, r.cnt, r.logprob, r.rank)
+        for r in UG.unigram_train(spark, sf_small)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_unigram_driver_equals_distributed(spark, sf_small):
+    """Forcing the distributed E-step (driver bound 0) must produce the
+    identical vocabulary — same floats, same ranks."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        bpe as B2,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        unigram as UG,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    wc = B2.word_counts(docs(spark, sf_small)).localCheckpoint()
+    a = UG.train_vocab(wc)
+    b = UG.train_vocab(wc, driver_max_words=0)
+    assert a == b
+
+
+def test_unigram_encode_partitions_words(spark, sf_small):
+    """Segmentations must PARTITION each word (concat == word) and the
+    per-doc stats must be conserved: n_words <= n_pieces <= n_chars and
+    n_chars equals the corpus's own character total per doc."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        bpe as B2,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        unigram as UG,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    d = docs(spark, sf_small)
+    wc = B2.word_counts(d).localCheckpoint()
+    vocab = UG.train_vocab(wc)
+    for r in UG.segment_words(wc, vocab).collect():
+        assert "".join(r.pieces) == r.word, r
+    enc = UG.unigram_encode(spark, sf_small).collect()
+    assert enc
+    for r in enc:
+        assert r.n_words <= r.n_pieces <= r.n_chars, r
