@@ -267,8 +267,8 @@ def layout_advise(spark: SparkSession, sf_dir: str) -> DataFrame:
     per candidate column — exact distinct count, the heaviest value's
     row share, and the verdict
 
-    ``recommend = 2 <= n_distinct <= min(1024, rows/16)
-                  AND top_share <= 0.5``
+    ``recommend = 2 <= n_distinct <= 1024
+                  AND n_distinct * 16 <= rows AND top_share <= 0.5``
 
     (enough values to prune, few enough to not drown the metastore /
     produce empty-file partitions, and no value so hot the layout
@@ -294,17 +294,22 @@ def layout_advise(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_share = F.round(
         F.col("top_cnt") / F.col("n_rows").cast("double"), 6
     )
-    cap = F.least(
-        F.lit(ADVISE_MAX_PARTITIONS),
-        (F.col("n_rows") / ADVISE_MIN_ROWS_PER_PARTITION).cast("bigint"),
-    )
+    # rows-per-partition floor as a pure-integer comparison
+    # (n_distinct * min_rows <= n_rows): no division, so Spark and the
+    # DuckDB oracle agree exactly (CAST-of-double rounds in DuckDB but
+    # truncates in Spark — the cluster_range_bounds FLOOR lesson); the
+    # share gate compares the 6dp-ROUNDED value in both engines
     return per_col.select(
         "col",
         "n_distinct",
         top_share.alias("top_share"),
         (
             (F.col("n_distinct") >= 2)
-            & (F.col("n_distinct") <= cap)
+            & (F.col("n_distinct") <= ADVISE_MAX_PARTITIONS)
+            & (
+                F.col("n_distinct") * ADVISE_MIN_ROWS_PER_PARTITION
+                <= F.col("n_rows")
+            )
             & (top_share <= ADVISE_MAX_TOP_SHARE)
         ).alias("recommend"),
     )
@@ -326,9 +331,9 @@ per_col AS (
 SELECT col, n_distinct,
        ROUND(top_cnt / CAST(n_rows AS DOUBLE), 6) AS top_share,
        (n_distinct >= 2
-        AND n_distinct <= LEAST({ADVISE_MAX_PARTITIONS},
-                                CAST(n_rows / {ADVISE_MIN_ROWS_PER_PARTITION}
-                                     AS BIGINT))
-        AND top_cnt / CAST(n_rows AS DOUBLE) <= {ADVISE_MAX_TOP_SHARE})
+        AND n_distinct <= {ADVISE_MAX_PARTITIONS}
+        AND n_distinct * {ADVISE_MIN_ROWS_PER_PARTITION} <= n_rows
+        AND ROUND(top_cnt / CAST(n_rows AS DOUBLE), 6)
+            <= {ADVISE_MAX_TOP_SHARE})
        AS recommend
 FROM per_col"""

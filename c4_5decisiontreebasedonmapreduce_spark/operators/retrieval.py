@@ -18,12 +18,12 @@ Scale shape (the inverted-index join, NOT a query×corpus cross):
   without touching the raw corpus again.
 - query terms join the postings on ``token``: cost is the sum of the
   matched posting lists, never ``|Q|×|D|``. The query set is the SMALL
-  static side (an eval suite / benchmark workload); AQE broadcasts it
-  at any realistic scale. A df-cap (drop query terms whose posting list
-  exceeds ``df_cap`` — near-zero idf stopwords) bounds the worst case
-  exactly like dedup_ngram_jaccard's shingle df-cap; the graded entry
-  leaves it off because the synthetic corpus's 31-token vocabulary
-  would drop every term.
+  broadcast side (an eval suite / benchmark workload is broadcast-sized
+  by definition). A df-cap (drop query terms whose posting list exceeds
+  ``df_cap`` — near-zero idf stopwords) bounds the worst case exactly
+  like dedup_ngram_jaccard's shingle df-cap; the graded entry leaves it
+  off because the synthetic corpus's 31-token vocabulary would drop
+  every term.
 - per-term contributions are rounded to 6 dp and summed as
   DECIMAL(18,6) so the score is EXACT and partition-order-independent
   (the same cross-engine determinism trick as similarity_topk's decimal
@@ -32,6 +32,10 @@ Scale shape (the inverted-index join, NOT a query×corpus cross):
 - top-k per query is one ``row_number`` window partitioned by query_id
   — parallelism = number of queries, each partition bounded by the
   query's matched postings.
+- ONE scoring implementation (:func:`score_terms`) serves the in-memory
+  op, the persisted-index op, and the streaming ingest scorer — they
+  share one oracle (``BM25_TOPK_SQL``) and are pinned output-equal, so
+  the arithmetic lives in exactly one place.
 """
 
 from __future__ import annotations
@@ -58,33 +62,28 @@ BM25_QUERY_MOD = 97
 BM25_QUERY_REM = 3
 
 
-def bm25_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    top_k: int = BM25_TOP_K,
-    df_cap: int | None = None,
-) -> DataFrame:
-    """Top-``top_k`` corpus documents per query under BM25
-    (Robertson/Sparck-Jones idf, Lucene's +1 shift so idf is always
-    positive):
+def _corpus(d: DataFrame) -> DataFrame:
+    return d.where(~(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM))
 
-    ``score(q, d) = Σ_{t ∈ q∩d} ln(1 + (N - df + 0.5)/(df + 0.5))
-                    · tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))``
 
-    ``N`` counts corpus documents, ``dl`` is the document's token count,
-    ``avgdl`` the mean over documents with ≥1 token. Query documents are
-    excluded from the corpus (retrieving yourself is not a result).
-    Output: ``(query_id, doc_id, score, n_terms, rank)``.
-    """
-    d = docs(spark, sf_dir)
-    is_query = F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM
-    corpus = d.where(~is_query)
+def query_terms(d: DataFrame) -> DataFrame:
+    """Distinct (query_id, token) for the query slice."""
+    return (
+        d.where(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokens_col(F.col("text"))).alias("token"),
+        )
+        .distinct()
+    )
 
-    # postings: the ONLY pass over the corpus text (checkpointed — it
-    # feeds dl, df, and the score join; un-checkpointed Spark would
-    # re-run the explode three times, exactly the tfidf lesson)
+
+def _postings_rel(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """``(postings, dl)``: the denormalized scoring relation
+    ``(token, doc_id, tf, dl, df)`` and the per-doc length relation it
+    was built from. ONE corpus text pass (the tf explode, checkpointed —
+    dl, df, and the join all reuse it; un-checkpointed Spark would
+    re-run it three times, exactly the tfidf lesson)."""
     tf = (
         corpus.select(
             "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
@@ -95,25 +94,59 @@ def bm25_topk(
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    if df_cap is not None:
-        dfreq = dfreq.where(F.col("df") <= df_cap)
+    post = tf.join(dl, "doc_id").join(dfreq, "token").select(
+        "token", "doc_id", "tf", "dl", "df"
+    )
+    return post, dl
 
-    # two scalars, broadcast: corpus size and mean document length
-    stats = corpus.agg(F.count("*").alias("n_docs")).crossJoin(
-        dl.agg(
-            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
-        )
+
+def build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denormalized scoring relation — what :func:`write_postings`
+    persists and what the streaming scorer joins against."""
+    return _postings_rel(_corpus(docs(spark, sf_dir)))[0]
+
+
+def _stats_rel(corpus: DataFrame, dl: DataFrame) -> DataFrame:
+    """The two scalars the score formula needs: corpus document count
+    (ALL corpus docs, token-less included — a text-free column-pruned
+    count) and mean token length over docs with ≥1 token."""
+    return corpus.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
     )
 
-    qterms = (
-        d.where(is_query)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(tokens_col(F.col("text"))).alias("token"),
-        )
-        .distinct()
-    )
 
+def corpus_stats(
+    spark: SparkSession, sf_dir: str, postings: DataFrame | None = None
+) -> DataFrame:
+    """Stats for scoring. When ``postings`` is given (the persisted or
+    checkpointed index), dl derives from it — NO second corpus text
+    pass; only the text-free doc count touches the corpus again."""
+    corpus = _corpus(docs(spark, sf_dir))
+    if postings is not None:
+        dl = postings.select("doc_id", "dl").distinct()
+    else:
+        dl = _postings_rel(corpus)[1]
+    return _stats_rel(corpus, dl)
+
+
+def score_terms(
+    qterms: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """THE scoring implementation, shared by every BM25 surface:
+
+    ``score(q, d) = Σ_{t ∈ q∩d} ln(1 + (N - df + 0.5)/(df + 0.5))
+                    · tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))``
+
+    (Lucene's +1-shifted Robertson idf, so idf is always positive).
+    Query terms broadcast (a query workload is broadcast-sized by
+    definition) onto the postings; per-term contributions round to 6 dp
+    and sum as DECIMAL(18,6); row_number top-k per query with a doc_id
+    tie-break. Output: ``(query_id, doc_id, score, n_terms, rank)``."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -124,11 +157,9 @@ def bm25_topk(
         * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     contrib = F.round(idf * tf_norm, 6).cast("decimal(18,6)")
-
     scored = (
-        qterms.join(tf, "token")
-        .join(dfreq, "token")
-        .join(dl, "doc_id")
+        F.broadcast(qterms)
+        .join(postings, "token")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
@@ -151,6 +182,27 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Top-``top_k`` corpus documents per query under BM25. Query
+    documents are excluded from the corpus (retrieving yourself is not
+    a result). The df-cap filters the SCORING join only — dl/avgdl
+    always reflect full document lengths."""
+    d = docs(spark, sf_dir)
+    corpus = _corpus(d)
+    post, dl = _postings_rel(corpus)
+    stats = _stats_rel(corpus, dl)
+    if df_cap is not None:
+        post = post.where(F.col("df") <= df_cap)
+    return score_terms(query_terms(d), post, stats, k1, b, top_k)
 
 
 _CORPUS_PRED = f"doc_id % {BM25_QUERY_MOD} <> {BM25_QUERY_REM}"
@@ -205,53 +257,6 @@ WHERE rank <= {BM25_TOP_K}"""
 # persisted inverted index
 
 
-def build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The denormalized scoring relation ``(token, doc_id, tf, dl, df)``
-    — postings with the per-doc length and per-token document frequency
-    already joined in, so a query-time consumer does ONE join (terms →
-    postings) instead of three. This is what :func:`write_postings`
-    persists and what the streaming scorer broadcasts against."""
-    d = docs(spark, sf_dir)
-    corpus = d.where(
-        ~(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM)
-    )
-    tf = (
-        corpus.select(
-            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
-        )
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    return tf.join(dl, "doc_id").join(dfreq, "token").select(
-        "token", "doc_id", "tf", "dl", "df"
-    )
-
-
-def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two scalars the score formula needs: corpus document count
-    (ALL corpus docs, token-less included) and mean token length over
-    docs with ≥1 token — computed exactly as :func:`bm25_topk` does, so
-    persisted and in-memory scoring share arithmetic to the last bit."""
-    d = docs(spark, sf_dir)
-    corpus = d.where(
-        ~(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM)
-    )
-    tf = (
-        corpus.select(
-            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
-        )
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    return corpus.agg(F.count("*").alias("n_docs")).crossJoin(
-        dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
-    )
-
-
 def write_postings(
     spark: SparkSession,
     sf_dir: str,
@@ -263,7 +268,8 @@ def write_postings(
 ) -> None:
     """Persist the inverted index BUCKETED BY token — the scoring
     join's key — plus the 1-row stats table. The corpus text pass runs
-    once at write time; every subsequent query (or ingest micro-batch)
+    once at write time (the stats derive from the just-written table,
+    not a second pass); every subsequent query (or ingest micro-batch)
     joins its terms against this table with NO corpus-side Exchange and
     NO corpus text scan (plan-pinned in tests/test_scale_plans.py). The
     same static-index economics as `write_benchmark_shingles`: the
@@ -277,7 +283,9 @@ def write_postings(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
-    sw = corpus_stats(spark, sf_dir).write.mode("overwrite")
+    sw = corpus_stats(
+        spark, sf_dir, postings=spark.table(table)
+    ).write.mode("overwrite")
     if stats_path is not None:
         sw = sw.option("path", stats_path)
     sw.saveAsTable(stats_table)
@@ -294,52 +302,14 @@ def bm25_topk_persisted(
 ) -> DataFrame:
     """:func:`bm25_topk` against the persisted index: the plan scans the
     postings + stats tables and the query slice only — the corpus text
-    column appears in NO ReadSchema, and the postings side joins without
-    an Exchange (token-bucketed storage). Output identical to the
-    in-memory op (shared oracle)."""
-    post = spark.table(table)
-    stats = spark.table(stats_table)
-    d = docs(spark, sf_dir)
-    qterms = (
-        d.where(F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(tokens_col(F.col("text"))).alias("token"),
-        )
-        .distinct()
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * F.lit(k1 + 1)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    )
-    contrib = F.round(idf * tf_norm, 6).cast("decimal(18,6)")
-    scored = (
-        F.broadcast(qterms)
-        .join(post, "token")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(contrib).alias("score_dec"),
-            F.count("*").alias("n_terms"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        scored.withColumn("score", F.col("score_dec").cast("double"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .select(
-            "query_id",
-            "doc_id",
-            "score",
-            F.col("n_terms").cast("int").alias("n_terms"),
-            "rank",
-        )
+    column appears in exactly one ReadSchema (the query slice), and the
+    postings side joins without an Exchange (token-bucketed storage).
+    Output identical to the in-memory op (shared oracle)."""
+    return score_terms(
+        query_terms(docs(spark, sf_dir)),
+        spark.table(table),
+        spark.table(stats_table),
+        k1,
+        b,
+        top_k,
     )

@@ -2471,6 +2471,7 @@ _register(
 # silently serve the stale copy).
 _LAYOUT_PART_DIRS: dict[tuple, str] = {}
 _LAYOUT_FRAG_DIRS: dict[tuple, str] = {}
+_LAYOUT_COMPACT_DIRS: dict[tuple, str] = {}
 
 
 def _layout_cache_key(sf_dir: str) -> tuple:
@@ -2524,7 +2525,14 @@ def _layout_compact_rescan_query(
         frag = tempfile.mkdtemp(prefix="layout_frag_") + "/t"
         LY.fragment(spark, sf_dir, frag)
         _LAYOUT_FRAG_DIRS[key] = frag
-    dst = tempfile.mkdtemp(prefix="layout_compact_") + "/t"
+    # ONE destination dir per source fingerprint, rewritten in place by
+    # mode=overwrite: the compaction write (the op) still runs on every
+    # call, but repeated invocations (bench reps, grading) don't
+    # accumulate full table copies under /tmp
+    dst = _LAYOUT_COMPACT_DIRS.get(key)
+    if dst is None:
+        dst = tempfile.mkdtemp(prefix="layout_compact_") + "/t"
+        _LAYOUT_COMPACT_DIRS[key] = dst
     LY.compact_files(spark, frag, dst)
     return LY.rescan_checksum(spark, dst)
 

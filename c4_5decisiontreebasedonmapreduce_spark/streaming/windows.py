@@ -1233,49 +1233,33 @@ def streaming_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     `bm25_topk` and the oracle is shared) are scored against the STATIC
     corpus index — the contamination-forensics lookup a curation
     pipeline runs on every incoming eval/benchmark candidate. The index
-    (the denormalized postings relation + 1-row stats, built once and
-    checkpointed — the `streaming_dsir_scoring` static-side pattern) is
-    joined per micro-batch on token; a document arrives WHOLE in one
+    (the denormalized postings relation + 1-row stats, built with ONE
+    corpus text pass, checkpointed — the `streaming_dsir_scoring`
+    static-side pattern; stats derive from the checkpointed postings)
+    is joined per micro-batch on token through the SAME `score_terms`
+    implementation as the batch ops; a document arrives WHOLE in one
     row, so its terms and therefore its entire top-k are batch-local:
     zero cross-batch state, the `streaming_decontaminate_spans` shape.
     In production the static side is `write_postings`' token-bucketed
     table, making the per-batch join Exchange-free on the corpus."""
-    from pyspark.sql import Window as W
-
     from c4_5decisiontreebasedonmapreduce_spark.operators.retrieval import (
-        BM25_B,
-        BM25_K1,
         BM25_QUERY_MOD,
         BM25_QUERY_REM,
-        BM25_TOP_K,
         build_postings,
         corpus_stats,
+        score_terms,
     )
     from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
         tokens_col,
     )
 
     post = build_postings(spark, sf_dir).localCheckpoint()
-    stats = corpus_stats(spark, sf_dir).localCheckpoint()
+    stats = corpus_stats(spark, sf_dir, postings=post).localCheckpoint()
 
     stream = _docs_stream(spark, sf_dir).where(
         (F.col("doc_id") % BM25_QUERY_MOD) == BM25_QUERY_REM
     )
     name = f"stream_bm25_{uuid.uuid4().hex[:8]}"
-
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * F.lit(BM25_K1 + 1)) / (
-        F.col("tf")
-        + F.lit(BM25_K1)
-        * (
-            F.lit(1 - BM25_B)
-            + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
-        )
-    )
-    contrib = F.round(idf * tf_norm, 6).cast("decimal(18,6)")
 
     def score_batch(batch_df, _batch_id):
         qterms = (
@@ -1287,32 +1271,9 @@ def streaming_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        scored = (
-            F.broadcast(qterms)
-            .join(post, "token")
-            .crossJoin(F.broadcast(stats))
-            .groupBy("query_id", "doc_id")
-            .agg(
-                F.sum(contrib).alias("score_dec"),
-                F.count("*").alias("n_terms"),
-            )
+        score_terms(qterms, post, stats).write.mode("append").saveAsTable(
+            name
         )
-        w = W.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        out = (
-            scored.withColumn("score", F.col("score_dec").cast("double"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= BM25_TOP_K)
-            .select(
-                "query_id",
-                "doc_id",
-                "score",
-                F.col("n_terms").cast("int").alias("n_terms"),
-                F.col("rank").cast("int").alias("rank"),
-            )
-        )
-        out.write.mode("append").saveAsTable(name)
 
     spark.sql(
         f"CREATE TABLE {name} (query_id BIGINT, doc_id BIGINT,"

@@ -854,11 +854,10 @@ def test_layout_cluster_disjoint_spans_and_pushdown(spark, sf_small, tmp_path):
 
     clustered = sorted(spans(path))
     assert len(clustered) >= LY.CLUSTER_N_FILES
-    for (alo, ahi), (blo, bhi) in zip(clustered, clustered[1:]):
-        assert ahi < blo or ahi <= blo, (
-            f"overlapping clustered spans {ahi} vs {blo}"
-        )
-        assert ahi <= bhi
+    for (alo, ahi), (blo, _bhi) in zip(clustered, clustered[1:]):
+        # STRICT: doc_id is unique, so range partitions must not share
+        # even a boundary key across files
+        assert ahi < blo, f"overlapping clustered spans {ahi} vs {blo}"
     # negative control: round-robin fragments all span ~everything
     frag = str(tmp_path / "frag")
     LY.fragment(spark, sf_small, frag, n_files=8)
