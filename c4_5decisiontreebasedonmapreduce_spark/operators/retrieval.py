@@ -157,13 +157,21 @@ def score_terms(
         * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     contrib = F.round(idf * tf_norm, 6).cast("decimal(18,6)")
+    # contributions are query-INDEPENDENT — compute them on the postings
+    # relation (posting-list-sized) before the query join, not on the
+    # join output (posting-list × matching-queries sized). Identical
+    # values and rounding; with many queries the per-row math amortizes
+    # to once per posting (the impact-precomputation idea from
+    # impact-sorted indexes, applied at plan level)
+    post_c = postings.crossJoin(F.broadcast(stats)).select(
+        "token", "doc_id", contrib.alias("c")
+    )
     scored = (
         F.broadcast(qterms)
-        .join(postings, "token")
-        .crossJoin(F.broadcast(stats))
+        .join(post_c, "token")
         .groupBy("query_id", "doc_id")
         .agg(
-            F.sum(contrib).alias("score_dec"),
+            F.sum("c").alias("score_dec"),
             F.count("*").alias("n_terms"),
         )
     )
