@@ -43,7 +43,9 @@ from c4_5decisiontreebasedonmapreduce_spark.operators import packing as PK  # no
 from c4_5decisiontreebasedonmapreduce_spark.operators import pii as PII  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import pipeline as PL  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import sampling as SMP  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import retrieval as RV  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.operators import text as TX  # noqa: E402
+from c4_5decisiontreebasedonmapreduce_spark.operators import unigram as UG  # noqa: E402
 from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (  # noqa: E402
     load_table,
 )
@@ -159,6 +161,15 @@ def probe(spark, sf_dir: str, k: int) -> dict:
             ("split_train_eval", SMP.split_train_eval),
             ("sample_dsir", SMP.sample_dsir),
             ("pipeline_finetuning", PL.finetuning_pipeline),
+            # round-10 second wave: bm25's copy-tagged queries only
+            # match same-copy docs, so posting-join output scales ~K
+            # (the 105M doc_id offset rotates the mod-97 query slice per
+            # copy, so counts are ~linear, not exactly — wall is the
+            # signal here); unigram's word table grows K× (copy tags
+            # multiply the vocabulary), probing the EM loop's
+            # vocab-bound claim
+            ("bm25_topk", RV.bm25_topk),
+            ("unigram_encode", UG.unigram_encode),
         ):
             if not wanted(name):
                 continue
