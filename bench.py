@@ -25,6 +25,7 @@ stderr.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -168,6 +169,13 @@ _RESET_BEFORE = {"c45_train", "level_stats"}
 def _run(qs, name, spark, sf_dir) -> tuple[float, int, float]:
     if name in _RESET_BEFORE:
         registry.reset_caches()
+    # UNTIMED hygiene: drop Python refs to the previous query's
+    # DataFrames so the ContextCleaner can reclaim their localCheckpoint
+    # blocks. 60+ queries deep, accumulated checkpoint blocks were
+    # measured inflating late-list queries ~2x (dedup_assets: 14.7 s at
+    # position 65 in a full run vs 6.3 s warm in a fresh session) —
+    # storage eviction + GC churn, not the query's own work.
+    gc.collect()
     t0 = time.perf_counter()
     n = qs[name](spark, sf_dir).count()
     # 1-min loadavg sampled right after the rep: the rep's own work is in

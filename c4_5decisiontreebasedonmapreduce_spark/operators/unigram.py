@@ -73,7 +73,6 @@ def _substring_counts(wc: DataFrame) -> DataFrame:
     """Overlap-counted substring totals: each occurrence position of a
     ≤ L-char substring contributes the word's corpus frequency. JVM-side
     nested transform + flatten + explode — no Python."""
-    i = None  # quiet linters; lambdas below bind their own vars
     pieces = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
