@@ -456,6 +456,18 @@ HEADLINE = {
         "broadcast query terms — no postings Exchange, the only text "
         "read is the 1% query slice"
     ),
+    "funnel_conversion": (
+        "r10 funnel: three pushed-predicate stage minima chained on "
+        "user_id, no per-user event sort"
+    ),
+    "diff_snapshots": (
+        "r10 snapshot diff: full-outer on doc_id over (id, md5) "
+        "projections — text never shuffles, output bounded by churn"
+    ),
+    "unigram_seed_vocab": (
+        "r10 unigram seed: substring explode + grouped sum, top-N via "
+        "TakeOrderedAndProject (no single-partition funnel)"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);
