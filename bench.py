@@ -8,7 +8,22 @@ timed WARM runs. The headline `value` is the sum of per-query warm
 MINIMA — the least-contended observation, reproducible run-to-run to
 ~±10% on this machine, whose background load spikes inflated the r4
 single-cold-run figure 1.5× on byte-identical code (and can poison even
-a median when a spike spans all reps of one query). Queries that
+a median when a spike spans all reps of one query).
+
+Noise hardening (r10 ADVICE #1 — the r10 artifact read 2.15× r9 purely
+from ambient host contention, with 19/68 queries self-flagged yet still
+summed): (a) any query whose first attempt is flagged (warm spread
+>1.5× or every rep's loadavg above threshold) gets its warm reps
+RE-MEASURED up to MAX_RETRY_PASSES extra times, and the attempt with
+the lowest warm-min becomes the measurement of record — so the
+headline never sums a rep set the harness itself labeled contaminated
+without giving the query a cleaner window; (b) an ANCHOR query
+(gain_ratio, historically 0.7-0.9 s warm) is measured first and last,
+and the artifact records both plus their drift ratio — a session whose
+anchor drifts >1.5× is globally contaminated and the artifact says so
+on its face instead of requiring forensic re-runs.
+
+Queries that
 memoize across calls (c45_train's model cache, level_stats' checkpoint)
 reset their caches before every timed rep so each rep does real work;
 dedup_incremental_persisted deliberately does NOT reset — reusing the
@@ -144,6 +159,13 @@ BENCH_QUERIES = [
     # embedding machinery) and the cost-based join regime chooser
     "dedup_assets",
     "join_auto",
+    # round-11: the production BM25 path — relative df-cap binding on
+    # the Zipf-vocabulary workload (vs bm25_topk below, which the dense
+    # 31-token fixture forces to run uncapped); retention matrix + the
+    # bucketed snapshot audit (write amortized, session-cached setup)
+    "bm25_topk_zipf",
+    "retention_cohorts",
+    "diff_snapshots_persisted",
     # round-10 second wave: ranked retrieval (inverted-index join +
     # per-query top-k window) and small-file compaction (the write IS
     # the op; the fragment fixture is session-cached setup).
@@ -187,6 +209,26 @@ def _run(qs, name, spark, sf_dir) -> tuple[float, int, float]:
     return time.perf_counter() - t0, n, load
 
 
+# session anchor: a fast, historically-stable query (r1-r10 band
+# 0.7-0.9 s warm on an idle host) measured FIRST and LAST so a whole
+# session's ambient contention is visible in the artifact itself — the
+# r10 failure mode was a 2.15x headline from host noise that no
+# per-query heuristic could prove after the fact
+ANCHOR_QUERY = "gain_ratio"
+# noise-flagged queries get their warm reps re-measured up to this many
+# extra times; the headline takes each query's floor across attempts
+MAX_RETRY_PASSES = 2
+
+
+def _measure(qs, name, spark, sf_dir, reps):
+    """One attempt: `reps` warm reps. Returns (sorted samples, loads)."""
+    warm = sorted(
+        (r[0], r[2])
+        for r in (_run(qs, name, spark, sf_dir) for _ in range(reps))
+    )
+    return [w[0] for w in warm], [round(w[1], 1) for w in warm]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # clamp: reps <= 0 would leave `samples` empty and crash the whole
@@ -202,8 +244,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     spread: dict[str, float] = {}
     loads: dict[str, list[float]] = {}
-    noisy: list[str] = []
-    elevated: list[str] = []
+    retries: dict[str, int] = {}
     errors: dict[str, str] = {}
     # a rep is "elevated" when the 1-min loadavg exceeds the executor
     # thread count — the bench's own work saturates at `cpus`, so any
@@ -218,33 +259,33 @@ def main() -> None:
     tracked = (
         [n for n in subset.split(",") if n] if subset else BENCH_QUERIES
     )
+
+    def flagged(name: str) -> bool:
+        return spread[name] > 1.5 or min(loads[name]) > load_threshold
+
+    anchor: dict[str, float] = {}
+    if ANCHOR_QUERY in qs and not subset:
+        _run(qs, ANCHOR_QUERY, spark, sf_dir)  # cold, untimed
+        a_samples, _ = _measure(qs, ANCHOR_QUERY, spark, sf_dir, reps)
+        anchor["first"] = round(a_samples[0], 3)
+
     for name in tracked:
         if name not in qs:
             continue
         try:
             t, n, ld = _run(qs, name, spark, sf_dir)
             cold[name] = round(t, 3)
-            warm = sorted(
-                (r[0], r[2])
-                for r in (_run(qs, name, spark, sf_dir) for _ in range(reps))
-            )
+            samples, warm_loads = _measure(qs, name, spark, sf_dir, reps)
         except Exception as exc:  # one broken query must not kill the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        samples = [w[0] for w in warm]
-        loads[name] = [round(ld, 1)] + [round(w[1], 1) for w in warm]
+        loads[name] = [round(ld, 1)] + warm_loads
         med[name] = round(samples[len(samples) // 2], 3)
         best[name] = round(samples[0], 3)
         # dispersion = warm max/min; >1.5x flags a machine load spike so
         # the artifact labels the noise instead of relitigating it later
         spread[name] = round(samples[-1] / max(samples[0], 1e-9), 2)
-        if spread[name] > 1.5:
-            noisy.append(name)
-        # a spike spanning ALL reps of a query (the r8 blind spot): the
-        # spread stays flat but every observation is contended
-        if min(loads[name]) > load_threshold:
-            elevated.append(name)
         print(
             f"# {name}: warm-min {best[name]:.3f}s median {med[name]:.3f}s"
             f" cold {cold[name]:.3f}s spread {spread[name]:.2f}x"
@@ -253,10 +294,67 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # RETRY PASS (r10 ADVICE #1): a flagged first attempt must not reach
+    # the headline unchallenged — re-measure each flagged query up to
+    # MAX_RETRY_PASSES times; keep the attempt with the lowest warm-min
+    # (median/spread/loads follow the kept attempt, so the artifact's
+    # flags describe the MEASUREMENT OF RECORD, not a discarded one).
+    for attempt in range(MAX_RETRY_PASSES):
+        todo = [n for n in best if flagged(n)]
+        if not todo:
+            break
+        for name in todo:
+            try:
+                samples, warm_loads = _measure(qs, name, spark, sf_dir, reps)
+            except Exception as exc:
+                errors[name] = f"retry: {type(exc).__name__}: {exc}"[:300]
+                continue
+            retries[name] = retries.get(name, 0) + 1
+            if samples[0] < best[name]:
+                best[name] = round(samples[0], 3)
+                med[name] = round(samples[len(samples) // 2], 3)
+                spread[name] = round(
+                    samples[-1] / max(samples[0], 1e-9), 2
+                )
+                loads[name] = loads[name][:1] + warm_loads
+            print(
+                f"# retry{attempt + 1} {name}: warm-min {samples[0]:.3f}s"
+                f" spread {samples[-1] / max(samples[0], 1e-9):.2f}x"
+                f" load {min(warm_loads):.0f}-{max(warm_loads):.0f}"
+                f" (kept {best[name]:.3f}s)",
+                file=sys.stderr,
+            )
+
+    if anchor:
+        a_samples, _ = _measure(qs, ANCHOR_QUERY, spark, sf_dir, reps)
+        anchor["last"] = round(a_samples[0], 3)
+        anchor["query"] = ANCHOR_QUERY
+        anchor["drift"] = round(
+            max(anchor["first"], anchor["last"])
+            / max(min(anchor["first"], anchor["last"]), 1e-9),
+            2,
+        )
+        print(
+            f"# anchor {ANCHOR_QUERY}: first {anchor['first']:.3f}s"
+            f" last {anchor['last']:.3f}s drift {anchor['drift']:.2f}x",
+            file=sys.stderr,
+        )
+
+    noisy = sorted(n for n in best if spread[n] > 1.5)
+    # a spike spanning ALL reps of a query (the r8 blind spot): the
+    # spread stays flat but every observation is contended
+    elevated = sorted(
+        n for n in best if min(loads[n]) > load_threshold
+    )
+
     full = build_full_record(
         best, med, cold, spread, loads, noisy, elevated,
         load_threshold, reps, sf, errors,
     )
+    if anchor:
+        full["anchor"] = anchor
+    if retries:
+        full["retried"] = retries
     # $SPARK_GRAFT_BENCH_FULL overrides the diagnostics path so test
     # harness runs (tiny sf, 1 rep) don't clobber the committed artifact
     full_path = os.environ.get(
@@ -312,6 +410,13 @@ def compact_line(full: dict, errors: dict) -> str:
             "load_elevated_flagged", "reps", "sf",
         )
     }
+    # session-noise provenance travels with the headline: the anchor
+    # drift ratio + which queries needed re-measurement (tiny fields,
+    # dropped in the same degrade chain as the other diagnostics)
+    if "anchor" in full:
+        compact["anchor_drift"] = full["anchor"]["drift"]
+    if "retried" in full:
+        compact["retried"] = sorted(full["retried"])
     if errors:
         # errors can dominate the line (up to 300 chars each in `full`):
         # keep only the first 3, hard-truncated — bench_full.json holds
@@ -328,7 +433,8 @@ def compact_line(full: dict, errors: dict) -> str:
         # the window in round 9 and silently cost the artifact its whole
         # per-query map), and only as a last resort is "queries" dropped —
         # bench_full.json always has the full-precision map
-        for k in ("load_elevated_flagged", "load_noise_flagged",
+        for k in ("retried", "anchor_drift",
+                  "load_elevated_flagged", "load_noise_flagged",
                   "cold_total", "median_total", "value_is", "errors"):
             compact.pop(k, None)
             line = json.dumps(compact, separators=(",", ":"))

@@ -199,6 +199,33 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack(vd)
 
 
+def pack_sequences_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`pack` with windows counted in RELEASED unigram-LM pieces
+    (`operators/unigram.py::fixed_vocab`, the committed
+    `data/unigram_vocab.tsv` artifact) — the unigram twin of
+    :func:`pack_sequences_bpe`. Viterbi segmentation is a sequential
+    per-word DP (not a Column chain like BPE's replace replay), so the
+    piece counts come from ONE vocab-sized Arrow pass over the corpus's
+    distinct words + an equi-join per-doc rollup
+    (`unigram.unigram_piece_counts`); the packing half is byte-identical
+    in shape to :func:`pack_sequences` (same per-shard prefix sum, same
+    no-global-funnel pin). Registered rows-only — the segmentation is
+    pinned against an independent pure-Python Viterbi in
+    tests/test_round11_ops.py (the bpe_encode grading pattern)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        unigram as UG,
+    )
+
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    vd = UG.unigram_piece_counts(d).select(
+        "doc_id", F.col("wtok").cast("int").alias("n_tokens")
+    )
+    return pack(vd)
+
+
 def _pack_sequences_bpe_sql() -> str:
     from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as B
 

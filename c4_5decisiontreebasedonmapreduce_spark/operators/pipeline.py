@@ -264,12 +264,48 @@ def pretraining_pipeline_bpe(
     )
 
 
+def pretraining_pipeline_unigram(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_gate: float = QUALITY_GATE,
+    seq_len: int = PT_SEQ_LEN,
+    n_shards: int = PT_SHARDS,
+) -> DataFrame:
+    """:func:`pretraining_pipeline` with the packing half counted in
+    RELEASED unigram-LM pieces (`operators.unigram.fixed_vocab` over
+    the SCRUBBED text). Unlike BPE's closed-form replace chain, the
+    Viterbi piece count is a ``(doc_id, wtok)`` relation (one
+    vocab-sized Arrow pass over distinct words + an equi-join rollup),
+    so the manifest pays ONE extra user-bounded join — scrub, dedup,
+    gate, and the per-shard prefix sum are byte-identical to the
+    whitespace pipeline."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pii import scrub_pii
+    from c4_5decisiontreebasedonmapreduce_spark.operators.unigram import (
+        unigram_piece_counts,
+    )
+
+    d = scrub_pii(docs(spark, sf_dir)).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return _manifest_from(
+        d,
+        quality_gate,
+        seq_len,
+        n_shards,
+        window_counts=unigram_piece_counts(d),
+    )
+
+
 def _manifest_from(
     d: DataFrame,
     quality_gate: float = QUALITY_GATE,
     seq_len: int = PT_SEQ_LEN,
     n_shards: int = PT_SHARDS,
     window_tokens=None,
+    window_counts: DataFrame | None = None,
 ) -> DataFrame:
     """dedup → quality gate → packing manifest over a ``(doc_id, text)``
     relation — the tail of :func:`pretraining_pipeline`, shared with
@@ -278,7 +314,11 @@ def _manifest_from(
     pipeline passes the released-tokenizer symbol count so windows are
     what a trainer consumes, while the dedup/quality gate keeps the
     shared whitespace scoring semantics (its formulas are pinned by
-    the standalone quality oracles and must not drift per tokenizer)."""
+    the standalone quality oracles and must not drift per tokenizer).
+    ``window_counts`` is the relation-valued alternative for tokenizers
+    whose counting is not a Column (unigram Viterbi): a ``(doc_id,
+    wtok)`` DataFrame joined on doc_id — one extra user-bounded
+    equi-join, everything else identical."""
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long,
     )
@@ -293,6 +333,18 @@ def _manifest_from(
     if window_tokens is not None:
         cols.append(window_tokens.cast("long").alias("wtok"))
     enriched = d.select(*cols)
+    if window_counts is not None:
+        if window_tokens is not None:
+            raise ValueError(
+                "window_tokens and window_counts are mutually exclusive"
+            )
+        enriched = enriched.join(
+            window_counts.select(
+                "doc_id", F.col("wtok").cast("long").alias("wtok")
+            ),
+            "doc_id",
+        )
+        window_tokens = True  # downstream: count by the wtok column
     keep_id = F.min("doc_id").over(Window.partitionBy("fingerprint"))
     gated = (
         enriched.withColumn("keep_id", keep_id)

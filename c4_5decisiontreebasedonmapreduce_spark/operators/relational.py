@@ -1645,17 +1645,7 @@ def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = _snapshot_v2(spark, sf_dir).select(
         "doc_id", F.md5(F.col("text")).alias("new_md5")
     )
-    joined = v1.join(v2, "doc_id", "full_outer")
-    status = (
-        F.when(F.col("new_md5").isNull(), "removed")
-        .when(F.col("old_md5").isNull(), "added")
-        .when(F.col("old_md5") != F.col("new_md5"), "changed")
-    )
-    return (
-        joined.withColumn("status", status)
-        .where(F.col("status").isNotNull())
-        .select("doc_id", "status", "old_md5", "new_md5")
-    )
+    return _diff_by_hash(v1, v2)
 
 
 _V2_SQL = f"""
@@ -1689,3 +1679,160 @@ WHERE new_md5 IS NULL OR old_md5 IS NULL OR old_md5 <> new_md5"""
 
 
 DIFF_SNAPSHOTS_SQL = _diff_snapshots_sql()
+
+
+# ---------------------------------------------------------------------------
+# persisted snapshot store (round 11): the write_*/bucketed-state twin
+# of diff_snapshots, per its own docstring's note that bucketing both
+# snapshots by doc_id makes the audit exchange-free
+
+
+def write_snapshot(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    table: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Persist a corpus snapshot BUCKETED BY doc_id — the diff join's
+    key — with the content hash computed AT INGEST. Every subsequent
+    version audit joins two such tables bucket-to-bucket with no
+    Exchange on either side and, thanks to column pruning, never
+    re-reads or re-hashes the text (ReadSchema = doc_id + md5 only,
+    plan-pinned in tests/test_scale_plans.py). Same static-state
+    economics as `write_postings`/`write_corpus_signatures`: hash once
+    at write, audit many times."""
+    writer = (
+        snapshot.select(
+            "doc_id", F.md5(F.col("text")).alias("md5"), "text"
+        )
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def _diff_by_hash(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """Shared diff core: full-outer join of (doc_id, old_md5) ×
+    (doc_id, new_md5); unchanged rows dropped after the join."""
+    joined = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("new_md5").isNull(), "removed")
+        .when(F.col("old_md5").isNull(), "added")
+        .when(F.col("old_md5") != F.col("new_md5"), "changed")
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("doc_id", "status", "old_md5", "new_md5")
+    )
+
+
+def diff_snapshots_persisted(
+    spark: SparkSession, table_v1: str, table_v2: str
+) -> DataFrame:
+    """`diff_snapshots` against two persisted bucketed snapshot tables:
+    the full-outer join reads both sides pre-partitioned and pre-sorted
+    on doc_id (zero Exchange, plan-pinned) and scans only the
+    (doc_id, md5) columns — the text bytes written alongside never move.
+    Output identical to the in-memory op (shared oracle)."""
+    v1 = spark.table(table_v1).select(
+        "doc_id", F.col("md5").alias("old_md5")
+    )
+    v2 = spark.table(table_v2).select(
+        "doc_id", F.col("md5").alias("new_md5")
+    )
+    return _diff_by_hash(v1, v2)
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts (round 11): the cohort × day-offset matrix — with
+# funnel_conversion and event_windows, the third daily-driver of event
+# analytics
+
+
+RETENTION_COHORT_EVENT = "signup"
+RETENTION_MAX_OFFSET = 14
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix over `events`: cohort = calendar date of
+    a user's FIRST ``signup``; for each cohort date and day offset
+    0..RETENTION_MAX_OFFSET, how many cohort members were active (any
+    event) on cohort_date + offset, and what fraction of the cohort
+    that is.
+
+    Scale shape (the funnel_conversion discipline — per-user minima +
+    grouped counts, never a per-user event sort): the cohort relation
+    is one filtered partial+final hash agg (user-bounded); activity
+    collapses the raw stream to distinct (user, date) pairs — a
+    map-side-combine-friendly distinct bounded by users × days, the
+    only corpus-sized shuffle; the cohort join shares the user_id hash
+    partitioning; the final matrix groupBy is cohort-dates × offsets
+    (tiny). Since activity is already distinct per (user, date), the
+    matrix cell is a plain COUNT(*), not a COUNT(DISTINCT) — no second
+    dedup exchange. Output: ``(cohort_date, day_offset, n_active,
+    cohort_size, retention_rate)``."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    cohorts = (
+        ev.where(F.col("event_type") == RETENTION_COHORT_EVENT)
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    )
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("active_date")
+    ).distinct()
+    cells = (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cohort_date",
+            F.datediff("active_date", "cohort_date").alias("day_offset"),
+        )
+        .where(
+            (F.col("day_offset") >= 0)
+            & (F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = cohorts.groupBy("cohort_date").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort_date").select(
+        "cohort_date",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention_rate"),
+    )
+
+
+RETENTION_SQL = f"""
+WITH cohorts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events WHERE event_type = '{RETENTION_COHORT_EVENT}' GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+),
+cells AS (
+  SELECT c.cohort_date,
+         DATE_DIFF('day', c.cohort_date, a.active_date) AS day_offset,
+         COUNT(*) AS n_active
+  FROM activity a JOIN cohorts c USING (user_id)
+  WHERE DATE_DIFF('day', c.cohort_date, a.active_date)
+        BETWEEN 0 AND {RETENTION_MAX_OFFSET}
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_date, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1)
+SELECT cells.cohort_date, CAST(day_offset AS INT) AS day_offset, n_active,
+       cohort_size,
+       ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention_rate
+FROM cells JOIN sizes USING (cohort_date)"""

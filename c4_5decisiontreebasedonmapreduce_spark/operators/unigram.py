@@ -179,13 +179,16 @@ def _viterbi(word: str, logp: dict) -> list[str]:
     dp[0] = 0.0
     back = [0] * (n + 1)
     for i in range(1, n + 1):
+        # strict `>` + ascending j IS the tie rule: the smallest j
+        # (longest final piece) reaches each score first and later
+        # equal-score candidates never overwrite it
         for j in range(max(0, i - UNIGRAM_MAX_PIECE_LEN), i):
             piece = word[j:i]
             lp = logp.get(piece)
             if lp is None or dp[j] == neg:
                 continue
             score = dp[j] + lp
-            if score > dp[i] or (score == dp[i] and j < back[i]):
+            if score > dp[i]:
                 dp[i] = score
                 back[i] = j
     out = []
@@ -352,4 +355,73 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_chars") / F.col("n_pieces").cast("double"), 6
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# the RELEASED unigram tokenizer (round 11): committed vocab artifact +
+# downstream composition, mirroring BPE's `data/bpe_merges.tsv` /
+# `fixed_merges()` / `pack_sequences_bpe` treatment (r10 VERDICT #7).
+# Real pipelines ship the tokenizer with the model; everything below
+# applies the FIXED artifact — no retraining per corpus slice.
+
+from pathlib import Path as _Path
+
+UNIGRAM_VOCAB_PATH = (
+    _Path(__file__).resolve().parent.parent.parent
+    / "data"
+    / "unigram_vocab.tsv"
+)
+
+_FIXED_VOCAB: list[tuple[str, int, int, float, int]] | None = None
+
+
+def fixed_vocab() -> list[tuple[str, int, int, float, int]]:
+    """The committed tokenizer artifact (`unigram_train`'s output at the
+    driver's grading scale, sf0.01), parsed once per process."""
+    global _FIXED_VOCAB
+    if _FIXED_VOCAB is None:
+        rows = []
+        for ln in UNIGRAM_VOCAB_PATH.read_text().splitlines():
+            if not ln or ln.startswith("#"):
+                continue
+            piece, plen, cnt, lp, rank = ln.split("\t")
+            rows.append((piece, int(plen), int(cnt), float(lp), int(rank)))
+        _FIXED_VOCAB = rows
+    return _FIXED_VOCAB
+
+
+def unigram_piece_counts(d: DataFrame) -> DataFrame:
+    """Per-document piece count ``(doc_id, wtok)`` under the RELEASED
+    vocabulary: Viterbi-segment the corpus's DISTINCT words once (the
+    vocab-sized Arrow pass, `segment_words`), then one explode + one
+    equi-join + one per-doc rollup — `unigram_encode`'s shape with the
+    fixed artifact instead of a retrain. A word containing a character
+    absent from the artifact's alphabet is unsegmentable under the
+    model; it falls back to its character count (every real tokenizer's
+    byte/char fallback) so document totals stay conservation-checkable."""
+    wc = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint()
+    )
+    # unsegmentable words come back from _viterbi as ONE whole-word
+    # pseudo-piece that is not in the vocabulary — detect by membership,
+    # not emptiness
+    vocab_pieces = [p for p, *_ in fixed_vocab()]
+    seg = segment_words(wc, fixed_vocab()).select(
+        "word",
+        F.when(
+            F.forall("pieces", lambda p: p.isin(vocab_pieces)),
+            F.size("pieces"),
+        )
+        .otherwise(F.length("word"))
+        .alias("n_p"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return toks.join(seg, "word").groupBy("doc_id").agg(
+        F.sum("n_p").cast("long").alias("wtok")
     )

@@ -716,13 +716,12 @@ def test_bm25_shape_and_determinism(spark, sf_small):
         rows.sort(key=lambda r: r.rank)
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         assert len(rows) <= RV.BM25_TOP_K
-        scores = [r.score for r in rows]
-        assert scores == sorted(scores, reverse=True) or all(
-            a > b or (a == b and x.doc_id < y.doc_id)
-            for (a, x), (b, y) in zip(
-                [(r.score, r) for r in rows], [(r.score, r) for r in rows][1:]
-            )
-        )
+        # pin the tie-break directly: strictly descending score, and on
+        # equal (rounded) score strictly ascending doc_id — no or-escape
+        for hi, lo in zip(rows, rows[1:]):
+            assert hi.score > lo.score or (
+                hi.score == lo.score and hi.doc_id < lo.doc_id
+            ), f"rank order violates (score desc, doc_id asc) for q{qid}"
     again = RV.bm25_topk(spark, sf_small).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
@@ -1018,13 +1017,20 @@ def _unigram_reference(texts):
     seed.update(dict(multi))
 
     def viterbi(word, logp):
+        # Independent of the production DP's iteration order: j runs
+        # DESCENDING here, so the longest-final-piece tie rule must be
+        # enforced by the explicit `j < back` arm (in production the
+        # ascending scan makes strict `>` sufficient). Same rule, two
+        # code paths — a real differential pin.
         n = len(word)
         neg = float("-inf")
         dp = [neg] * (n + 1)
         dp[0] = 0.0
         back = [0] * (n + 1)
         for i in range(1, n + 1):
-            for j in range(max(0, i - UG.UNIGRAM_MAX_PIECE_LEN), i):
+            # (dp[i] starts at -inf, so the equality arm can only fire
+            # after a real candidate set back[i] — no init-0 footgun)
+            for j in range(i - 1, max(0, i - UG.UNIGRAM_MAX_PIECE_LEN) - 1, -1):
                 lp = logp.get(word[j:i])
                 if lp is None or dp[j] == neg:
                     continue

@@ -1,0 +1,171 @@
+"""Round-11 operators: retention cohorts (brute-force per-user replay),
+the persisted snapshot diff, and the Zipf-vocabulary BM25 path."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark.operators import (
+    relational as R,
+)
+from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
+    load_table,
+)
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+
+
+def test_retention_cohorts_brute_force(spark, sf_small):
+    """The distributed matrix must equal a pure-Python per-user replay of
+    the raw event stream — cohort assignment, activity collapse, offset
+    windowing, and cohort sizing all recomputed independently."""
+    rows = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "event_type", F.to_date("ts").alias("d"))
+        .collect()
+    )
+    first_signup: dict = {}
+    for r in rows:
+        if r.event_type == R.RETENTION_COHORT_EVENT and (
+            r.user_id not in first_signup or r.d < first_signup[r.user_id]
+        ):
+            first_signup[r.user_id] = r.d
+    active = {(r.user_id, r.d) for r in rows}
+    cells: Counter = Counter()
+    for u, d in active:
+        cd = first_signup.get(u)
+        if cd is None:
+            continue
+        off = (d - cd).days
+        if 0 <= off <= R.RETENTION_MAX_OFFSET:
+            cells[(cd, off)] += 1
+    sizes = Counter(first_signup.values())
+
+    got = {
+        (r.cohort_date, r.day_offset): (
+            r.n_active,
+            r.cohort_size,
+            r.retention_rate,
+        )
+        for r in R.retention_cohorts(spark, sf_small).collect()
+    }
+    assert set(got) == set(cells), "cohort x offset cell sets differ"
+    for key, (n, size, rate) in got.items():
+        assert n == cells[key], key
+        assert size == sizes[key[0]], key
+        # python round() is banker's, Spark's is half-up: compare with
+        # tolerance rather than replicating the rounding mode
+        assert abs(rate - cells[key] / sizes[key[0]]) < 1e-6, key
+
+
+def test_retention_cohorts_shape(spark, sf_small):
+    """Offsets stay in [0, MAX]; day-0 retention counts the signup
+    itself, so every cohort's day-0 cell exists with n_active ==
+    cohort_size (the signup event IS activity on the cohort date)."""
+    out = R.retention_cohorts(spark, sf_small).collect()
+    assert out
+    by_cohort: dict = {}
+    for r in out:
+        assert 0 <= r.day_offset <= R.RETENTION_MAX_OFFSET
+        assert 0 < r.n_active <= r.cohort_size
+        by_cohort.setdefault(r.cohort_date, {})[r.day_offset] = r
+    for cd, offs in by_cohort.items():
+        assert 0 in offs, f"cohort {cd} missing its day-0 cell"
+        assert offs[0].n_active == offs[0].cohort_size, cd
+        assert offs[0].retention_rate == 1.0, cd
+
+
+# ---------------------------------------------------------------------------
+# persisted snapshot diff
+
+
+def test_diff_snapshots_persisted_matches_inmemory(spark, sf_small, tmp_path):
+    """The persisted audit (hash-at-ingest, bucketed tables) must return
+    exactly the in-memory op's rows."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    t1, t2 = "snap_eq_v1", "snap_eq_v2"
+    try:
+        R.write_snapshot(
+            spark, docs(spark, sf_small).select("doc_id", "text"),
+            table=t1, path=str(tmp_path / "v1"),
+        )
+        R.write_snapshot(
+            spark,
+            R._snapshot_v2(spark, sf_small).select("doc_id", "text"),
+            table=t2, path=str(tmp_path / "v2"),
+        )
+        got = sorted(
+            map(tuple, R.diff_snapshots_persisted(spark, t1, t2).collect())
+        )
+        want = sorted(map(tuple, R.diff_snapshots(spark, sf_small).collect()))
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+# ---------------------------------------------------------------------------
+# Zipf-vocabulary BM25: the df-cap's production path
+
+
+def test_bm25_zipf_cap_binds_and_bounds_join(spark, sf_small):
+    """The relative df-cap must BIND on the Zipf workload (posting rows
+    drop materially) and the scoring join's candidate row count — the
+    quantity the cap exists to bound at 100 TB — must shrink by more
+    than the posting rows do (the dropped terms are exactly the
+    longest posting lists)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        retrieval as RV,
+    )
+
+    ids = RV.docs(spark, sf_small).select("doc_id")
+    is_query = (
+        F.col("doc_id") % RV.BM25_QUERY_MOD == RV.BM25_QUERY_REM
+    )
+    tok = RV.zipf_tokens(ids)
+    post, dl = RV._postings_from_tokens(tok.where(~is_query))
+    stats = RV._stats_rel(ids.where(~is_query), dl)
+    n_docs = stats.collect()[0]["n_docs"]
+    total_rows = post.count()
+    capped = post.where(F.col("df") * RV.BM25_ZIPF_CAP_DIV <= n_docs)
+    capped_rows = capped.count()
+    assert capped_rows < total_rows * 0.8, (
+        f"cap not binding: {capped_rows}/{total_rows} posting rows kept"
+    )
+
+    qterms = (
+        tok.where(is_query)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    cand_uncapped = qterms.join(post, "token").count()
+    cand_capped = qterms.join(capped, "token").count()
+    assert cand_capped < cand_uncapped * 0.5, (
+        f"cap cut candidates only {cand_uncapped}->{cand_capped}"
+    )
+    # and the capped op still returns ranked results for real queries
+    out = RV.bm25_topk_zipf(spark, sf_small).collect()
+    assert out
+    assert {r.rank for r in out} <= set(range(1, RV.BM25_TOP_K + 1))
+
+
+def test_bm25_zipf_scan_is_docid_only(spark, sf_small):
+    """The Zipf twin generates its workload arithmetically: every scan
+    in the plan reads ONLY doc_id (no text bytes move)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        retrieval as RV,
+    )
+
+    import contextlib
+    import io
+
+    df = RV.bm25_topk_zipf(spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    for line in buf.getvalue().splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line, line
+            assert "doc_id" in line, line
