@@ -100,10 +100,13 @@ def cli(argv: list[str] | None = None, spark=None) -> int:
         help="also write the per-source corpus-health report",
     )
     cu.add_argument(
-        "--tokenizer", choices=("whitespace", "bpe"), default="whitespace",
+        "--tokenizer",
+        choices=("whitespace", "bpe", "unigram"),
+        default="whitespace",
         help="unit the packing manifest counts: the shared whitespace "
-        "convention, or released-tokenizer BPE symbols "
-        "(data/bpe_merges.tsv) — what a trainer with that tokenizer "
+        "convention, released-tokenizer BPE symbols "
+        "(data/bpe_merges.tsv), or released unigram-LM pieces "
+        "(data/unigram_vocab.tsv) — what a trainer with that tokenizer "
         "actually consumes",
     )
     args = p.parse_args(argv)
@@ -125,12 +128,16 @@ def cli(argv: list[str] | None = None, spark=None) -> int:
                 from pyspark.sql import functions as F
 
                 kwargs["window_tokens"] = bpe_symbol_count_col(F.col("text"))
+            elif args.tokenizer == "unigram":
+                kwargs["unigram_counts"] = True
             if args.decontaminate:
                 manifest = PL.pretraining_decontam_pipeline(
                     spark, args.input, **kwargs
                 )
             elif args.tokenizer == "bpe":
                 manifest = PL.pretraining_pipeline_bpe(spark, args.input)
+            elif args.tokenizer == "unigram":
+                manifest = PL.pretraining_pipeline_unigram(spark, args.input)
             else:
                 manifest = PL.pretraining_pipeline(spark, args.input)
             os.makedirs(args.output, exist_ok=True)

@@ -390,6 +390,7 @@ def pretraining_decontam_pipeline(
     n_shards: int = PT_SHARDS,
     min_overlap: float | None = None,
     window_tokens=None,
+    unigram_counts: bool = False,
 ) -> DataFrame:
     """:func:`pretraining_pipeline` with the eval-leak scrub in the
     chain: PII scrub → benchmark DECONTAMINATION (the shingle-
@@ -435,8 +436,22 @@ def pretraining_decontam_pipeline(
     corpus = d.where(~is_bench).join(
         F.broadcast(flagged), "doc_id", "left_anti"
     )
+    window_counts = None
+    if unigram_counts:
+        # unigram pieces must count the text that actually ships — the
+        # scrubbed, decontaminated corpus
+        from c4_5decisiontreebasedonmapreduce_spark.operators.unigram import (
+            unigram_piece_counts,
+        )
+
+        window_counts = unigram_piece_counts(corpus)
     return _manifest_from(
-        corpus, quality_gate, seq_len, n_shards, window_tokens=window_tokens
+        corpus,
+        quality_gate,
+        seq_len,
+        n_shards,
+        window_tokens=window_tokens,
+        window_counts=window_counts,
     )
 
 

@@ -2632,6 +2632,13 @@ _register("unigram_seed_vocab", UG.unigram_seed_vocab, UG.UNIGRAM_SEED_SQL)
 _register("unigram_train", UG.unigram_train)
 _register("unigram_encode", UG.unigram_encode)
 
+# r11: the RELEASED unigram tokenizer composed into packing (the
+# pack_sequences_bpe treatment for the second tokenizer family).
+# Rows-only: Viterbi segmentation has no SQL twin — the per-word
+# segmentation and per-shard conservation are pinned against an
+# independent pure-Python Viterbi in tests/test_round11_ops.py.
+_register("pack_sequences_unigram", PK.pack_sequences_unigram)
+
 
 # -- round 11: retention cohorts + persisted snapshot diff ------------------
 

@@ -136,3 +136,36 @@ def test_cli_curate_decontaminate_flag(spark, tmp_path, capsys):
         map(tuple, PL.pretraining_decontam_pipeline(spark, sf).collect())
     )
     assert got == expect
+
+
+def test_cli_curate_unigram_tokenizer(spark, tmp_path, capsys):
+    """`--tokenizer unigram` counts manifest windows in released
+    unigram-LM pieces (data/unigram_vocab.tsv): summary echoes the
+    tokenizer, the written manifest equals the pipeline recomputed, and
+    the token totals differ from the whitespace manifest (the pieces
+    are a strictly finer unit)."""
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        pipeline as PL,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    out = str(tmp_path / "curated_u")
+    rc = cli(["curate", sf, out, "--tokenizer", "unigram"], spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert summary["tokenizer"] == "unigram"
+    got = sorted(
+        map(tuple, spark.read.parquet(out + "/manifest").collect())
+    )
+    expect = sorted(
+        map(
+            tuple, PL.pretraining_pipeline_unigram(spark, sf).collect()
+        )
+    )
+    assert got == expect
+    ws = PL.pretraining_pipeline(spark, sf).collect()
+    assert summary["n_tokens"] != sum(r.n_tokens for r in ws)
+    # same survivors: the gate half is tokenizer-independent
+    assert summary["n_docs"] == sum(r.n_docs for r in ws)

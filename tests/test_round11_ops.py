@@ -169,3 +169,124 @@ def test_bm25_zipf_scan_is_docid_only(spark, sf_small):
         if "ReadSchema" in line:
             assert "text" not in line, line
             assert "doc_id" in line, line
+
+
+# ---------------------------------------------------------------------------
+# released unigram tokenizer: artifact + composition
+
+
+def _independent_viterbi(word, logp, max_len):
+    """Descending-j scan with an explicit tie-break arm — a genuinely
+    different code path from production's ascending-scan strict-> DP
+    (same fixed rule: on equal score the longer final piece wins)."""
+    n = len(word)
+    neg = float("-inf")
+    dp = [neg] * (n + 1)
+    dp[0] = 0.0
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(i - 1, max(0, i - max_len) - 1, -1):
+            lp = logp.get(word[j:i])
+            if lp is None or dp[j] == neg:
+                continue
+            s = dp[j] + lp
+            if s > dp[i] or (s == dp[i] and j < back[i]):
+                dp[i], back[i] = s, j
+    out, i = [], n
+    while i > 0:
+        out.append(word[back[i] : i])
+        i = back[i]
+    return out[::-1], dp[n] > neg
+
+
+def test_unigram_artifact_reproducible(spark, sf_oracle):
+    """The committed vocab artifact IS unigram_train's output at the
+    driver's grading scale — guards artifact drift (the
+    test_bpe_artifact_reproducible pattern)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        unigram as UG,
+    )
+
+    if not sf_oracle.rstrip("/").endswith("sf0.01"):
+        import pytest
+
+        pytest.skip("artifact is pinned to the sf0.01 training corpus")
+    live = [
+        (r.piece, r.piece_len, r.cnt, r.logprob, r.rank)
+        for r in UG.unigram_train(spark, sf_oracle).collect()
+    ]
+    assert live == UG.fixed_vocab()
+
+
+def test_unigram_piece_counts_vs_independent_viterbi(spark, sf_small):
+    """Per-document piece counts under the RELEASED vocab must equal a
+    pure-Python replay: independent Viterbi per distinct word (with the
+    char-count fallback for unsegmentable words), summed per doc."""
+    from collections import defaultdict
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        unigram as UG,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    vocab = UG.fixed_vocab()
+    logp = {p: lp for p, _l, _c, lp, _r in vocab}
+    pieces_set = {p for p, *_ in vocab}
+
+    rows = docs(spark, sf_small).select("doc_id", "text").collect()
+    import re as _re
+
+    expect: dict = defaultdict(int)
+    seg_cache: dict = {}
+    for r in rows:
+        for w in _re.split(r"[^a-z0-9]+", (r.text or "").lower()):
+            if not w:
+                continue
+            if w not in seg_cache:
+                pieces, ok = _independent_viterbi(
+                    w, logp, UG.UNIGRAM_MAX_PIECE_LEN
+                )
+                seg_cache[w] = (
+                    len(pieces)
+                    if ok and all(p in pieces_set for p in pieces)
+                    else len(w)
+                )
+            expect[r.doc_id] += seg_cache[w]
+
+    got = {
+        r.doc_id: r.wtok
+        for r in UG.unigram_piece_counts(
+            docs(spark, sf_small).select("doc_id", "text")
+        ).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_pack_sequences_unigram_conservation(spark, sf_small):
+    """Shard totals conserve the per-doc piece counts, and every window
+    except the last one per shard holds exactly SEQ_LEN pieces."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        packing as PK,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        unigram as UG,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import docs
+
+    counts = {
+        r.doc_id: r.wtok
+        for r in UG.unigram_piece_counts(
+            docs(spark, sf_small).select("doc_id", "text")
+        ).collect()
+    }
+    out = PK.pack_sequences_unigram(spark, sf_small).collect()
+    assert out
+    assert sum(r.n_tokens for r in out) == sum(
+        c for c in counts.values() if c > 0
+    )
+    last_chunk = {}
+    for r in out:
+        last_chunk[r.shard] = max(last_chunk.get(r.shard, -1), r.chunk_id)
+    for r in out:
+        if r.chunk_id < last_chunk[r.shard]:
+            assert r.n_tokens == PK.SEQ_LEN, (r.shard, r.chunk_id)
