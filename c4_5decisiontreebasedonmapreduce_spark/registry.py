@@ -2718,21 +2718,19 @@ _register(
 # tests/test_oracle_parity.py over the FULL registry.
 
 _FIRST_WINDOW = [
-    # SURVEY §2.A reference-surface anchors (merge-table order)
-    "scan_training",
-    "scan_schema_tsv",
-    "broadcast_rules",
-    "groupby_contingency",
-    "groupby_contingency_numeric",
-    "gain_ratio",
-    "numeric_best_split",
-    "level_stats",
-    "argmax_per_group",
-    "leaf_detect",
-    "sort_numeric_values",
+    # SURVEY §2.A reference-surface anchors. r11 rotation (per the r10
+    # verdict's directive to swap out §2.A residents graded green >= 5
+    # consecutive rounds): scan_training, scan_schema_tsv,
+    # broadcast_rules, groupby_contingency(_numeric), gain_ratio,
+    # numeric_best_split, level_stats, argmax_per_group, leaf_detect,
+    # sort_numeric_values, and sink_roundtrip leave the window — each
+    # graded green r1-r10 and still hash-graded every CI run by
+    # tests/test_oracle_parity.py. The two GOLDEN capstones stay: their
+    # sf0.01 model oracles carry the "via" coverage for the whole
+    # training loop (expand_children, iterate_until_fixpoint,
+    # sink_model, serde_rule — SURVEY §2.A merge table).
     "c45_train",
     "c45_predict",
-    "sink_roundtrip",
     # the TSV malformed-row ingest audit (r10 rotation in — r9 op the
     # driver never graded; Java split-limit-0 semantics re-pinned r10)
     "tsv_ingest_audit",
@@ -2742,7 +2740,9 @@ _FIRST_WINDOW = [
     # by the full-registry parity suite since r5-r8; in their place the
     # never-graded r9 TPC-H shapes q2/q7/q11/q13/q15/q17 and the skew
     # profiler, per the r9 verdict's rotation directive)
-    "q1_pricing_summary",
+    # (r11: q1_pricing_summary out — graded green since r1; merge_cdc
+    # returns after its r10 rotation-out plus the never-graded q-shape
+    # siblings named by the r10 verdict)
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q11_important_stock",
@@ -2754,6 +2754,25 @@ _FIRST_WINDOW = [
     # range-clustered-layout rescan, never graded)
     "layout_cluster_range",
     "profile_skew",
+    # r11 first-timers (r10 VERDICT #3's never-driver-graded list):
+    # event analytics pair + snapshot/CDC audit trio, vocabulary
+    # analysis pair, the two sampler regimes, the packing layout
+    # relation + its ingest twin, and the streaming quality gate
+    "funnel_conversion",
+    "retention_cohorts",
+    "diff_snapshots",
+    "diff_snapshots_persisted",
+    "merge_cdc",
+    "vocab_coverage",
+    "vocab_oov",
+    "repetition_signals",
+    "sample_temperature",
+    "sample_softdedup",
+    "pack_assignments",
+    "pack_incremental",
+    "streaming_quality_gate",
+    # r11: the production (df-capped) BM25 path on the Zipf workload
+    "bm25_topk_zipf",
     # text analysis / tokenizer training (r10 rotation: lang_id/tfidf
     # out — stable since r4; chunk_documents → chunk_documents_bpe, the
     # subword twin that grades the replace-chain segmentation per chunk;
@@ -2790,7 +2809,9 @@ _FIRST_WINDOW = [
     # r9-graded decontaminate_spans_apply; the spans family keeps its
     # detect+apply pair in via decontaminate_spans itself
     "dedup_assets",
-    "decontaminate",
+    # (r11: decontaminate out — graded green r5-r10; the contamination
+    # family stays graded via decontaminate_spans below, and the flag
+    # semantics stay full-registry hash-graded)
     # (r10 second wave: decontaminate_apply out — graded green r9, and
     # the apply surgery stays graded via decontaminate_spans below; in
     # its place the partition-pruned-layout rescan, never graded)

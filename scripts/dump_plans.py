@@ -468,6 +468,26 @@ HEADLINE = {
         "r10 unigram seed: substring explode + grouped sum, top-N via "
         "TakeOrderedAndProject (no single-partition funnel)"
     ),
+    "retention_cohorts": (
+        "r11 retention matrix: per-user signup minimum + distinct "
+        "(user, date) activity, joins share the user_id partitioning — "
+        "no per-user event sort"
+    ),
+    "diff_snapshots_persisted": (
+        "r11 persisted snapshot audit: both sides bucketed+sorted by "
+        "doc_id, md5 computed at ingest — ZERO Exchange, ReadSchema "
+        "excludes text"
+    ),
+    "bm25_topk_zipf": (
+        "r11 production BM25: the relative df-cap binds (head ranks "
+        "dropped before the scoring join); corpus input is one "
+        "doc_id-only scan, the workload is generated arithmetic"
+    ),
+    "pack_sequences_unigram": (
+        "r11 released-unigram packing: one vocab-sized Arrow Viterbi "
+        "pass over distinct words + equi-join rollup; packing half "
+        "plan-identical to pack_sequences"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);
