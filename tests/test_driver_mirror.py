@@ -19,6 +19,7 @@ EVENTS_QUERIES = [
     "streaming_stateful",
     "profile_skew",  # r9 second wave: profiles events.user_id/event_type
     "funnel_conversion",  # r10 second wave: per-stage ts minima
+    "retention_cohorts",  # r11: cohort dates from the events ts column
 ]
 
 
