@@ -2634,10 +2634,17 @@ _register("unigram_encode", UG.unigram_encode)
 
 # r11: the RELEASED unigram tokenizer composed into packing (the
 # pack_sequences_bpe treatment for the second tokenizer family).
-# Rows-only: Viterbi segmentation has no SQL twin — the per-word
-# segmentation and per-shard conservation are pinned against an
-# independent pure-Python Viterbi in tests/test_round11_ops.py.
-_register("pack_sequences_unigram", PK.pack_sequences_unigram)
+# ORACLE-PAIRED: the Viterbi DP is expressed as a DuckDB RECURSIVE CTE
+# carrying the last four dp lanes as columns (packing.py::
+# _pack_sequences_unigram_sql) — both engines add the same 6dp-rounded
+# artifact logprobs in the same DP order, so every comparison resolves
+# identically; additionally pinned against an independent pure-Python
+# Viterbi in tests/test_round11_ops.py.
+_register(
+    "pack_sequences_unigram",
+    PK.pack_sequences_unigram,
+    PK.PACK_SEQUENCES_UNIGRAM_SQL,
+)
 
 
 # -- round 11: retention cohorts + persisted snapshot diff ------------------
