@@ -693,68 +693,10 @@ def _pack_sequences_unigram_sql() -> str:
     -1e308 floor) fall back to their character count, matching
     `unigram_piece_counts`."""
     from c4_5decisiontreebasedonmapreduce_spark.operators.unigram import (
-        UNIGRAM_MAX_PIECE_LEN,
-        fixed_vocab,
+        unigram_vit_prelude_sql,
     )
 
-    assert UNIGRAM_MAX_PIECE_LEN == 4, "SQL DP carries exactly 4 lanes"
-    vocab_rows = ",\n    ".join(
-        f"('{p}', {lp!r})" for p, _l, _c, lp, _r in fixed_vocab()
-    )
-    neg = "-1e308"
-    # candidate for final piece of length L ending at position i+1
-    # (1-based SUBSTR start i+2-L); dp{0..3} = dp[i], dp[i-1], ...
-    cand = {
-        L: (
-            f"CASE WHEN i + 1 >= {L} AND dp{L - 1} > -1e300 AND "
-            f"v{L}.logprob IS NOT NULL "
-            f"THEN dp{L - 1} + v{L}.logprob ELSE {neg} END"
-        )
-        for L in (1, 2, 3, 4)
-    }
-    joins = "\n    ".join(
-        f"LEFT JOIN vocab v{L} ON v{L}.piece = "
-        f"SUBSTR(word, CAST(i + 2 - {L} AS INT), {L})"
-        for L in (1, 2, 3, 4)
-    )
-    prelude = f"""vocab(piece, logprob) AS (VALUES
-    {vocab_rows}
-),
-words AS (
-  SELECT word, COUNT(*) AS freq FROM (
-    SELECT doc_id, UNNEST({_tokens_sql('text')}) AS word FROM {DOCS_SQL}) t
-  GROUP BY 1
-),
-vit AS (
-  -- per-word DP state after i characters: dp0=dp[i] .. dp3=dp[i-3],
-  -- cnt0..cnt3 the piece counts of those prefixes
-  WITH RECURSIVE r(word, i, dp0, dp1, dp2, dp3,
-                   cnt0, cnt1, cnt2, cnt3) AS (
-    -- seed types pin the recursion's column types: without the DOUBLE
-    -- casts DuckDB infers DECIMAL(2,1) from `0.0` and the -1e308 floor
-    -- overflows on the union coercion
-    SELECT word, 0, CAST(0.0 AS DOUBLE), CAST({neg} AS DOUBLE),
-           CAST({neg} AS DOUBLE), CAST({neg} AS DOUBLE), 0, 0, 0, 0
-    FROM words
-    UNION ALL
-    SELECT word, i + 1,
-      GREATEST({cand[1]}, {cand[2]}, {cand[3]}, {cand[4]}),
-      dp0, dp1, dp2,
-      CASE GREATEST({cand[1]}, {cand[2]}, {cand[3]}, {cand[4]})
-        WHEN {neg} THEN 0
-        WHEN {cand[4]} THEN cnt3 + 1
-        WHEN {cand[3]} THEN cnt2 + 1
-        WHEN {cand[2]} THEN cnt1 + 1
-        ELSE cnt0 + 1 END,
-      cnt0, cnt1, cnt2
-    FROM r
-    {joins}
-    WHERE i < LEN(word)
-  )
-  SELECT word, CASE WHEN dp0 > -1e300 THEN cnt0
-                    ELSE LEN(word) END AS n_p
-  FROM r WHERE i = LEN(word)
-),
+    prelude = f"""{unigram_vit_prelude_sql()}
 doc_wtok AS (
   SELECT t.doc_id, SUM(v.n_p) AS wtok
   FROM (SELECT doc_id, UNNEST({_tokens_sql('text')}) AS word

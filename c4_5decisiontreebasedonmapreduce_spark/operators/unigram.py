@@ -425,3 +425,141 @@ def unigram_piece_counts(d: DataFrame) -> DataFrame:
     return toks.join(seg, "word").groupBy("doc_id").agg(
         F.sum("n_p").cast("long").alias("wtok")
     )
+
+
+def unigram_vit_prelude_sql() -> str:
+    """Shared DuckDB CTE prelude: the released-vocab Viterbi DP as a
+    RECURSIVE CTE ending in ``vit(word, n_p)`` — per distinct corpus
+    word, its piece count under the committed artifact (char-count
+    fallback for unsegmentable words, `unigram_piece_counts`'s rule).
+    The per-word DP carries the last four dp values (and piece counts)
+    as columns; iteration i computes ``dp[i+1] = max over L in 1..4 of
+    dp[i+1-L] + logprob(substr(word, i+2-L, L))`` with the
+    longest-final-piece tie rule via L=4-first CASE ordering.
+    Cross-engine float determinism: both engines parse the SAME
+    6dp-rounded logprob literals and add them in the SAME DP order, so
+    every dp value is bit-identical and every comparison resolves
+    identically (the score_terms decimal-sum argument, applied to a
+    DP). Consumers append their own CTEs: the packing oracle adds
+    doc_wtok, the encode oracle adds per-doc stats."""
+    assert UNIGRAM_MAX_PIECE_LEN == 4, "SQL DP carries exactly 4 lanes"
+    vocab_rows = ",\n    ".join(
+        f"('{p}', {lp!r})" for p, _l, _c, lp, _r in fixed_vocab()
+    )
+    neg = "-1e308"
+    # candidate for final piece of length L ending at position i+1
+    # (1-based SUBSTR start i+2-L); dp{0..3} = dp[i], dp[i-1], ...
+    cand = {
+        L: (
+            f"CASE WHEN i + 1 >= {L} AND dp{L - 1} > -1e300 AND "
+            f"v{L}.logprob IS NOT NULL "
+            f"THEN dp{L - 1} + v{L}.logprob ELSE {neg} END"
+        )
+        for L in (1, 2, 3, 4)
+    }
+    joins = "\n    ".join(
+        f"LEFT JOIN vocab v{L} ON v{L}.piece = "
+        f"SUBSTR(word, CAST(i + 2 - {L} AS INT), {L})"
+        for L in (1, 2, 3, 4)
+    )
+    return f"""vocab(piece, logprob) AS (VALUES
+    {vocab_rows}
+),
+words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT doc_id, UNNEST({_tokens_sql('text')}) AS word FROM {DOCS_SQL}) t
+  GROUP BY 1
+),
+vit AS (
+  -- per-word DP state after i characters: dp0=dp[i] .. dp3=dp[i-3],
+  -- cnt0..cnt3 the piece counts of those prefixes
+  WITH RECURSIVE r(word, i, dp0, dp1, dp2, dp3,
+                   cnt0, cnt1, cnt2, cnt3) AS (
+    -- seed types pin the recursion's column types: without the DOUBLE
+    -- casts DuckDB infers DECIMAL(2,1) from `0.0` and the -1e308 floor
+    -- overflows on the union coercion
+    SELECT word, 0, CAST(0.0 AS DOUBLE), CAST({neg} AS DOUBLE),
+           CAST({neg} AS DOUBLE), CAST({neg} AS DOUBLE), 0, 0, 0, 0
+    FROM words
+    UNION ALL
+    SELECT word, i + 1,
+      GREATEST({cand[1]}, {cand[2]}, {cand[3]}, {cand[4]}),
+      dp0, dp1, dp2,
+      CASE GREATEST({cand[1]}, {cand[2]}, {cand[3]}, {cand[4]})
+        WHEN {neg} THEN 0
+        WHEN {cand[4]} THEN cnt3 + 1
+        WHEN {cand[3]} THEN cnt2 + 1
+        WHEN {cand[2]} THEN cnt1 + 1
+        ELSE cnt0 + 1 END,
+      cnt0, cnt1, cnt2
+    FROM r
+    {joins}
+    WHERE i < LEN(word)
+  )
+  SELECT word, CASE WHEN dp0 > -1e300 THEN cnt0
+                    ELSE LEN(word) END AS n_p
+  FROM r WHERE i = LEN(word)
+),
+"""
+
+
+def unigram_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unigram_encode` under the RELEASED vocabulary (the committed
+    artifact, no retrain): per-document ``(doc_id, n_words, n_chars,
+    n_pieces, chars_per_piece)`` — the compression signal a production
+    pipeline computes with its SHIPPED tokenizer. Same plan shape as
+    `unigram_encode` (segment distinct words once in one vocab-sized
+    Arrow pass, then explode + equi-join + per-doc rollup); ORACLE-
+    PAIRED via the recursive-CTE Viterbi (`unigram_vit_prelude_sql`);
+    per-word counts shared with `unigram_piece_counts` (same
+    char-count fallback)."""
+    d = docs(spark, sf_dir)
+    wc = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint()
+    )
+    vocab_pieces = [p for p, *_ in fixed_vocab()]
+    seg = segment_words(wc, fixed_vocab()).select(
+        "word",
+        F.when(
+            F.forall("pieces", lambda p: p.isin(vocab_pieces)),
+            F.size("pieces"),
+        )
+        .otherwise(F.length("word"))
+        .alias("n_p"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return (
+        toks.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_p").cast("long").alias("n_pieces"),
+        )
+        .withColumn(
+            "chars_per_piece",
+            F.round(
+                F.col("n_chars") / F.col("n_pieces").cast("double"), 6
+            ),
+        )
+    )
+
+
+UNIGRAM_ENCODE_FIXED_SQL = f"""
+WITH {unigram_vit_prelude_sql()}
+toks AS (
+  SELECT doc_id, UNNEST({_tokens_sql('text')}) AS word FROM {DOCS_SQL}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(LEN(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(v.n_p) AS BIGINT) AS n_pieces,
+       ROUND(CAST(SUM(LEN(word)) AS DOUBLE) / SUM(v.n_p), 6)
+         AS chars_per_piece
+FROM toks t JOIN vit v USING (word)
+GROUP BY 1"""

@@ -2645,6 +2645,13 @@ _register(
     PK.pack_sequences_unigram,
     PK.PACK_SEQUENCES_UNIGRAM_SQL,
 )
+# the encode twin under the released vocab — same recursive-CTE oracle
+# prelude, per-doc compression stats instead of the packing manifest
+_register(
+    "unigram_encode_fixed",
+    UG.unigram_encode_fixed,
+    UG.UNIGRAM_ENCODE_FIXED_SQL,
+)
 
 
 # -- round 11: retention cohorts + persisted snapshot diff ------------------
