@@ -246,11 +246,18 @@ def main() -> None:
     loads: dict[str, list[float]] = {}
     retries: dict[str, int] = {}
     errors: dict[str, str] = {}
-    # a rep is "elevated" when the 1-min loadavg exceeds the executor
-    # thread count — the bench's own work saturates at `cpus`, so any
-    # excess is another tenant competing for the same cores
+    # a rep is "elevated" when the 1-min loadavg exceeds the bench's own
+    # measured steady-state. The old gate (1.25x cpus = 40 on this box)
+    # was decorative: the r11 contended session ran at loadavg 10-15
+    # with 12-22% CPU steal and never fired it, while the committed calm
+    # runs sustain ~7 (the per-query wall is sub-saturated — most
+    # tracked queries keep well under the 32 executor threads busy).
+    # 0.3x nproc (= 9.6 here) sits between the measured self-load band
+    # (~7) and the measured contended band (10-15): it fires on the
+    # sessions the anchor-drift heuristic catches and stays silent on
+    # the calm runs, which is the property VERDICT r11 item 6 asks for.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-    load_threshold = cpus * 1.25
+    load_threshold = cpus * 0.3
     # $SPARK_GRAFT_BENCH_QUERIES (comma-separated names) subsets the
     # tracked list — used by the contract test to exercise the CLI
     # end-to-end without paying the full set's wall; the line-budget

@@ -209,9 +209,11 @@ def pack_sequences_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct words + an equi-join per-doc rollup
     (`unigram.unigram_piece_counts`); the packing half is byte-identical
     in shape to :func:`pack_sequences` (same per-shard prefix sum, same
-    no-global-funnel pin). Registered rows-only — the segmentation is
-    pinned against an independent pure-Python Viterbi in
-    tests/test_round11_ops.py (the bpe_encode grading pattern)."""
+    no-global-funnel pin). Registered ORACLE-PAIRED via the
+    recursive-CTE Viterbi twin (`unigram.unigram_vit_prelude_sql`,
+    `registry.PACK_SEQUENCES_UNIGRAM_SQL`); the independent pure-Python
+    Viterbi pin in tests/test_round11_ops.py remains as an additional
+    check on the segmentation itself."""
     from c4_5decisiontreebasedonmapreduce_spark.operators import (
         unigram as UG,
     )

@@ -42,6 +42,7 @@ float equality is bit-identical.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -386,6 +387,16 @@ def fixed_vocab() -> list[tuple[str, int, int, float, int]]:
             if not ln or ln.startswith("#"):
                 continue
             piece, plen, cnt, lp, rank = ln.split("\t")
+            # pieces are interpolated verbatim into DuckDB VALUES
+            # literals (`unigram_vit_prelude_sql`); a quote/backslash
+            # would silently corrupt the oracle SQL, so reject at parse
+            # time rather than escape downstream
+            if not re.fullmatch(r"[a-z0-9]+", piece):
+                raise ValueError(
+                    f"unigram vocab piece {piece!r} outside [a-z0-9]+; "
+                    "regenerate data/unigram_vocab.tsv or extend the "
+                    "SQL-literal escaping in unigram_vit_prelude_sql"
+                )
             rows.append((piece, int(plen), int(cnt), float(lp), int(rank)))
         _FIXED_VOCAB = rows
     return _FIXED_VOCAB
