@@ -694,13 +694,13 @@ def _bloom_filter_rows(
 _BLOOM_CACHE: dict[tuple, tuple] = {}
 
 
-def _docs_fingerprint(sf_dir: str) -> tuple:
-    """File-level identity of ``sf_dir``'s documents table: (relpath,
+def _docs_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
+    """File-level identity of an ``sf_dir`` source table: (relpath,
     mtime_ns, size) per data file. No Spark job — driver-side stat of a
     directory that holds a handful of parquet parts."""
     import os
 
-    root = os.path.join(sf_dir, "documents.parquet")
+    root = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.exists(root):
         return (root, None)
     if os.path.isfile(root):
@@ -2949,3 +2949,208 @@ SELECT bench_id, COUNT(*) AS n_leaking_docs, MAX(overlap) AS max_overlap,
        CAST(SUM(common) AS BIGINT) AS total_common
 FROM flagged
 GROUP BY bench_id"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-space decontamination (semantic eval-leak flagging) — r12
+#
+# The one contamination mode the shingle / span / bloom screens all
+# miss: a PARAPHRASED benchmark item shares almost no 8-gram with its
+# source, but its embedding stays close. Composition of the benchmark
+# split convention (DECONTAM_BENCH_MOD, `decontaminate` above) with the
+# IVF candidate machinery (`_emb_centroids` / `_emb_assignments`,
+# `dedup_embedding`), in `dedup_embedding_incremental`'s ASYMMETRIC
+# corpus×benchmark shape: candidates are centroid-bucket co-occurrences
+# (never corpus × benchmark all-pairs), every candidate verified with
+# the exact decimal cosine. The threshold is LOOSER than near-dup
+# dedup's (paraphrases spread wider in cosine than byte-near clones).
+
+EMB_DECONTAM_THRESHOLD = 0.40
+
+
+def write_benchmark_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "bench_emb",
+    n_buckets: int = 4,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the BENCHMARK side's ingest state for embedding
+    decontamination: the EMB_PROBES centroid assignments ``(vec_id,
+    centroid_id)`` of the benchmark slice, bucketed by ``centroid_id``
+    — `write_benchmark_shingles`' rationale in the embedding family
+    (eval suites change rarely; the corpus streams in, and each ingest
+    batch recomputes assignments only for ITS vectors). The codebook is
+    the shared deterministic stride over the FULL embeddings table, so
+    persisted benchmark assignments and per-batch corpus assignments
+    live in the same bucket space by arithmetic."""
+    e = embeddings_with_norm(spark, sf_dir)
+    bench = e.where(
+        F.col("vec_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
+    )
+    assign = _emb_assignments(bench, _emb_centroids(e))
+    writer = (
+        assign.write.mode("overwrite")
+        .bucketBy(n_buckets, "centroid_id")
+        .sortBy("centroid_id")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
+def decontaminate_embedding(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = EMB_DECONTAM_THRESHOLD,
+    bench_assign: DataFrame | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag corpus documents whose embedding
+    cosine against some benchmark document reaches ``threshold`` —
+    ``(doc_id, bench_id, cosine)``, the embedding twin of
+    :func:`decontaminate`'s containment flag.
+
+    Scale shape: benchmark assignments are tiny (|bench| × EMB_PROBES
+    int64 pairs) and BROADCAST into the candidate join, so the corpus
+    side meets them with zero Exchange; pass ``bench_assign`` (the
+    persisted table from :func:`write_benchmark_embeddings`) and the
+    benchmark's assignment crossJoin is skipped entirely. Every
+    candidate is verified with the exact decimal cosine (the
+    no-ADC-pruning argument of `write_embedding_corpus` applies
+    unchanged). ``exact=True`` is the all-pairs oracle twin used to
+    quantify pruning recall — NOT a 100 TB path."""
+    e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
+    is_bench = (
+        F.col("vec_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
+    )
+    bench_vecs = e.where(is_bench).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    if exact:
+        cand = (
+            e.where(~is_bench)
+            .select(F.col("vec_id").alias("doc_id"))
+            .crossJoin(F.broadcast(bench_vecs.select("bench_id")))
+        )
+    else:
+        cents = _emb_centroids(e)
+        corp_assign = _emb_assignments(e.where(~is_bench), cents)
+        if bench_assign is None:
+            bench_assign = _emb_assignments(e.where(is_bench), cents)
+        cand = (
+            corp_assign.select(F.col("vec_id").alias("doc_id"), "centroid_id")
+            .join(
+                F.broadcast(
+                    bench_assign.select(
+                        F.col("vec_id").alias("bench_id"), "centroid_id"
+                    )
+                ),
+                "centroid_id",
+            )
+            .select("doc_id", "bench_id")
+            .distinct()
+        )
+    pairs = cand.join(
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("emb").alias("emb_d"),
+            F.col("norm").alias("norm_d"),
+        ),
+        "doc_id",
+    ).join(F.broadcast(bench_vecs), "bench_id")
+    cos = F.round(
+        F.try_divide(
+            _dot(F.col("emb_d"), F.col("emb_b")).cast("double"),
+            F.col("norm_d") * F.col("norm_b"),
+        ),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("doc_id", "bench_id", "cosine")
+    )
+
+
+def decontaminate_embedding_apply(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = EMB_DECONTAM_THRESHOLD,
+) -> DataFrame:
+    """The whole-doc scrub: the corpus slice minus every semantically
+    flagged document — ``(doc_id,)``, `decontaminate_apply`'s shape for
+    the embedding screen. One left-anti join of the corpus ids against
+    the (tiny by construction) flag relation."""
+    flags = decontaminate_embedding(spark, sf_dir, threshold).select(
+        "doc_id"
+    )
+    corpus = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(
+            F.col("vec_id") % DECONTAM_BENCH_MOD != DECONTAM_BENCH_REM
+        )
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return corpus.join(F.broadcast(flags), "doc_id", "left_anti")
+
+
+# SQL twin: the assign CTE is DEDUP_EMBEDDING_IVF_SQL's (computed over
+# every vector — a vector's assignment depends only on itself and the
+# deterministic codebook, so splitting the relation by bench membership
+# on the Spark side cannot change it); candidates restrict it to the
+# asymmetric corpus × benchmark direction.
+_EMB_DECONTAM_PRELUDE = f"""{_EMB_ELEMS_SQL.strip()},
+vc AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM elems v JOIN elems c ON v.i = c.i AND c.vec_id % {CENTROID_STRIDE} = 0
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vc.vec_id, vc.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vc.vec_id
+             ORDER BY vc.dot / (nv.norm * nc.norm) DESC, vc.centroid_id ASC
+           ) AS rn
+    FROM vc
+    JOIN norms nv ON nv.vec_id = vc.vec_id
+    JOIN norms nc ON nc.vec_id = vc.centroid_id)
+  WHERE rn <= {EMB_PROBES}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_id, b.vec_id AS bench_id
+  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id
+  WHERE a.vec_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+    AND b.vec_id % {DECONTAM_BENCH_MOD} = {DECONTAM_BENCH_REM}
+),
+dots AS (
+  SELECT doc_id, bench_id,
+         CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN elems ea ON ea.vec_id = doc_id
+  JOIN elems eb ON eb.vec_id = bench_id AND eb.i = ea.i
+  GROUP BY 1, 2
+),
+emb_flags AS (
+  SELECT doc_id, bench_id,
+         ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+  FROM dots
+  JOIN norms na ON na.vec_id = doc_id
+  JOIN norms nb ON nb.vec_id = bench_id
+  WHERE ROUND(dot / (na.norm * nb.norm), 6) >= {EMB_DECONTAM_THRESHOLD}
+)"""
+
+DECONTAM_EMBEDDING_SQL = f"""
+WITH {_EMB_DECONTAM_PRELUDE}
+SELECT doc_id, bench_id, cosine FROM emb_flags"""
+
+DECONTAM_EMBEDDING_APPLY_SQL = f"""
+WITH {_EMB_DECONTAM_PRELUDE}
+SELECT vec_id AS doc_id FROM embeddings
+WHERE vec_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
+  AND vec_id NOT IN (SELECT doc_id FROM emb_flags)"""

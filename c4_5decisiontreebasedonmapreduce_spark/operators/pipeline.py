@@ -461,6 +461,7 @@ def _pretraining_sql(
     n_shards: int = PT_SHARDS,
     decontam: bool = False,
     bpe: bool = False,
+    unigram: bool = False,
 ) -> str:
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long_sql,
@@ -518,7 +519,39 @@ corpus AS (
     AND doc_id NOT IN (SELECT doc_id FROM flagged)
 )"""
     source = "corpus" if decontam else "clean"
-    if bpe:
+    inner = (
+        "SELECT s.*, MIN(doc_id) OVER (PARTITION BY fingerprint)"
+        " AS keep_id\n    FROM scored s"
+    )
+    unigram_ctes = ""
+    if unigram:
+        from c4_5decisiontreebasedonmapreduce_spark.operators.unigram import (
+            _tokens_sql,
+            unigram_vit_prelude_sql,
+        )
+
+        # the Viterbi piece-count relation over the SCRUBBED text (the
+        # words the trainer actually sees), joined BEFORE the dedup
+        # keep-window — mirroring _manifest_from's window_counts join
+        # order exactly
+        unigram_ctes = f""",
+{unigram_vit_prelude_sql(source)}doc_wtok AS (
+  SELECT t.doc_id, SUM(v.n_p) AS wtok
+  FROM (SELECT doc_id, UNNEST({_tokens_sql('text')}) AS word
+        FROM {source}) t
+  JOIN vit v USING (word)
+  GROUP BY 1
+)"""
+        inner = (
+            "SELECT s.*, dw.wtok,\n"
+            "           MIN(s.doc_id) OVER (PARTITION BY fingerprint)"
+            " AS keep_id\n"
+            "    FROM scored s JOIN doc_wtok dw ON dw.doc_id = s.doc_id"
+        )
+        wtok_select = ",\n         CAST(g.wtok AS BIGINT) AS wtok"
+        wtok_join = ""
+        count_expr = "wtok"
+    elif bpe:
         from c4_5decisiontreebasedonmapreduce_spark.operators.bpe import (
             bpe_symbol_count_sql,
         )
@@ -544,14 +577,13 @@ WITH clean AS (
            '{IP_RE}', '{IP_TOKEN}', 'g'),
            '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS text
   FROM {DOCS_SQL}
-){decontam_ctes if decontam else ""},
+){decontam_ctes if decontam else ""}{unigram_ctes},
 {_scored_ctes(source)},
 gated AS (
   SELECT g.doc_id, g.n_tokens{wtok_select},
          CAST({shard} % {n_shards} AS INT) AS shard
   FROM (
-    SELECT s.*, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
-    FROM scored s
+    {inner}
   ) g{wtok_join}
   WHERE g.doc_id = keep_id AND quality_score >= {quality_gate}
         AND g.n_tokens > 0
@@ -573,6 +605,7 @@ FROM spans GROUP BY shard"""
 PRETRAINING_PIPELINE_SQL = _pretraining_sql()
 PRETRAINING_DECONTAM_SQL = _pretraining_sql(decontam=True)
 PRETRAINING_BPE_SQL = _pretraining_sql(bpe=True)
+PRETRAINING_UNIGRAM_SQL = _pretraining_sql(unigram=True)
 
 
 # batch twin of streaming.windows.streaming_quality_gate: the gate

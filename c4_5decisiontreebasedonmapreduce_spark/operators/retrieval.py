@@ -349,9 +349,15 @@ def bm25_topk_persisted(
 # keeps the discriminative tail — the production path, oracle-graded
 # with DuckDB recomputing the identical cap. Cross-engine float note:
 # floor(pow(V, u)) could in principle differ at a pow() last-ulp
-# landing exactly on an integer boundary; with u quantized to 1e-6 the
-# expected incidence is ~4e-5 per million draws (same accepted class as
-# the ln() divergence note on score_terms).
+# landing exactly on an integer boundary (Java Math.pow vs C std::pow,
+# ~4e-5 expected incidence per million draws). Since u is quantized to
+# m/1e6, the rank is made engine-INDEPENDENT by construction (ADVICE
+# r11): Python precomputes the ~20k integer cut-points c_r = smallest m
+# with rank >= r once (`_zipf_rank_cuts`), both engines compute the
+# cheap pow() only as an off-by-at-most-one APPROXIMATION, and the
+# final rank is snapped against c_r with pure integer comparisons — so
+# every boundary resolves identically in Spark and DuckDB regardless of
+# either engine's pow rounding.
 
 
 BM25_ZIPF_VOCAB = 20000
@@ -360,10 +366,42 @@ BM25_ZIPF_LEN_BASE = 20
 BM25_ZIPF_LEN_MOD = 41
 
 
+_ZIPF_CUTS: list[int] | None = None
+
+
+def _zipf_rank_cuts() -> list[int]:
+    """Integer cut-point table defining the Zipf rank function: element
+    r (1-based) is the smallest m in [0, 1e6] with rank(m) >= r, for
+    r = 1 .. V+1 (sentinel 1000000 once past the largest reachable
+    rank). Computed ONCE in Python — this table, not any engine's
+    pow(), is the definition of rank(m); Spark and DuckDB snap their
+    pow approximations to it with integer comparisons."""
+    global _ZIPF_CUTS
+    if _ZIPF_CUTS is None:
+        import math
+
+        V = BM25_ZIPF_VOCAB
+        lnv = math.log(V)
+        cuts = [0]  # rank 1 starts at m = 0
+        for r in range(2, V + 2):
+            m = math.ceil(1e6 * math.log(r) / lnv)
+            # snap exactly to Python pow's boundary (the canonical rank)
+            while m > 0 and math.pow(V, (m - 1) / 1e6) >= r:
+                m -= 1
+            while m <= 999999 and math.pow(V, m / 1e6) < r:
+                m += 1
+            cuts.append(min(m, 1000000))
+        _ZIPF_CUTS = cuts
+    return _ZIPF_CUTS
+
+
 def zipf_tokens(ids: DataFrame) -> DataFrame:
     """Deterministic synthetic token stream ``(doc_id, token)``:
     ``BM25_ZIPF_LEN_BASE + doc_id % BM25_ZIPF_LEN_MOD`` positions per
-    doc, each drawing a Zipf(1) rank over BM25_ZIPF_VOCAB."""
+    doc, each drawing a Zipf(1) rank over BM25_ZIPF_VOCAB. The rank is
+    defined by the Python cut-point table (`_zipf_rank_cuts`); the JVM
+    pow() below is only an off-by-at-most-one first guess that the
+    CASE snaps to the table with integer comparisons."""
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long,
     )
@@ -374,13 +412,18 @@ def zipf_tokens(ids: DataFrame) -> DataFrame:
     base = ids.select(
         "doc_id", F.explode(F.sequence(F.lit(1), n_tok)).alias("pos")
     )
-    u = (
-        md5_long(
-            F.concat_ws("|", F.lit("zipf"), F.col("doc_id"), F.col("pos"))
-        )
-        % 1000000
-    ) / F.lit(1000000.0)
-    rank = F.floor(F.pow(F.lit(float(BM25_ZIPF_VOCAB)), u)).cast("long")
+    m = md5_long(
+        F.concat_ws("|", F.lit("zipf"), F.col("doc_id"), F.col("pos"))
+    ) % F.lit(1000000).cast("long")
+    ra = F.floor(
+        F.pow(F.lit(float(BM25_ZIPF_VOCAB)), m / F.lit(1000000.0))
+    ).cast("int")
+    cuts = F.lit(_zipf_rank_cuts())  # constant array literal
+    rank = (
+        F.when(m >= F.element_at(cuts, ra + F.lit(1)).cast("long"), ra + 1)
+        .when(m < F.element_at(cuts, ra).cast("long"), ra - 1)
+        .otherwise(ra)
+    )
     return base.select(
         "doc_id", F.concat(F.lit("tz"), rank.cast("string")).alias("token")
     )
@@ -421,22 +464,39 @@ def bm25_topk_zipf(
     return score_terms(qterms, post, stats, k1, b, top_k)
 
 
-_ZIPF_U = (
-    "(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS('|', 'zipf', doc_id, pos)),"
-    " 1, 15)) AS BIGINT) % 1000000) / 1000000.0"
-)
+def _zipf_synth_sql() -> str:
+    """DuckDB twin of :func:`zipf_tokens`: same md5-derived integer m,
+    same pow() first guess, same snap to the SHARED Python cut-point
+    table (interpolated as a constant list literal) — so the token
+    stream is bit-identical across engines by integer comparison, not
+    by pow() rounding luck."""
+    cuts = ", ".join(str(c) for c in _zipf_rank_cuts())
+    return f"""cuts AS (SELECT [{cuts}] AS c),
+synth AS (
+  SELECT doc_id,
+         'tz' || CAST(CASE WHEN m >= c[CAST(ra + 1 AS INT)] THEN ra + 1
+                           WHEN m < c[CAST(ra AS INT)] THEN ra - 1
+                           ELSE ra END AS VARCHAR) AS token
+  FROM (
+    SELECT doc_id, m,
+           CAST(FLOOR(POWER({BM25_ZIPF_VOCAB},
+               m / 1000000.0)) AS BIGINT) AS ra
+    FROM (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS('|', 'zipf', doc_id,
+                 pos)), 1, 15)) AS BIGINT) % 1000000 AS m
+      FROM (
+        SELECT doc_id,
+               UNNEST(GENERATE_SERIES(1,
+                   {BM25_ZIPF_LEN_BASE} + doc_id % {BM25_ZIPF_LEN_MOD}))
+                   AS pos
+        FROM {DOCS_SQL}) t0) t1) t2
+  CROSS JOIN cuts
+)"""
+
 
 BM25_TOPK_ZIPF_SQL = f"""
-WITH synth AS (
-  SELECT doc_id,
-         'tz' || CAST(CAST(FLOOR(POWER({BM25_ZIPF_VOCAB},
-             {_ZIPF_U})) AS BIGINT) AS VARCHAR) AS token
-  FROM (
-    SELECT doc_id,
-           UNNEST(GENERATE_SERIES(1,
-               {BM25_ZIPF_LEN_BASE} + doc_id % {BM25_ZIPF_LEN_MOD})) AS pos
-    FROM {DOCS_SQL})
-),
+WITH {_zipf_synth_sql()},
 tf AS (
   SELECT doc_id, token, COUNT(*) AS tf FROM synth
   WHERE {_CORPUS_PRED} GROUP BY 1, 2

@@ -438,7 +438,7 @@ def unigram_piece_counts(d: DataFrame) -> DataFrame:
     )
 
 
-def unigram_vit_prelude_sql() -> str:
+def unigram_vit_prelude_sql(source_sql: str | None = None) -> str:
     """Shared DuckDB CTE prelude: the released-vocab Viterbi DP as a
     RECURSIVE CTE ending in ``vit(word, n_p)`` — per distinct corpus
     word, its piece count under the committed artifact (char-count
@@ -452,8 +452,14 @@ def unigram_vit_prelude_sql() -> str:
     every dp value is bit-identical and every comparison resolves
     identically (the score_terms decimal-sum argument, applied to a
     DP). Consumers append their own CTEs: the packing oracle adds
-    doc_wtok, the encode oracle adds per-doc stats."""
+    doc_wtok, the encode oracle adds per-doc stats. ``source_sql``
+    overrides the ``(doc_id, text)`` relation the words come from
+    (default: the raw documents table) — the pretraining pipeline
+    passes its scrubbed ``clean`` CTE so pieces are counted over the
+    text that actually ships."""
     assert UNIGRAM_MAX_PIECE_LEN == 4, "SQL DP carries exactly 4 lanes"
+    if source_sql is None:
+        source_sql = DOCS_SQL
     vocab_rows = ",\n    ".join(
         f"('{p}', {lp!r})" for p, _l, _c, lp, _r in fixed_vocab()
     )
@@ -478,7 +484,8 @@ def unigram_vit_prelude_sql() -> str:
 ),
 words AS (
   SELECT word, COUNT(*) AS freq FROM (
-    SELECT doc_id, UNNEST({_tokens_sql('text')}) AS word FROM {DOCS_SQL}) t
+    SELECT doc_id, UNNEST({_tokens_sql('text')}) AS word
+    FROM {source_sql}) t
   GROUP BY 1
 ),
 vit AS (

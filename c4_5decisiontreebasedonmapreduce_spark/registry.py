@@ -1676,6 +1676,71 @@ _register(
     "decontaminate_persisted", _decontaminate_persisted_query, D.DECONTAM_SQL
 )
 
+# embedding-space decontamination (r12): the semantic screen the
+# n-gram/span/bloom family cannot express — paraphrased benchmark
+# items flagged by cosine over the same IVF bucket machinery as
+# dedup_embedding (oracle replicates the multi-probe pruning, so the
+# candidate generator itself is hash-graded)
+_register(
+    "decontaminate_embedding",
+    D.decontaminate_embedding,
+    D.DECONTAM_EMBEDDING_SQL,
+)
+_register(
+    "decontaminate_embedding_apply",
+    D.decontaminate_embedding_apply,
+    D.DECONTAM_EMBEDDING_APPLY_SQL,
+)
+
+# session-scoped persisted benchmark-embedding assignments (written
+# once per embeddings-table fingerprint; same disposal discipline as
+# _BM25_POSTINGS_TABLES — different-fingerprint AND same-key-vanished
+# entries both evict)
+_BENCH_EMB_TABLES: dict[tuple, tuple] = {}
+
+
+def _decontaminate_embedding_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`decontaminate_embedding` against the PERSISTED centroid-bucketed
+    benchmark assignment table
+    (`operators/dedup.py::write_benchmark_embeddings`): the benchmark
+    side's assignment crossJoin runs once per session per embeddings
+    fingerprint; each scrub computes assignments for the corpus side
+    only and meets the broadcast benchmark with zero corpus-side
+    Exchange. Output identical to the standalone op (shared oracle)."""
+    key = (sf_dir.rstrip("/"), D._docs_fingerprint(sf_dir, "embeddings"))
+    cached = _BENCH_EMB_TABLES.get(key)
+    if cached is None or not all(
+        spark.catalog.tableExists(t) for t in cached[0]
+    ):
+        import tempfile
+        import uuid
+
+        for old_tables, old_dirs in _stale_values(
+            _BENCH_EMB_TABLES, key
+        ) + ([cached] if cached is not None else []):
+            for t in old_tables:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for p in old_dirs:
+                _rm_artifact_dir(p)
+        tables = (f"bench_emb_{uuid.uuid4().hex[:8]}",)
+        dirs = (tempfile.mkdtemp(prefix="bench_emb_") + "/t",)
+        D.write_benchmark_embeddings(
+            spark, sf_dir, table=tables[0], path=dirs[0]
+        )
+        _BENCH_EMB_TABLES[key] = cached = (tables, dirs)
+    return D.decontaminate_embedding(
+        spark, sf_dir, bench_assign=spark.table(cached[0][0])
+    )
+
+
+_register(
+    "decontaminate_embedding_persisted",
+    _decontaminate_embedding_persisted_query,
+    D.DECONTAM_EMBEDDING_SQL,
+)
+
 # decontamination at ingest: stream-static join (incoming docs stream ×
 # static benchmark shingle relation) + stateful per-pair counts; flags
 # absolute shared-shingle hits (the standard streaming scrub threshold)
@@ -2072,6 +2137,14 @@ _register(
     PL.pretraining_pipeline_bpe,
     PL.PRETRAINING_BPE_SQL,
 )
+# r12: the unigram twin (VERDICT r11 item 5) — packing counted in
+# RELEASED unigram-LM pieces over the scrubbed text; oracle-paired via
+# the recursive-CTE Viterbi sourced from the pipeline's `clean` CTE
+_register(
+    "pipeline_pretraining_unigram",
+    PL.pretraining_pipeline_unigram,
+    PL.PRETRAINING_UNIGRAM_SQL,
+)
 
 # ...and with benchmark DECONTAMINATION in the chain (r9): scrub →
 # eval-leak flagging over the scrubbed text (whole-doc removal, the
@@ -2443,10 +2516,14 @@ def _bm25_topk_persisted_query(
         import uuid
 
         # corpus rewritten → the old fingerprint's index tables + dirs
-        # are dead; drop them before building the new ones
+        # are dead; drop them before building the new ones. Same-key
+        # entries whose tables vanished from the catalog (fresh Spark
+        # session in the same process) are equally dead: dispose their
+        # dirs too, or every session restart leaks a full index copy
+        # under /tmp (ADVICE r11).
         for old_tables, old_dirs in _stale_values(
             _BM25_POSTINGS_TABLES, key
-        ):
+        ) + ([cached] if cached is not None else []):
             for t in old_tables:
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
             for p in old_dirs:
@@ -2688,7 +2765,12 @@ def _diff_snapshots_persisted_query(
         import tempfile
         import uuid
 
-        for old_tables, old_dirs in _stale_values(_SNAPSHOT_TABLES, key):
+        # different-fingerprint entries AND this key's own vanished-
+        # table entry (fresh session, same process) both dispose here —
+        # see the bm25 wrapper's comment (ADVICE r11)
+        for old_tables, old_dirs in _stale_values(
+            _SNAPSHOT_TABLES, key
+        ) + ([cached] if cached is not None else []):
             for t in old_tables:
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
             for p in old_dirs:

@@ -1,0 +1,200 @@
+"""Round-12 hygiene + operators: same-key persisted-artifact disposal
+(ADVICE r11), the engine-independent Zipf rank table, and the round's
+new operator families (embedding decontamination, bucketed events)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from c4_5decisiontreebasedonmapreduce_spark import registry as REG
+
+# ---------------------------------------------------------------------------
+# persisted-artifact cache: same-key disposal (ADVICE r11)
+
+
+def _assert_same_key_disposal(spark, sf_small, cache, query_fn):
+    """Build once, simulate a fresh Spark session (drop the catalog
+    tables, keep the process-level cache), rebuild — the first build's
+    temp dirs must be disposed, not abandoned, and the cache must hold
+    exactly one entry for the sf_dir."""
+    query_fn(spark, sf_small)
+    key = REG._layout_cache_key(sf_small)
+    tables1, dirs1 = cache[key]
+    for p in dirs1:
+        assert os.path.isdir(p), f"first build missing artifact {p}"
+    for t in tables1:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    query_fn(spark, sf_small)
+    tables2, dirs2 = cache[key]
+    assert set(tables2).isdisjoint(tables1)
+    for p in dirs1:
+        assert not os.path.exists(os.path.dirname(p)), (
+            f"stale artifact dir leaked after same-key rebuild: {p}"
+        )
+    for p in dirs2:
+        assert os.path.isdir(p)
+    for t in tables2:
+        assert spark.catalog.tableExists(t)
+    assert [k for k in cache if k[0] == key[0]] == [key]
+
+
+def test_bm25_persisted_same_key_disposal(spark, sf_small):
+    _assert_same_key_disposal(
+        spark, sf_small,
+        REG._BM25_POSTINGS_TABLES, REG._bm25_topk_persisted_query,
+    )
+
+
+def test_snapshot_persisted_same_key_disposal(spark, sf_small):
+    _assert_same_key_disposal(
+        spark, sf_small,
+        REG._SNAPSHOT_TABLES, REG._diff_snapshots_persisted_query,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank: the Python cut-point table IS the definition (ADVICE r11)
+
+
+def test_zipf_rank_matches_python_table(spark):
+    """Spark's snapped rank must equal a pure-Python recomputation from
+    the md5 stream + bisect over the shared cut-point table — no pow()
+    in the reference path at all, so a JVM/C pow ulp difference cannot
+    flip any token."""
+    import bisect
+    import hashlib
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        retrieval as RV,
+    )
+
+    cuts = RV._zipf_rank_cuts()
+    assert cuts[0] == 0 and len(cuts) == RV.BM25_ZIPF_VOCAB + 1
+    # strictly increasing over reachable ranks; unreachable tail ranks
+    # share the 1000000 sentinel (m never reaches it, so bisect is
+    # still unambiguous)
+    assert all(
+        a < b or a == b == 1000000
+        for a, b in zip(cuts[:-1], cuts[1:])
+    )
+
+    ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    # collect_list order is not deterministic across partitions; compare
+    # per-doc token MULTISETS instead of positions
+    from collections import Counter
+
+    spark_toks = {
+        r.doc_id: Counter(r.toks)
+        for r in RV.zipf_tokens(ids)
+        .groupBy("doc_id")
+        .agg(F.collect_list("token").alias("toks"))
+        .collect()
+    }
+    for doc_id in range(200):
+        n_tok = RV.BM25_ZIPF_LEN_BASE + doc_id % RV.BM25_ZIPF_LEN_MOD
+        expect: Counter = Counter()
+        for pos in range(1, n_tok + 1):
+            h = hashlib.md5(f"zipf|{doc_id}|{pos}".encode()).hexdigest()
+            m = int(h[:15], 16) % 1000000
+            rank = bisect.bisect_right(cuts, m)  # count of c_r <= m
+            expect[f"tz{rank}"] += 1
+        assert spark_toks[doc_id] == expect, f"doc {doc_id} diverges"
+
+
+# ---------------------------------------------------------------------------
+# embedding-space decontamination (VERDICT r11 item 3)
+
+
+def test_decontaminate_embedding_recall_vs_exact(spark, sf_small):
+    """The IVF-pruned flag set must equal the exact all-pairs twin at
+    test scale — multi-probe assignment keeps full recall on near
+    vectors (the dedup_embedding recall argument, asymmetric)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        dedup as D,
+    )
+
+    ivf = {
+        (r.doc_id, r.bench_id, r.cosine)
+        for r in D.decontaminate_embedding(spark, sf_small).collect()
+    }
+    exact = {
+        (r.doc_id, r.bench_id, r.cosine)
+        for r in D.decontaminate_embedding(
+            spark, sf_small, exact=True
+        ).collect()
+    }
+    assert ivf == exact and len(exact) > 0
+
+
+def test_decontaminate_embedding_persisted_matches_default(
+    spark, sf_small, tmp_path
+):
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        dedup as D,
+    )
+
+    bench = D.write_benchmark_embeddings(
+        spark, sf_small,
+        table="t_bench_emb_r12", path=str(tmp_path / "bench_emb"),
+    )
+    got = {
+        tuple(r)
+        for r in D.decontaminate_embedding(
+            spark, sf_small, bench_assign=bench
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in D.decontaminate_embedding(spark, sf_small).collect()
+    }
+    assert got == want and len(want) > 0
+    spark.sql("DROP TABLE IF EXISTS t_bench_emb_r12")
+
+
+def test_decontaminate_embedding_apply_is_exact_complement(spark, sf_small):
+    """clean = corpus ids − flagged doc ids, exactly."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        dedup as D,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.sources.parquet import (
+        load_table,
+    )
+
+    corpus = {
+        r.vec_id
+        for r in load_table(spark, sf_small, "embeddings")
+        .where(
+            F.col("vec_id") % D.DECONTAM_BENCH_MOD != D.DECONTAM_BENCH_REM
+        )
+        .select("vec_id")
+        .collect()
+    }
+    flagged = {
+        r.doc_id
+        for r in D.decontaminate_embedding(spark, sf_small).collect()
+    }
+    clean = {
+        r.doc_id
+        for r in D.decontaminate_embedding_apply(spark, sf_small).collect()
+    }
+    assert clean == corpus - flagged
+    assert flagged <= corpus and flagged
+
+
+def test_decontaminate_embedding_plan_no_cartesian(spark, sf_small):
+    """The graded path's only non-equi join is the corpus × broadcast
+    CODEBOOK assignment (N×C) — never a corpus × benchmark
+    CartesianProduct; the benchmark side enters the candidate join as a
+    broadcast."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        dedup as D,
+    )
+
+    p = (
+        D.decontaminate_embedding(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
