@@ -166,6 +166,17 @@ BENCH_QUERIES = [
     "bm25_topk_zipf",
     "retention_cohorts",
     "diff_snapshots_persisted",
+    # round-12: embedding-space decontamination (semantic eval-leak
+    # flagging over the IVF bucket machinery; persisted twin amortizes
+    # the benchmark assignment pass), the unigram pretraining manifest
+    # (recursive-Viterbi piece counts over scrubbed text), and the
+    # user_id-bucketed events layout twins (zero user-key Exchange)
+    "decontaminate_embedding",
+    "decontaminate_embedding_persisted",
+    "contamination_audit",
+    "pipeline_pretraining_unigram",
+    "funnel_conversion_persisted",
+    "retention_cohorts_persisted",
     # round-10 second wave: ranked retrieval (inverted-index join +
     # per-query top-k window) and small-file compaction (the write IS
     # the op; the fragment fixture is session-cached setup).

@@ -3154,3 +3154,71 @@ WITH {_EMB_DECONTAM_PRELUDE}
 SELECT vec_id AS doc_id FROM embeddings
 WHERE vec_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
   AND vec_id NOT IN (SELECT doc_id FROM emb_flags)"""
+
+
+def contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full contamination picture per corpus document: every screen
+    the engine has — shingle CONTAINMENT (`decontaminate`), leaked
+    PASSAGES (`decontaminate_spans`), and SEMANTIC similarity
+    (`decontaminate_embedding`) — rolled up to one row per (doc_id,
+    screen): ``(doc_id, screen, n_bench_docs, score)``. ``score`` is
+    the screen's own unit (max containment overlap / max leaked-span
+    tokens / max cosine); a doc flagged by several screens appears once
+    per screen, and a paraphrased leak appears ONLY under
+    ``embedding`` — the audit is how an operator sees which class of
+    leak each doc is. The embedding screen keys by vec_id (the
+    document's embedding id, the `decontaminate_embedding` convention).
+
+    Scale shape: detector-cost-dominated — each screen keeps its own
+    candidate discipline (df-capped shingle join, positioned-gram
+    islands, IVF buckets) and the audit adds only leak-sized rollups
+    and a three-way union of tiny relations."""
+    cont = (
+        decontaminate(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").cast("int").alias("n_bench_docs"),
+            F.max("overlap").cast("double").alias("score"),
+        )
+        .withColumn("screen", F.lit("containment"))
+    )
+    spans = (
+        decontaminate_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").cast("int").alias("n_bench_docs"),
+            F.max("span_tokens").cast("double").alias("score"),
+        )
+        .withColumn("screen", F.lit("span"))
+    )
+    emb = (
+        decontaminate_embedding(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").cast("int").alias("n_bench_docs"),
+            F.max("cosine").cast("double").alias("score"),
+        )
+        .withColumn("screen", F.lit("embedding"))
+    )
+    return (
+        cont.unionByName(spans)
+        .unionByName(emb)
+        .select("doc_id", "screen", "n_bench_docs", "score")
+    )
+
+
+CONTAMINATION_AUDIT_SQL = f"""
+SELECT doc_id, 'containment' AS screen,
+       CAST(COUNT(DISTINCT bench_id) AS INT) AS n_bench_docs,
+       CAST(MAX(overlap) AS DOUBLE) AS score
+FROM ({DECONTAM_SQL}) c GROUP BY 1
+UNION ALL
+SELECT doc_id, 'span' AS screen,
+       CAST(COUNT(DISTINCT bench_id) AS INT) AS n_bench_docs,
+       CAST(MAX(span_tokens) AS DOUBLE) AS score
+FROM ({DECONTAM_SPANS_SQL}) s GROUP BY 1
+UNION ALL
+SELECT doc_id, 'embedding' AS screen,
+       CAST(COUNT(DISTINCT bench_id) AS INT) AS n_bench_docs,
+       CAST(MAX(cosine) AS DOUBLE) AS score
+FROM ({DECONTAM_EMBEDDING_SQL}) e GROUP BY 1"""

@@ -1495,7 +1495,9 @@ PROFILE_SKEW_SQL = _skew_sql()
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
-def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def funnel_conversion(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """Ordered-funnel conversion per user: the earliest ``view``, the
     earliest ``click`` strictly after it, the earliest ``purchase``
     strictly after that. Output per user: the three stage timestamps,
@@ -1509,10 +1511,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the user_id hash partitioning, so AQE reuses one exchange
     layout end-to-end. No window over the raw event stream — the
     sessionize-style sort-per-user is avoided entirely because funnels
-    only need per-stage minima, not full orderings."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
+    only need per-stage minima, not full orderings. Pass ``events``
+    (the user_id-bucketed table from :func:`write_events_bucketed`)
+    and every per-user agg and join reads pre-partitioned — zero
+    Exchange on the user key, plan-pinned."""
+    ev = (
+        events
+        if events is not None
+        else load_table(spark, sf_dir, "events")
+    ).select("user_id", "event_type", "ts")
     s1 = (
         ev.where(F.col("event_type") == FUNNEL_STAGES[0])
         .groupBy("user_id")
@@ -1758,7 +1765,9 @@ RETENTION_COHORT_EVENT = "signup"
 RETENTION_MAX_OFFSET = 14
 
 
-def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def retention_cohorts(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """Classic retention matrix over `events`: cohort = calendar date of
     a user's FIRST ``signup``; for each cohort date and day offset
     0..RETENTION_MAX_OFFSET, how many cohort members were active (any
@@ -1775,10 +1784,17 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny). Since activity is already distinct per (user, date), the
     matrix cell is a plain COUNT(*), not a COUNT(DISTINCT) — no second
     dedup exchange. Output: ``(cohort_date, day_offset, n_active,
-    cohort_size, retention_rate)``."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
+    cohort_size, retention_rate)``. Pass ``events`` (the
+    user_id-bucketed table from :func:`write_events_bucketed`) and the
+    cohort agg, the activity distinct (its grouping keys contain
+    user_id, so the bucket partitioning satisfies them), and the
+    cohort join all read pre-partitioned — the only Exchanges left are
+    over the dates×offsets matrix, which is tiny at any scale."""
+    ev = (
+        events
+        if events is not None
+        else load_table(spark, sf_dir, "events")
+    ).select("user_id", "event_type", "ts")
     cohorts = (
         ev.where(F.col("event_type") == RETENTION_COHORT_EVENT)
         .groupBy("user_id")
@@ -1836,3 +1852,32 @@ SELECT cells.cohort_date, CAST(day_offset AS INT) AS day_offset, n_active,
        cohort_size,
        ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention_rate
 FROM cells JOIN sizes USING (cohort_date)"""
+
+
+def write_events_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events_by_user",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the events stream BUCKETED BY ``user_id`` — the grouping
+    and join key of every per-user event analytic (funnel, retention,
+    sessionize). The `write_snapshot` economics applied to events
+    (VERDICT r11 item 8): bucket once at ingest, then every per-user
+    agg/distinct/join reads pre-partitioned — Spark's bucketed
+    HashPartitioning(user_id) satisfies any grouping whose keys CONTAIN
+    user_id, so the funnel's stage minima, the retention cohort agg and
+    the (user, date) activity distinct are all Exchange-free
+    (plan-pinned in tests/test_round12_ops.py). Sorted within buckets
+    by (user_id, ts) so per-user scans are sequential."""
+    ev = load_table(spark, sf_dir, "events")
+    writer = (
+        ev.write.mode("overwrite")
+        .bucketBy(n_buckets, "user_id")
+        .sortBy("user_id", "ts")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)

@@ -1741,6 +1741,16 @@ _register(
     D.DECONTAM_EMBEDDING_SQL,
 )
 
+# the full per-doc contamination picture: all three screens
+# (containment / span / embedding) rolled up to (doc_id, screen,
+# n_bench_docs, score) — a paraphrased leak appears only under
+# 'embedding'
+_register(
+    "contamination_audit",
+    D.contamination_audit,
+    D.CONTAMINATION_AUDIT_SQL,
+)
+
 # decontamination at ingest: stream-static join (incoming docs stream ×
 # static benchmark shingle relation) + stateful per-pair counts; flags
 # absolute shared-shingle hits (the standard streaming scrub threshold)
@@ -2213,6 +2223,18 @@ _register(
     "streaming_bm25_scoring",
     SW.streaming_bm25_scoring,
     _BM25_TOPK_SQL,
+)
+
+# r12: semantic decontamination at ingest — arriving corpus vectors
+# screened per micro-batch against the static benchmark embedding
+# state (codebook + assignments + vectors, checkpointed; in production
+# the persisted centroid-bucketed table); a vector arrives whole, so
+# its flag set is batch-local and drained == the batch op (shared
+# oracle)
+_register(
+    "streaming_decontaminate_embedding",
+    SW.streaming_decontaminate_embedding,
+    D.DECONTAM_EMBEDDING_SQL,
 )
 
 # passage-level decontamination at ingest (r9): per-micro-batch span
@@ -2735,6 +2757,72 @@ _register(
 
 _register("retention_cohorts", R.retention_cohorts, R.RETENTION_SQL)
 
+
+# session-scoped persisted user_id-bucketed events table (r12, VERDICT
+# r11 item 8): ONE bucketed copy shared by the funnel and retention
+# persisted twins; same disposal discipline as _BM25_POSTINGS_TABLES
+_EVENTS_TABLES: dict[tuple, tuple] = {}
+
+
+def _events_bucketed_table(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir.rstrip("/"), D._docs_fingerprint(sf_dir, "events"))
+    cached = _EVENTS_TABLES.get(key)
+    if cached is None or not all(
+        spark.catalog.tableExists(t) for t in cached[0]
+    ):
+        import tempfile
+        import uuid
+
+        for old_tables, old_dirs in _stale_values(
+            _EVENTS_TABLES, key
+        ) + ([cached] if cached is not None else []):
+            for t in old_tables:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for p in old_dirs:
+                _rm_artifact_dir(p)
+        tables = (f"events_by_user_{uuid.uuid4().hex[:8]}",)
+        dirs = (tempfile.mkdtemp(prefix="events_by_user_") + "/t",)
+        R.write_events_bucketed(
+            spark, sf_dir, table=tables[0], path=dirs[0]
+        )
+        _EVENTS_TABLES[key] = cached = (tables, dirs)
+    return cached[0][0]
+
+
+def _funnel_conversion_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`funnel_conversion` against the PERSISTED user_id-bucketed events
+    table (`operators/relational.py::write_events_bucketed`): every
+    per-user stage agg and join reads pre-partitioned — zero Exchange
+    on the user key (plan-pinned in tests/test_round12_ops.py). Output
+    identical to the in-memory op (shared oracle)."""
+    table = _events_bucketed_table(spark, sf_dir)
+    return R.funnel_conversion(spark, sf_dir, events=spark.table(table))
+
+
+def _retention_cohorts_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`retention_cohorts` against the same persisted bucketed events
+    table: cohort agg, activity distinct, and cohort join are all
+    Exchange-free on the user key; the only shuffles left move the
+    dates×offsets matrix (tiny at any scale). Shared oracle."""
+    table = _events_bucketed_table(spark, sf_dir)
+    return R.retention_cohorts(spark, sf_dir, events=spark.table(table))
+
+
+_register(
+    "funnel_conversion_persisted",
+    _funnel_conversion_persisted_query,
+    R.FUNNEL_SQL,
+)
+_register(
+    "retention_cohorts_persisted",
+    _retention_cohorts_persisted_query,
+    R.RETENTION_SQL,
+)
+
 # the production BM25 path: relative df-cap BINDING on a Zipf-vocabulary
 # workload (r10 VERDICT #4 — bm25_topk's 31-token fixture forces the cap
 # off, so the capped path was never oracle-graded or benched)
@@ -2814,129 +2902,96 @@ _register(
 # tests/test_oracle_parity.py over the FULL registry.
 
 _FIRST_WINDOW = [
-    # SURVEY §2.A reference-surface anchors. r11 rotation (per the r10
-    # verdict's directive to swap out §2.A residents graded green >= 5
-    # consecutive rounds): scan_training, scan_schema_tsv,
-    # broadcast_rules, groupby_contingency(_numeric), gain_ratio,
-    # numeric_best_split, level_stats, argmax_per_group, leaf_detect,
-    # sort_numeric_values, and sink_roundtrip leave the window — each
-    # graded green r1-r10 and still hash-graded every CI run by
-    # tests/test_oracle_parity.py. The two GOLDEN capstones stay: their
-    # sf0.01 model oracles carry the "via" coverage for the whole
-    # training loop (expand_children, iterate_until_fixpoint,
-    # sink_model, serde_rule — SURVEY §2.A merge table).
+    # SURVEY §2.A reference-surface anchors: the two GOLDEN capstones
+    # stay every round — their sf0.01 model oracles carry the "via"
+    # coverage for the whole training loop (expand_children,
+    # iterate_until_fixpoint, sink_model, serde_rule — SURVEY §2.A
+    # merge table). Everything else from §2.A rotated out r10-r11
+    # after 5-10 consecutive green grades and stays hash-graded every
+    # CI run by tests/test_oracle_parity.py.
     "c45_train",
     "c45_predict",
-    # the TSV malformed-row ingest audit (r10 rotation in — r9 op the
-    # driver never graded; Java split-limit-0 semantics re-pinned r10)
+    # r12: the training-loop VARIANTS, never driver-graded (VERDICT
+    # r11 item 2's list) — EBP pruning and the byte-exact reference
+    # quirk mode, each with its own sf0.01 golden oracle
+    "c45_train_pruned",
+    "c45_train_bug_compat",
+    # the TSV malformed-row ingest audit (r10 rotation in; Java
+    # split-limit-0 semantics re-pinned r10)
     "tsv_ingest_audit",
-    # relational core: aggregation / join / window representatives
-    # (r10 rotation: q3/q6/join_broadcast/join_semi_anti/join_salted/
-    # window_funcs/agg_rollup/merge_cdc out — all long-stable, proven
-    # by the full-registry parity suite since r5-r8; in their place the
-    # never-graded r9 TPC-H shapes q2/q7/q11/q13/q15/q17 and the skew
-    # profiler, per the r9 verdict's rotation directive)
-    # (r11: q1_pricing_summary out — graded green since r1; merge_cdc
-    # returns after its r10 rotation-out plus the never-graded q-shape
-    # siblings named by the r10 verdict)
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    # (r10 second wave: q21_sole_returner out — graded green r9; the
-    # TPC-H family keeps 7 shapes in the window; in its place the
-    # range-clustered-layout rescan, never graded)
-    "layout_cluster_range",
-    "profile_skew",
-    # r11 first-timers (r10 VERDICT #3's never-driver-graded list):
-    # event analytics pair + snapshot/CDC audit trio, vocabulary
-    # analysis pair, the two sampler regimes, the packing layout
-    # relation + its ingest twin, and the streaming quality gate
-    "funnel_conversion",
-    "retention_cohorts",
-    "diff_snapshots",
+    # relational core: TPC-H shapes. r12 rotation: q2/q7/q11/q13/q15/
+    # q17 out (graded green r10-r11); in their place the five
+    # never-graded siblings — the family keeps 5 shapes in-window and
+    # every displaced shape stays full-registry hash-graded.
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    # event analytics (r12): the persisted user_id-bucketed layout
+    # twins replace their r11-graded raw-scan siblings (same oracles,
+    # new zero-user-Exchange plans)
+    "funnel_conversion_persisted",
+    "retention_cohorts_persisted",
+    # snapshot/CDC: diff_snapshots_persisted STAYS a second round —
+    # its registry wrapper gained the same-key disposal path this
+    # round and should be regraded on the new code
     "diff_snapshots_persisted",
-    "merge_cdc",
-    "vocab_coverage",
-    "vocab_oov",
-    "repetition_signals",
-    "sample_temperature",
-    "sample_softdedup",
-    "pack_assignments",
-    "pack_incremental",
-    "streaming_quality_gate",
-    # r11: the production (df-capped) BM25 path on the Zipf workload
+    # r12 never-graded rotation (VERDICT r11 item 2): the cost-model
+    # bloom auto-skip, the token-budget sampler, the persisted LM and
+    # span-corpus artifacts, the mixture→pack composition, the corpus
+    # dashboard, and the two multimodal Arrow-plumbing ops
+    "decontaminate_bloom_auto",
+    "sample_token_budget",
+    "lm_perplexity_persisted",
+    "dedup_spans_incremental_persisted",
+    "pipeline_mixture_pack",
+    "corpus_report",
+    "multimodal_decode",
+    "multimodal_frames",
+    # r12 NEW operators: embedding-space decontamination (the semantic
+    # screen the n-gram family misses) and the unigram pretraining
+    # manifest
+    "decontaminate_embedding",
+    "decontaminate_embedding_apply",
+    "decontaminate_embedding_persisted",
+    "pipeline_pretraining_unigram",
+    # r11 first-timers that STAY a second round: the production
+    # df-capped BM25 path's rank derivation was rebuilt this round
+    # (engine-independent cut-point table) — regrade on the new code
     "bm25_topk_zipf",
-    # text analysis / tokenizer training (r10 rotation: lang_id/tfidf
-    # out — stable since r4; chunk_documents → chunk_documents_bpe, the
-    # subword twin that grades the replace-chain segmentation per chunk;
-    # the displaced entries stay full-registry graded)
+    # text analysis / tokenizer training
     "chunk_documents_bpe",
-    # (r10 second wave: lm_perplexity out — graded green r9 and its LM
-    # family stays full-registry graded; in its place the new ranked-
-    # retrieval op, never graded anywhere yet)
     "bm25_topk",
     "bpe_train",
-    # sampling / split hygiene (r9 second-session ops, never graded)
+    # sampling / split hygiene
     "sample_dsir_persisted",
-    "split_leakage_audit",
-    # dedup / decontamination family (r10: dedup_exact out — its
-    # fingerprint groupBy is stage 1 of dedup_cluster, which stays)
-    # (r10 second wave: dedup_ngram_jaccard + dedup_minhash out — both
-    # graded green r6-r9 and the candidate-join family keeps
-    # spans/cluster/embedding entries below; in their place the
-    # partition-column advisor and the unigram tokenizer seed, both
-    # never graded)
-    "unigram_seed_vocab",
-    "layout_advise",
-    # (r9 rotation: dedup_simhash out — same band-join family as
-    # minhash, which stays; pipeline_finetuning in, composing the new
-    # split/DSIR/chunk stages into one graded query)
+    # r12 second wave (split_leakage_audit and layout_advise rotate
+    # out — both graded green r10-r11; in their place the two newest
+    # compositions, never graded): the three-screen contamination
+    # audit and the ingest-time semantic screen
+    "contamination_audit",
+    "streaming_decontaminate_embedding",
+    # dedup / decontamination family representatives
     "pipeline_finetuning",
     "dedup_embedding_ivf",
-    # r10: the ingest-time embedding dedup joins the graded window in
-    # place of dedup_spans_apply (r9-graded green; spans itself stays)
     "dedup_embedding_incremental",
     "dedup_cluster",
     "dedup_spans",
-    # r10: dedup_assets (the multimodal→ANN composition) replaces the
-    # r9-graded decontaminate_spans_apply; the spans family keeps its
-    # detect+apply pair in via decontaminate_spans itself
     "dedup_assets",
-    # (r11: decontaminate out — graded green r5-r10; the contamination
-    # family stays graded via decontaminate_spans below, and the flag
-    # semantics stay full-registry hash-graded)
-    # (r10 second wave: decontaminate_apply out — graded green r9, and
-    # the apply surgery stays graded via decontaminate_spans below; in
-    # its place the partition-pruned-layout rescan, never graded)
     "layout_partition_prune",
     "decontaminate_spans",
-    # similarity search (r10: similarity_topk out — it is the exact
-    # baseline the two ANN entries are pinned against in pytest;
-    # second wave: similarity_ann_ivf out too, graded green r9 — ivfpq
-    # subsumes its probe machinery; in its place the persisted-index
-    # BM25, never graded)
+    # similarity search + persisted retrieval (bm25_topk_persisted
+    # wrapper also gained the same-key disposal path this round)
     "bm25_topk_persisted",
     "similarity_ann_ivfpq",
-    # sampling / packing / pipeline (r10: scrub_pii out — graded green
-    # r7-r9 and its regex projection is stage 1 of pipeline_pretraining)
-    # (r10 second wave: sample_mixture out — graded green r9;
-    # sample_dsir_persisted above keeps the sampling family graded; in
-    # its place the small-file-compaction identity rescan, never graded)
+    # sampling / packing / pipeline
     "layout_compact_rescan",
     "pack_sequences",
     "pack_sequences_bpe",
-    # r10: join_auto (regime chooser) replaces the r9-graded
-    # pack_assignments (its layout stays pinned by pack_sequences'
-    # conservation tests + full-registry parity)
     "join_auto",
     "pipeline_pretraining",
-    # streaming representatives (r10: the two never-graded r9 ingest
-    # ops; second wave: streaming_stateful out — graded green r7-r9,
-    # its stateful machinery stays pytest-pinned — for the ingest-time
-    # BM25 scorer, never graded)
+    # streaming representatives
     "streaming_bm25_scoring",
     "streaming_dsir_scoring",
     "streaming_chunk_ingest",

@@ -554,13 +554,25 @@ def _docs_stream(
     """documents.parquet as a file-source stream — the same scratch-dir
     symlink staging as :func:`_events_stream` (the file source needs a
     directory; the symlink is zero-copy)."""
-    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _parquet_stream(spark, sf_dir, "documents", stage)
+
+
+def _parquet_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    stage: str | None = None,
+) -> DataFrame:
+    """Any sf_dir parquet table as a file-source stream (the
+    :func:`_docs_stream` staging, table-generic — r12 adds the
+    embeddings stream for ingest-time semantic decontamination)."""
+    batch = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if stage is None:
-        stage = tempfile.mkdtemp(prefix="docs_stream_")
+        stage = tempfile.mkdtemp(prefix=f"{table}_stream_")
     else:
         os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    target = os.path.abspath(f"{sf_dir}/documents.parquet")
+    link = os.path.join(stage, f"{table}.parquet")
+    target = os.path.abspath(f"{sf_dir}/{table}.parquet")
     if os.path.lexists(link):
         existing = (
             os.path.realpath(os.readlink(link))
@@ -1280,6 +1292,106 @@ def streaming_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         " score DOUBLE, n_terms INT, rank INT) USING parquet"
     )
     q = stream.writeStream.foreachBatch(score_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def streaming_decontaminate_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination at INGEST: arriving corpus vectors are
+    screened against the STATIC benchmark embedding state — the r12
+    embedding twin of :func:`streaming_decontaminate`. Static side
+    (checkpointed once; in production the persisted centroid-bucketed
+    table from `operators.dedup.write_benchmark_embeddings`): the
+    deterministic codebook, the benchmark assignments, and the
+    benchmark vectors. Each micro-batch normalizes ITS vectors, assigns
+    them to their EMB_PROBES nearest centroids (a batch-sized window),
+    meets the broadcast benchmark assignments on centroid_id, and
+    verifies every candidate with the exact decimal cosine — a vector
+    arrives whole in one row, so its entire flag set is batch-local:
+    zero cross-batch state, the `streaming_bm25_scoring` shape. Drained
+    output ≡ the batch `decontaminate_embedding` (shared oracle)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        DECONTAM_BENCH_MOD,
+        DECONTAM_BENCH_REM,
+        EMB_DECONTAM_THRESHOLD,
+        _dot,
+        _emb_assignments,
+        _emb_centroids,
+        _emb_decimal,
+        embeddings_with_norm,
+    )
+
+    e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
+    is_bench = (
+        F.col("vec_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
+    )
+    cents = _emb_centroids(e).localCheckpoint()
+    bench_assign = (
+        _emb_assignments(e.where(is_bench), cents)
+        .select(F.col("vec_id").alias("bench_id"), "centroid_id")
+        .localCheckpoint()
+    )
+    bench_vecs = (
+        e.where(is_bench)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("emb").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+        )
+        .localCheckpoint()
+    )
+
+    stream = _parquet_stream(spark, sf_dir, "embeddings").where(~is_bench)
+    name = f"stream_emb_decontam_{uuid.uuid4().hex[:8]}"
+
+    def scrub_batch(batch_df, _batch_id):
+        dec = _emb_decimal(F.col("embedding"))
+        b = batch_df.select(
+            F.col("vec_id").alias("doc_id"),
+            dec.alias("emb_d"),
+            F.sqrt(_dot(dec, dec).cast("double")).alias("norm_d"),
+        )
+        assign = _emb_assignments(
+            b.select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("emb_d").alias("emb"),
+                F.col("norm_d").alias("norm"),
+            ),
+            cents,
+        )
+        cand = (
+            assign.select(F.col("vec_id").alias("doc_id"), "centroid_id")
+            .join(F.broadcast(bench_assign), "centroid_id")
+            .select("doc_id", "bench_id")
+            .distinct()
+        )
+        cos = F.round(
+            F.try_divide(
+                _dot(F.col("emb_d"), F.col("emb_b")).cast("double"),
+                F.col("norm_d") * F.col("norm_b"),
+            ),
+            6,
+        )
+        (
+            cand.join(b, "doc_id")
+            .join(F.broadcast(bench_vecs), "bench_id")
+            .withColumn("cosine", cos)
+            .where(F.col("cosine") >= EMB_DECONTAM_THRESHOLD)
+            .select("doc_id", "bench_id", "cosine")
+            .write.mode("append")
+            .saveAsTable(name)
+        )
+
+    spark.sql(
+        f"CREATE TABLE {name} (doc_id BIGINT, bench_id BIGINT,"
+        " cosine DOUBLE) USING parquet"
+    )
+    q = stream.writeStream.foreachBatch(scrub_batch).start()
     try:
         q.processAllAvailable()
     finally:

@@ -488,6 +488,31 @@ HEADLINE = {
         "pass over distinct words + equi-join rollup; packing half "
         "plan-identical to pack_sequences"
     ),
+    "decontaminate_embedding": (
+        "r12 semantic eval-leak flagging: asymmetric corpus x benchmark "
+        "centroid-bucket candidates with the benchmark side broadcast "
+        "(zero corpus-side Exchange in the candidate join), exact "
+        "decimal-cosine verify on candidate-sized relations"
+    ),
+    "decontaminate_embedding_persisted": (
+        "r12: same plan with the benchmark assignment pass amortized "
+        "into the persisted centroid-bucketed table"
+    ),
+    "pipeline_pretraining_unigram": (
+        "r12 unigram manifest: the whitespace pipeline's one-scan/"
+        "two-exchange spine plus one vocab-sized Arrow Viterbi pass "
+        "and a user-bounded doc_wtok equi-join"
+    ),
+    "funnel_conversion_persisted": (
+        "r12 bucketed events layout: every per-user stage agg and join "
+        "reads the user_id-bucketed table pre-partitioned — zero "
+        "shuffle Exchange on the user key"
+    ),
+    "retention_cohorts_persisted": (
+        "r12: cohort agg, (user, date) activity distinct and cohort "
+        "join all Exchange-free on the user key; only the tiny "
+        "dates x offsets rollup shuffles"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);

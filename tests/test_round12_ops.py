@@ -198,3 +198,99 @@ def test_decontaminate_embedding_plan_no_cartesian(spark, sf_small):
         .toString()
     )
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# user_id-bucketed events layout (VERDICT r11 item 8)
+
+
+def test_events_bucketed_persisted_twins_zero_user_exchange(
+    spark, sf_small, tmp_path
+):
+    """Against the user_id-bucketed events table, the funnel and
+    retention plans must contain NO shuffle Exchange keyed on user_id —
+    every per-user agg/distinct/join reads pre-partitioned (broadcast
+    exchanges of user-bounded relations and the tiny dates×offsets
+    rollup exchanges are the only data movement left). Results must be
+    identical to the raw-scan ops."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        relational as R,
+    )
+
+    t = R.write_events_bucketed(
+        spark, sf_small,
+        table="t_events_bucketed_r12", path=str(tmp_path / "ev_bucketed"),
+    )
+    try:
+        for op in (R.funnel_conversion, R.retention_cohorts):
+            bucketed = op(spark, sf_small, events=t)
+            p = (
+                bucketed._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "hashpartitioning(user_id" not in p, (op.__name__, p)
+            assert "Bucketed: true" in p, (op.__name__, p)
+            raw = op(spark, sf_small)
+            # the raw path pays user-key shuffles the layout removes
+            p_raw = raw._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(user_id" in p_raw
+            got = sorted(map(tuple, bucketed.collect()))
+            want = sorted(map(tuple, raw.collect()))
+            assert got == want and len(want) > 0, op.__name__
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_events_bucketed_r12")
+
+
+def test_streaming_decontaminate_embedding_equals_batch(spark, sf_small):
+    """Drained ingest-time flags ≡ the batch op — a vector arrives
+    whole, so its flag set is batch-local and the union over
+    micro-batches is exactly the batch run."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        dedup as D,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.streaming import (
+        windows as SW,
+    )
+
+    drained = {
+        tuple(r)
+        for r in SW.streaming_decontaminate_embedding(
+            spark, sf_small
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in D.decontaminate_embedding(spark, sf_small).collect()
+    }
+    assert drained == batch and len(batch) > 0
+
+
+def test_contamination_audit_equals_standalone_rollups(spark, sf_small):
+    """Each screen's audit rows must equal an independent rollup of its
+    standalone detector — same doc set, same bench-doc counts, same max
+    score — and every screen must contribute at least one row on the
+    fixture."""
+    from collections import defaultdict
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        dedup as D,
+    )
+
+    audit = defaultdict(dict)
+    for r in D.contamination_audit(spark, sf_small).collect():
+        audit[r.screen][r.doc_id] = (r.n_bench_docs, r.score)
+
+    for screen, op, score_col in (
+        ("containment", D.decontaminate, "overlap"),
+        ("span", D.decontaminate_spans, "span_tokens"),
+        ("embedding", D.decontaminate_embedding, "cosine"),
+    ):
+        want = defaultdict(lambda: (set(), 0.0))
+        for r in op(spark, sf_small).collect():
+            benches, mx = want[r.doc_id]
+            benches.add(r.bench_id)
+            want[r.doc_id] = (benches, max(mx, float(r[score_col])))
+        assert len(want) > 0, screen
+        got = audit[screen]
+        assert set(got) == set(want), screen
+        for doc_id, (benches, mx) in want.items():
+            assert got[doc_id] == (len(benches), mx), (screen, doc_id)
