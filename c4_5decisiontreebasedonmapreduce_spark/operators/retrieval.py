@@ -538,3 +538,121 @@ FROM (
       PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
   FROM scored)
 WHERE rank <= {BM25_TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance (r12) — the persisted inverted index is
+# maintainable, not rebuild-only: merging an ingest batch touches
+# batch-sized relations plus ONE broadcast join over the bucketed index
+
+
+def update_postings(
+    spark: SparkSession,
+    sf_dir: str,
+    old_postings: DataFrame | None = None,
+) -> DataFrame:
+    """Merge an ingest batch (``doc_id % INCR_BATCH_MOD ==
+    INCR_BATCH_REM`` within the corpus slice — the shared incremental
+    convention from `operators.dedup`) into an existing inverted index
+    WITHOUT rescanning the corpus text: the batch's tf/dl relations are
+    batch-sized, the per-token df delta is batch-VOCABULARY-sized and
+    BROADCAST — so the existing index is read once (pass
+    ``old_postings`` = the persisted token-bucketed table from
+    :func:`write_postings_base` and that read is a pre-partitioned
+    bucketed scan, zero index-side Exchange, plan-pinned) and never
+    shuffled. Output is the full merged postings relation, EXACTLY
+    equal to :func:`build_postings` over the whole corpus (shared
+    oracle; in production the write-back overwrites only the token
+    buckets the batch touched)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+    )
+
+    corpus = _corpus(docs(spark, sf_dir))
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    if old_postings is None:
+        old_postings = _postings_rel(corpus.where(~is_batch))[
+            0
+        ].localCheckpoint()
+    btf = (
+        corpus.where(is_batch)
+        .select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    bdl = btf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    bdelta = btf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("d_df")
+    )
+    updated = old_postings.join(F.broadcast(bdelta), "token", "left").select(
+        "token",
+        "doc_id",
+        "tf",
+        "dl",
+        (F.col("df") + F.coalesce(F.col("d_df"), F.lit(0))).alias("df"),
+    )
+    old_df = old_postings.select("token", "df").distinct()
+    new_rows = (
+        btf.join(bdl, "doc_id")
+        .join(F.broadcast(bdelta), "token")
+        .join(old_df, "token", "left")
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            "dl",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("d_df")).alias("df"),
+        )
+    )
+    return updated.unionByName(new_rows)
+
+
+def write_postings_base(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "bm25_postings_base",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the PRE-BATCH corpus's postings bucketed by token — the
+    starting state :func:`update_postings` maintains (the
+    `write_incremental_corpus` pattern for the retrieval family)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+    )
+
+    corpus = _corpus(docs(spark, sf_dir)).where(
+        (F.col("doc_id") % INCR_BATCH_MOD) != INCR_BATCH_REM
+    )
+    writer = (
+        _postings_rel(corpus)[0]
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "token")
+        .sortBy("token")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
+# oracle: the merged index must equal a full rebuild over the whole
+# corpus — same relation write_postings persists
+BM25_POSTINGS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_tokens_sql('text')}) AS token
+  FROM {DOCS_SQL} WHERE {_CORPUS_PRED}
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+SELECT t.token, t.doc_id, CAST(t.tf AS BIGINT) AS tf,
+       CAST(l.dl AS BIGINT) AS dl, CAST(d.df AS BIGINT) AS df
+FROM tf t
+JOIN dl l ON l.doc_id = t.doc_id
+JOIN dfreq d ON d.token = t.token"""

@@ -2575,6 +2575,59 @@ _register(
     "bm25_topk_persisted", _bm25_topk_persisted_query, RV.BM25_TOPK_SQL
 )
 
+# r12: incremental index maintenance — merging an ingest batch into
+# the persisted index touches batch-sized relations + one broadcast
+# join over the bucketed postings; output == a full rebuild (oracle)
+_register(
+    "bm25_update_postings", RV.update_postings, RV.BM25_POSTINGS_SQL
+)
+
+_BM25_BASE_TABLES: dict[tuple, tuple] = {}
+
+
+def _bm25_update_postings_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`update_postings` against the PERSISTED pre-batch index
+    (`operators/retrieval.py::write_postings_base`, token-bucketed,
+    written once per corpus fingerprint): the merge reads the index as
+    a pre-partitioned bucketed scan with zero index-side Exchange
+    (plan-pinned in tests/test_round12_ops.py) — the per-ingest cost is
+    the batch text pass plus broadcast-joining the batch vocabulary.
+    Output identical to the standalone op (shared full-rebuild
+    oracle)."""
+    key = _layout_cache_key(sf_dir)
+    cached = _BM25_BASE_TABLES.get(key)
+    if cached is None or not all(
+        spark.catalog.tableExists(t) for t in cached[0]
+    ):
+        import tempfile
+        import uuid
+
+        for old_tables, old_dirs in _stale_values(
+            _BM25_BASE_TABLES, key
+        ) + ([cached] if cached is not None else []):
+            for t in old_tables:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for p in old_dirs:
+                _rm_artifact_dir(p)
+        tables = (f"bm25_base_{uuid.uuid4().hex[:8]}",)
+        dirs = (tempfile.mkdtemp(prefix="bm25_base_") + "/t",)
+        RV.write_postings_base(
+            spark, sf_dir, table=tables[0], path=dirs[0]
+        )
+        _BM25_BASE_TABLES[key] = cached = (tables, dirs)
+    return RV.update_postings(
+        spark, sf_dir, old_postings=spark.table(cached[0][0])
+    )
+
+
+_register(
+    "bm25_update_postings_persisted",
+    _bm25_update_postings_persisted_query,
+    RV.BM25_POSTINGS_SQL,
+)
+
 # layout artifacts are one-time ingest products (like the persisted
 # corpus/LM/PQ tables above): written once per sf_dir; the measured op
 # is what a user pays per query — the pruned rescan. Plain parquet
@@ -2964,8 +3017,11 @@ _FIRST_WINDOW = [
     "chunk_documents_bpe",
     "bm25_topk",
     "bpe_train",
-    # sampling / split hygiene
-    "sample_dsir_persisted",
+    # sampling / split hygiene (r12 second wave: sample_dsir_persisted
+    # out — graded green r10-r11; in its place the incremental index
+    # maintenance op against the persisted bucketed base index, never
+    # graded and exercising this round's cache-disposal machinery)
+    "bm25_update_postings_persisted",
     # r12 second wave (split_leakage_audit and layout_advise rotate
     # out — both graded green r10-r11; in their place the two newest
     # compositions, never graded): the three-screen contamination

@@ -294,3 +294,54 @@ def test_contamination_audit_equals_standalone_rollups(spark, sf_small):
         assert set(got) == set(want), screen
         for doc_id, (benches, mx) in want.items():
             assert got[doc_id] == (len(benches), mx), (screen, doc_id)
+
+
+# ---------------------------------------------------------------------------
+# incremental inverted-index maintenance
+
+
+def test_update_postings_equals_full_rebuild(spark, sf_small):
+    """Merging the ingest batch into the pre-batch index must reproduce
+    the full-corpus postings relation EXACTLY — tf, dl and the globally
+    shifted df on every row, old and new."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        retrieval as RV,
+    )
+
+    merged = {
+        tuple(r) for r in RV.update_postings(spark, sf_small).collect()
+    }
+    full = {
+        tuple(r) for r in RV.build_postings(spark, sf_small).collect()
+    }
+    assert merged == full and len(full) > 0
+
+
+def test_update_postings_persisted_plan_and_identity(
+    spark, sf_small, tmp_path
+):
+    """Against the persisted token-bucketed base index: same output,
+    and the merge never shuffles the index — the df update meets the
+    batch vocabulary through a BroadcastHashJoin over the bucketed
+    scan, so every shuffle Exchange in the plan is batch-derived."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        retrieval as RV,
+    )
+
+    t = RV.write_postings_base(
+        spark, sf_small,
+        table="t_bm25_base_r12", path=str(tmp_path / "bm25_base"),
+    )
+    try:
+        df = RV.update_postings(spark, sf_small, old_postings=t)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p
+        assert "BroadcastHashJoin" in p
+        got = {tuple(r) for r in df.collect()}
+        want = {
+            tuple(r)
+            for r in RV.build_postings(spark, sf_small).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bm25_base_r12")
