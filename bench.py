@@ -457,9 +457,14 @@ def compact_line(full: dict, errors: dict) -> str:
         # the window in round 9 and silently cost the artifact its whole
         # per-query map), and only as a last resort is "queries" dropped —
         # bench_full.json always has the full-precision map
-        for k in ("retried", "anchor_drift",
+        # anchor_drift goes LAST among the diagnostics: it is the one
+        # ~20-char field that lets a reader judge the whole session's
+        # noise from the stdout line alone (the r12 run dropped it
+        # while keeping longer, less informative fields)
+        for k in ("retried",
                   "load_elevated_flagged", "load_noise_flagged",
-                  "cold_total", "median_total", "value_is", "errors"):
+                  "cold_total", "median_total", "value_is", "errors",
+                  "anchor_drift"):
             compact.pop(k, None)
             line = json.dumps(compact, separators=(",", ":"))
             if len(line) <= 1800:

@@ -395,13 +395,34 @@ def _zipf_rank_cuts() -> list[int]:
     return _ZIPF_CUTS
 
 
+def _zipf_cuts_df(spark: SparkSession) -> DataFrame:
+    """The cut-point table as a broadcast-sized relation ``(ra, c_lo,
+    c_hi)`` — one row per possible pow() first guess, carrying the
+    bounds the guess is snapped against. A relation, NOT an in-plan
+    array literal: a 20001-element ``F.lit(list)`` lowers to a
+    CreateArray with 20001 child expressions that codegen rebuilds PER
+    ROW (measured: it turned the 8M-row token projection from ~3 s
+    into minutes), while a broadcast hash join on the guess is one
+    O(1) probe per row. Rows 0 and V+1 are clamp sentinels so a
+    pathological engine guess still snaps into range instead of being
+    silently dropped by the join."""
+    cuts = _zipf_rank_cuts()
+    V = BM25_ZIPF_VOCAB
+    rows = [(0, 0, 0)]  # guess 0 → m >= c_hi always → corrected to 1
+    for ra in range(1, V + 1):
+        rows.append((ra, cuts[ra - 1], cuts[ra]))
+    rows.append((V + 1, 1000000, 1000000))  # → corrected down
+    return spark.createDataFrame(rows, "ra int, c_lo int, c_hi int")
+
+
 def zipf_tokens(ids: DataFrame) -> DataFrame:
     """Deterministic synthetic token stream ``(doc_id, token)``:
     ``BM25_ZIPF_LEN_BASE + doc_id % BM25_ZIPF_LEN_MOD`` positions per
     doc, each drawing a Zipf(1) rank over BM25_ZIPF_VOCAB. The rank is
     defined by the Python cut-point table (`_zipf_rank_cuts`); the JVM
-    pow() below is only an off-by-at-most-one first guess that the
-    CASE snaps to the table with integer comparisons."""
+    pow() below is only an off-by-at-most-one first guess, snapped to
+    the table with integer comparisons via a broadcast join on the
+    guess (`_zipf_cuts_df`)."""
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long,
     )
@@ -418,13 +439,15 @@ def zipf_tokens(ids: DataFrame) -> DataFrame:
     ra = F.floor(
         F.pow(F.lit(float(BM25_ZIPF_VOCAB)), m / F.lit(1000000.0))
     ).cast("int")
-    cuts = F.lit(_zipf_rank_cuts())  # constant array literal
+    guessed = base.select("doc_id", m.alias("m"), ra.alias("ra"))
     rank = (
-        F.when(m >= F.element_at(cuts, ra + F.lit(1)).cast("long"), ra + 1)
-        .when(m < F.element_at(cuts, ra).cast("long"), ra - 1)
-        .otherwise(ra)
+        F.when(F.col("m") >= F.col("c_hi"), F.col("ra") + 1)
+        .when(F.col("m") < F.col("c_lo"), F.col("ra") - 1)
+        .otherwise(F.col("ra"))
     )
-    return base.select(
+    return guessed.join(
+        F.broadcast(_zipf_cuts_df(ids.sparkSession)), "ra"
+    ).select(
         "doc_id", F.concat(F.lit("tz"), rank.cast("string")).alias("token")
     )
 
