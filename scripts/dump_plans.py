@@ -513,6 +513,16 @@ HEADLINE = {
         "join all Exchange-free on the user key; only the tiny "
         "dates x offsets rollup shuffles"
     ),
+    "bm25_update_postings_persisted": (
+        "r12 incremental index maintenance: batch-sized tf/dl work + "
+        "a broadcast df-delta join over the token-bucketed base index "
+        "(never shuffled); output == a full rebuild"
+    ),
+    "contamination_audit": (
+        "r12 three-screen verdict: each detector keeps its own "
+        "candidate discipline; the audit adds leak-sized rollups and "
+        "a tiny 3-way union"
+    ),
 }
 
 # node names counted in the FINAL plan tree (one line per physical node);
