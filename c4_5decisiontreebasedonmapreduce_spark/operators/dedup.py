@@ -3156,7 +3156,14 @@ WHERE vec_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_REM}
   AND vec_id NOT IN (SELECT doc_id FROM emb_flags)"""
 
 
-def contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    bench_shingles: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
+    bench_df: DataFrame | None = None,
+    bench_assign: DataFrame | None = None,
+) -> DataFrame:
     """The full contamination picture per corpus document: every screen
     the engine has — shingle CONTAINMENT (`decontaminate`), leaked
     PASSAGES (`decontaminate_spans`), and SEMANTIC similarity
@@ -3172,9 +3179,20 @@ def contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: detector-cost-dominated — each screen keeps its own
     candidate discipline (df-capped shingle join, positioned-gram
     islands, IVF buckets) and the audit adds only leak-sized rollups
-    and a three-way union of tiny relations."""
+    and a three-way union of tiny relations. Pass the three persisted
+    benchmark artifacts (`write_benchmark_shingles` /
+    `write_benchmark_grams` / `write_benchmark_embeddings`) and every
+    screen reads its static side pre-built with zero benchmark-side
+    Exchange — the eval-suite passes run once at ingest, the audit
+    pays corpus-side work only (outputs pinned identical)."""
+    if bench_grams is not None:
+        spans_rel = decontaminate_spans_persisted(
+            spark, sf_dir, bench_grams=bench_grams, bench_df=bench_df
+        )
+    else:
+        spans_rel = decontaminate_spans(spark, sf_dir)
     cont = (
-        decontaminate(spark, sf_dir)
+        decontaminate(spark, sf_dir, bench_shingles=bench_shingles)
         .groupBy("doc_id")
         .agg(
             F.countDistinct("bench_id").cast("int").alias("n_bench_docs"),
@@ -3183,8 +3201,7 @@ def contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("screen", F.lit("containment"))
     )
     spans = (
-        decontaminate_spans(spark, sf_dir)
-        .groupBy("doc_id")
+        spans_rel.groupBy("doc_id")
         .agg(
             F.countDistinct("bench_id").cast("int").alias("n_bench_docs"),
             F.max("span_tokens").cast("double").alias("score"),
@@ -3192,7 +3209,7 @@ def contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("screen", F.lit("span"))
     )
     emb = (
-        decontaminate_embedding(spark, sf_dir)
+        decontaminate_embedding(spark, sf_dir, bench_assign=bench_assign)
         .groupBy("doc_id")
         .agg(
             F.countDistinct("bench_id").cast("int").alias("n_bench_docs"),

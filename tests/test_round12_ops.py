@@ -345,3 +345,23 @@ def test_update_postings_persisted_plan_and_identity(
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bm25_base_r12")
+
+
+def test_contamination_audit_persisted_matches_default(spark, sf_small):
+    """With all three benchmark artifacts persisted, the audit must be
+    row-identical to the standalone path."""
+    from c4_5decisiontreebasedonmapreduce_spark import registry as REG
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        dedup as D,
+    )
+
+    got = {
+        tuple(r)
+        for r in REG._contamination_audit_persisted_query(
+            spark, sf_small
+        ).collect()
+    }
+    want = {
+        tuple(r) for r in D.contamination_audit(spark, sf_small).collect()
+    }
+    assert got == want and len(want) > 0
