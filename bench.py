@@ -194,6 +194,14 @@ BENCH_QUERIES = [
     # layout_cluster_range / layout_advise are untracked (sub-0.1s
     # single-agg reads; their evidence is the pytest footer-stat and
     # verdict pins); streaming ops stay unbenched per convention.
+    # round-12 third wave: cluster-balanced diversity sampling is the
+    # one NEW cost class (broadcast-codebook assignment + a key-width
+    # centroid window). Its siblings are untracked by the cost-class
+    # rule: scrub_repetition is one projection (repetition_signals
+    # precedent), sample_perplexity_filter is lm_perplexity (tracked
+    # above) + a language-sized cutoff agg, dedup_cluster_keep_best is
+    # dedup_cluster (tracked above) + a clustered-subset quality pass.
+    "sample_cluster_balanced",
 ]
 
 

@@ -2043,6 +2043,67 @@ SELECT doc_id, MIN(other) AS cluster_rep
 FROM reach GROUP BY doc_id"""
 
 
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over :func:`dedup_cluster`'s
+    components: a production pipeline keeps the BEST document of a
+    near-dup cluster, not the smallest doc_id — the canonical page
+    beats the ad-stuffed scrape of it. Survivor order per cluster:
+    quality gate first (:func:`~...operators.text.quality_signals`
+    ``keep`` DESC), then the longest (``n_tokens`` DESC), then the
+    smallest ``doc_id`` — a total order, so the pick is deterministic.
+
+    Returns ``(doc_id, cluster_rep, best_rep, survivor)``: every
+    clustered document with its component's stable min-label id, the
+    quality-argmax winner, and the keep flag (``doc_id = best_rep``).
+
+    Scale shape: the cluster relation is PAIR-bounded (tiny next to the
+    corpus), so quality signals run ONLY on the clustered subset — the
+    corpus join is a key-only semi-join pushdown, never a full-corpus
+    token explode — and the per-cluster argmax + survivor broadcast
+    both operate on that same bounded relation. No extra corpus scan
+    or shuffle beyond what dedup_cluster already does."""
+    labels = dedup_cluster(spark, sf_dir).localCheckpoint(eager=True)
+    sub = TX.docs(spark, sf_dir).join(labels.select("doc_id"), "doc_id")
+    q = TX.quality_signals(spark, sf_dir, d=sub).select(
+        "doc_id", "keep", "n_tokens"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("keep"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    best = (
+        labels.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_rep", F.col("doc_id").alias("best_rep"))
+    )
+    return labels.join(F.broadcast(best), "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "best_rep",
+        (F.col("doc_id") == F.col("best_rep")).alias("survivor"),
+    )
+
+
+DEDUP_CLUSTER_KEEP_BEST_SQL = f"""
+WITH clusters AS (
+  SELECT * FROM ({DEDUP_CLUSTER_SQL.strip()})
+),
+q AS (
+  SELECT * FROM ({TX.QUALITY_SIGNALS_SQL.strip()})
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_rep,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_rep
+           ORDER BY q.keep DESC, q.n_tokens DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT r.doc_id, r.cluster_rep, b.doc_id AS best_rep,
+       r.doc_id = b.doc_id AS survivor
+FROM ranked r
+JOIN ranked b ON b.cluster_rep = r.cluster_rep AND b.rn = 1"""
+
+
 def corpus_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
 ) -> DataFrame:

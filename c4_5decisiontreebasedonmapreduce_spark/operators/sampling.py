@@ -16,7 +16,7 @@ it is part of the LLM-pipeline extension surface (SURVEY §2.C).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
@@ -1009,3 +1009,188 @@ FROM {DOCS_SQL} JOIN scored ON documents.doc_id = scored.doc_id"""
 
 
 SAMPLE_DSIR_PERSISTED_SQL = _dsir_persisted_sql()
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced diversity sampling over embeddings
+
+# per-centroid keep cap. 30 is BINDING at every test scale factor (500
+# vectors over ~10 centroids average 50 per cluster), so the sampler
+# actually truncates — not a wall of pass-throughs.
+CBAL_CAP = 30
+_CBAL_SEED = "cbal|"
+
+
+def sample_cluster_balanced(
+    spark: SparkSession, sf_dir: str, cap: int = CBAL_CAP
+) -> DataFrame:
+    """Embedding-cluster-balanced diversity sampling: assign every
+    vector to its single nearest codebook centroid and keep at most
+    ``cap`` per cluster — the DEDUPLICATE-BY-DIVERSITY selection (a
+    dominant template cluster contributes ``cap`` examples, a rare
+    cluster survives whole) that complements the per-language /
+    per-source mixing samplers with a SEMANTIC axis. The within-cluster
+    pick is deterministic hash order (same portable-MD5 convention as
+    every sampler here), so re-runs and backfills keep the same rows.
+
+    Returns ``(vec_id, centroid_id, rank)`` for the kept vectors.
+
+    Scale shape: nearest-centroid assignment is the corpus against the
+    tiny BROADCAST codebook (the shared deterministic pseudo-codebook,
+    dedup.py `_emb_centroids`; similarity.kmeans_codebook supplies real
+    centroids) — never an N×N pass; the cap window then shuffles ONLY
+    the ``(vec_id, centroid_id, hash)`` projection on the centroid key
+    — the embedding payload is projected away before the exchange, so
+    the shuffled bytes are key-width, not vector-width. With the
+    persisted centroid-bucketed corpus (`write_embedding_corpus`) even
+    that exchange disappears: the table is already bucketed on
+    centroid_id."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        _dot,
+        _emb_centroids,
+        embeddings_with_norm,
+    )
+
+    # the normed relation feeds the codebook filter AND the assignment
+    # crossJoin — materialize once (the dedup_embedding convention; the
+    # decimal transform is the expensive part, not the scan)
+    e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
+    cents = _emb_centroids(e)
+    c_cos = F.try_divide(
+        _dot(F.col("emb"), F.col("c_emb")).cast("double"),
+        F.col("norm") * F.col("c_norm"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", c_cos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    u = md5_long(
+        F.concat(F.lit(_CBAL_SEED), F.col("vec_id").cast("string"))
+    )
+    w_rank = Window.partitionBy("centroid_id").orderBy(
+        u.asc(), F.col("vec_id").asc()
+    )
+    return (
+        assign.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= cap)
+        .select("vec_id", "centroid_id", "rank")
+    )
+
+
+def _cbal_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        _EMB_ELEMS_SQL,
+        CENTROID_STRIDE,
+    )
+
+    u = md5_long_sql(
+        f"CONCAT('{_CBAL_SEED}', CAST(vec_id AS VARCHAR))"
+    )
+    return f"""
+WITH {_EMB_ELEMS_SQL.strip()},
+vc AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM elems v JOIN elems c ON v.i = c.i AND c.vec_id % {CENTROID_STRIDE} = 0
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vc.vec_id, vc.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vc.vec_id
+             ORDER BY vc.dot / (nv.norm * nc.norm) DESC, vc.centroid_id ASC
+           ) AS rn
+    FROM vc
+    JOIN norms nv ON nv.vec_id = vc.vec_id
+    JOIN norms nc ON nc.vec_id = vc.centroid_id)
+  WHERE rn = 1
+)
+SELECT vec_id, centroid_id, rank FROM (
+  SELECT vec_id, centroid_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY centroid_id
+           ORDER BY {u} ASC, vec_id ASC
+         ) AS INT) AS rank
+  FROM assign)
+WHERE rank <= {CBAL_CAP}"""
+
+
+SAMPLE_CLUSTER_BALANCED_SQL = _cbal_sql()
+
+
+# ---------------------------------------------------------------------------
+# perplexity-percentile data selection (CCNet-style)
+
+
+def sample_perplexity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style perplexity data selection (Wenzek et al. 2020): keep
+    the fluent half of each language — documents whose corpus-LM bits
+    per bigram (:func:`~...operators.text.lm_perplexity`) are at or
+    below their language's MEDIAN. The per-language cutoff makes the
+    selection mix-neutral: a verbose language isn't penalized against a
+    terse one, each stratum keeps its own head+middle.
+
+    Cutoff comparison is hash-grade SAFE by construction at q=0.5:
+    ``(n-1)*0.5`` is binary-exact so the PERCENTILE_CONT interpolation
+    fraction is exactly 0 (cutoff == a realized value, returned exactly
+    by both engines) or exactly 0.5 (cutoff strictly BETWEEN two
+    adjacent realized values — a last-ulp engine difference cannot
+    reclassify any document). Documents with < 2 tokens have no
+    perplexity and are absent, same as the scorer.
+
+    Scale shape: adds to lm_perplexity's one corpus pass a
+    language-sized cutoff aggregate broadcast back onto the scored
+    relation — the corpus is never re-shuffled; the exact per-group
+    percentile sorts within language partitions (the audited-exactness
+    path of `agg_percentiles`; at 100 TB swap in the approx sketch)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        lm_perplexity,
+    )
+
+    scored = lm_perplexity(spark, sf_dir).join(
+        docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    cutoffs = scored.groupBy("lang").agg(
+        F.percentile("bits_per_bigram", F.lit(0.5)).alias("cutoff")
+    )
+    return (
+        scored.join(F.broadcast(cutoffs), "lang")
+        .where(F.col("bits_per_bigram") <= F.col("cutoff"))
+        .select("doc_id", "lang", "n_bigrams", "bits_per_bigram")
+    )
+
+
+def _perplexity_filter_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        LM_PERPLEXITY_SQL,
+    )
+
+    return f"""
+WITH ppl AS (
+  SELECT * FROM ({LM_PERPLEXITY_SQL.strip()})
+),
+scored AS (
+  SELECT ppl.doc_id, documents.lang, ppl.n_bigrams, ppl.bits_per_bigram
+  FROM ppl JOIN {DOCS_SQL} ON documents.doc_id = ppl.doc_id
+),
+cut AS (
+  SELECT lang,
+         PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY bits_per_bigram)
+           AS cutoff
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_bigrams, s.bits_per_bigram
+FROM scored s JOIN cut ON cut.lang = s.lang
+WHERE s.bits_per_bigram <= cut.cutoff"""
+
+
+SAMPLE_PERPLEXITY_FILTER_SQL = _perplexity_filter_sql()

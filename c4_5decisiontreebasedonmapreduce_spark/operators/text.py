@@ -656,7 +656,9 @@ SELECT doc_id,
 FROM {DOCS_SQL}"""
 
 
-def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_signals(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
     """Gopher-style repetition/quality signals per document, plus the
     resulting keep/drop gate — the filter pass a pre-training curation
     pipeline runs after dedup (Rae et al. 2021 repetition rules,
@@ -673,8 +675,14 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc array stats — the same explode→count→argmax pattern as
     the reference's contingency+argmax core (MyReducer.java:51-92,
     Main.java:258-261), applied to text curation.
+
+    Pass ``d`` to score an injected relation — e.g.
+    :func:`~c4_5decisiontreebasedonmapreduce_spark.operators.dedup.dedup_cluster_keep_best`
+    scores ONLY the clustered subset, so the token explode never runs
+    over the full corpus for a pair-bounded survivor pick.
     """
-    d = docs(spark, sf_dir)
+    if d is None:
+        d = docs(spark, sf_dir)
     base = (
         d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
         # feeds the per-doc stats AND both exploded counts — one scan
@@ -933,6 +941,92 @@ SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
        (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
           AND dup_para_frac <= 0.30) AS keep
 FROM r"""
+
+
+def scrub_repetition(
+    spark: SparkSession, sf_dir: str, d: DataFrame | None = None
+) -> DataFrame:
+    """The APPLY step for :func:`repetition_signals`: rewrite each
+    document keeping only the FIRST occurrence of every line — the
+    cleaning transform (repeated nav headers, chat-log echo, scraped
+    pagination) a curation pipeline runs on documents the signal gate
+    would otherwise throw away whole. Same unit convention as the
+    signals: lines split on ``\\n``, trimmed, empties dropped; the
+    rewrite joins survivors back with a single ``\\n``.
+
+    First-occurrence selection is an explicit position test
+    (``array_position(lines, x) == i+1``) rather than
+    ``array_distinct``: Spark documents distinct-order only loosely and
+    DuckDB's ``LIST_DISTINCT`` not at all, so the shared predicate is
+    what makes the rewritten TEXT (not just the counts) hash-identical
+    across engines. Quadratic in lines-per-doc, bounded by document
+    size — never by the corpus.
+
+    Scale shape: like the signals, everything lives inside one
+    codegen'd projection next to the scan — zero exchanges, zero joins,
+    zero explodes; the whole corpus rewrite is a map-only pass. Pass
+    ``d`` to rewrite an injected relation (the synthetic corpus is
+    single-line; tests inject multi-line fixtures)."""
+    if d is None:
+        d = docs(spark, sf_dir)
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    staged = d.select("doc_id", lines.alias("lines")).select(
+        "doc_id",
+        "lines",
+        F.filter(
+            F.col("lines"),
+            lambda x, i: F.array_position(F.col("lines"), x) == i + 1,
+        ).alias("kept"),
+    )
+
+    def chars_of(col: str):
+        return F.aggregate(
+            F.col(col), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+
+    tot, kc = chars_of("lines"), chars_of("kept")
+    return staged.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("kept")).alias("clean_text"),
+        F.size("lines").alias("n_lines"),
+        F.size("kept").alias("n_kept"),
+        F.round(
+            F.when(
+                tot > 0, (tot - kc).cast("double") / tot
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("removed_char_frac"),
+    )
+
+
+SCRUB_REPETITION_SQL = f"""
+WITH segs AS (
+  SELECT doc_id, {_rep_sql_segs("chr(10)")} AS lines FROM {DOCS_SQL}
+),
+k AS (
+  SELECT doc_id, lines,
+         LIST_FILTER(lines, (x, i) -> LIST_POSITION(lines, x) = i) AS kept
+  FROM segs
+),
+m AS (
+  SELECT doc_id, lines, kept,
+         COALESCE(LIST_SUM(LIST_TRANSFORM(lines, x -> LENGTH(x))), 0)
+           AS chars,
+         COALESCE(LIST_SUM(LIST_TRANSFORM(kept, x -> LENGTH(x))), 0)
+           AS kchars
+  FROM k
+)
+SELECT doc_id,
+       ARRAY_TO_STRING(kept, chr(10)) AS clean_text,
+       CAST(LEN(lines) AS INT) AS n_lines,
+       CAST(LEN(kept) AS INT) AS n_kept,
+       ROUND(CASE WHEN chars > 0
+                  THEN (chars - kchars) / CAST(chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS removed_char_frac
+FROM m"""
 
 
 # ---------------------------------------------------------------------------

@@ -2993,6 +2993,30 @@ _register(
     R.DIFF_SNAPSHOTS_SQL,
 )
 
+# -- round-12 second wave: cleaning transforms + quality-aware survivors ----
+# The apply step for the Gopher line-repetition signals (intra-document
+# duplicate-line removal — the cleaning transform, not just the gate).
+_register("scrub_repetition", TX.scrub_repetition, TX.SCRUB_REPETITION_SQL)
+# Near-dup survivor picked by QUALITY (gate DESC, longest, min doc_id)
+# instead of min doc_id — what a production dedup actually keeps.
+_register(
+    "dedup_cluster_keep_best",
+    D.dedup_cluster_keep_best,
+    D.DEDUP_CLUSTER_KEEP_BEST_SQL,
+)
+# Semantic-diversity sampling: nearest-centroid buckets, ≤ cap each.
+_register(
+    "sample_cluster_balanced",
+    SMP.sample_cluster_balanced,
+    SMP.SAMPLE_CLUSTER_BALANCED_SQL,
+)
+# CCNet-style per-language perplexity-median data selection.
+_register(
+    "sample_perplexity_filter",
+    SMP.sample_perplexity_filter,
+    SMP.SAMPLE_PERPLEXITY_FILTER_SQL,
+)
+
 
 # ---------------------------------------------------------------------------
 # driver-facing ordering
@@ -3066,8 +3090,10 @@ _FIRST_WINDOW = [
     # df-capped BM25 path's rank derivation was rebuilt this round
     # (engine-independent cut-point table) — regrade on the new code
     "bm25_topk_zipf",
-    # text analysis / tokenizer training
-    "chunk_documents_bpe",
+    # text analysis / tokenizer training (r12 third wave:
+    # chunk_documents_bpe out — green r10-r11; in its place the new
+    # intra-document line-repetition CLEANING transform)
+    "scrub_repetition",
     "bm25_topk",
     "bpe_train",
     # sampling / split hygiene (r12 second wave: sample_dsir_persisted
@@ -3080,13 +3106,16 @@ _FIRST_WINDOW = [
     # compositions, never graded): the three-screen contamination
     # audit and the ingest-time semantic screen
     "contamination_audit",
+    "contamination_audit_persisted",
     "streaming_decontaminate_embedding",
-    # dedup / decontamination family representatives
+    # dedup / decontamination family representatives (r12 third wave:
+    # dedup_cluster and dedup_spans out — both multi-round green; in
+    # their place the never-graded quality-aware survivor pick, which
+    # re-exercises the whole cluster pipeline it composes)
     "pipeline_finetuning",
     "dedup_embedding_ivf",
     "dedup_embedding_incremental",
-    "dedup_cluster",
-    "dedup_spans",
+    "dedup_cluster_keep_best",
     "dedup_assets",
     "layout_partition_prune",
     "decontaminate_spans",
@@ -3094,16 +3123,20 @@ _FIRST_WINDOW = [
     # wrapper also gained the same-key disposal path this round)
     "bm25_topk_persisted",
     "similarity_ann_ivfpq",
-    # sampling / packing / pipeline
+    # sampling / packing / pipeline (r12 third wave: pack_sequences,
+    # join_auto, pipeline_pretraining out — green r10-r11; in their
+    # place the two new never-graded samplers: semantic-diversity
+    # cluster-balanced selection and CCNet perplexity filtering)
+    "sample_cluster_balanced",
+    "sample_perplexity_filter",
     "layout_compact_rescan",
-    "pack_sequences",
     "pack_sequences_bpe",
-    "join_auto",
-    "pipeline_pretraining",
-    # streaming representatives
+    # streaming representatives (r12 third wave: + the exactly-once
+    # parquet sink, never driver-graded)
     "streaming_bm25_scoring",
     "streaming_dsir_scoring",
     "streaming_chunk_ingest",
+    "streaming_sink_parquet",
 ]
 
 

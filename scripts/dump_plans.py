@@ -109,6 +109,26 @@ HEADLINE = {
         "in staged projections over ONE scan — zero exchanges, joins, "
         "explodes; each split/trim built once and shared"
     ),
+    "scrub_repetition": (
+        "the repetition APPLY step: first-occurrence line filter + "
+        "rejoin as one codegen'd projection next to the scan — a "
+        "map-only corpus rewrite, zero exchanges/joins/explodes"
+    ),
+    "dedup_cluster_keep_best": (
+        "quality runs ONLY on the clustered subset (pair-bounded "
+        "semi-join pushdown — no full-corpus token explode); per-cluster "
+        "argmax window + survivor broadcast on that same tiny relation"
+    ),
+    "sample_cluster_balanced": (
+        "nearest-centroid assignment against the BROADCAST codebook; "
+        "the cap window shuffles only the (vec_id, centroid_id, hash) "
+        "projection — vector payload projected away before the exchange"
+    ),
+    "sample_perplexity_filter": (
+        "lm_perplexity's one corpus pass + a language-sized exact-median "
+        "aggregate broadcast back onto the scored relation — the corpus "
+        "is never re-shuffled for the cutoff"
+    ),
     "quality_signals": (
         "token arrays checkpointed once; token/bigram grouped counts and "
         "per-doc stats all read the materialized relation (scan budget 0)"

@@ -365,3 +365,133 @@ def test_contamination_audit_persisted_matches_default(spark, sf_small):
         tuple(r) for r in D.contamination_audit(spark, sf_small).collect()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# round-12 second wave: cleaning transforms + quality-aware selection
+
+
+def test_scrub_repetition_multiline_fixture(spark, sf_small):
+    """The synthetic corpus is single-line, so pin the real behavior on
+    an injected multi-line fixture: first occurrence of each trimmed
+    line survives IN ORDER, later occurrences drop, whitespace-only
+    lines vanish, and the char fraction counts line bytes (not the
+    joining newlines)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        scrub_repetition,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "nav bar\nbody one\nnav bar\n  \nbody two\nnav bar"),
+            (2, "only line"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in scrub_repetition(spark, sf_small, d=d).collect()
+    }
+    assert rows[1]["clean_text"] == "nav bar\nbody one\nbody two"
+    assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (5, 3)
+    # 2 dropped copies of 'nav bar' = 14 of 37 line chars
+    assert rows[1]["removed_char_frac"] == round(14 / 37, 6)
+    assert rows[2]["clean_text"] == "only line"
+    assert rows[2]["removed_char_frac"] == 0.0
+    assert rows[3]["clean_text"] == "" and rows[3]["n_lines"] == 0
+
+
+def test_keep_best_survivor_is_quality_argmax(spark, sf_small):
+    """dedup_cluster_keep_best must pick, per cluster, the (keep DESC,
+    n_tokens DESC, doc_id ASC) argmax of the INDEPENDENTLY computed
+    quality signals — and must cover exactly dedup_cluster's docs with
+    the same min-label cluster ids."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        dedup_cluster,
+        dedup_cluster_keep_best,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        quality_signals,
+    )
+
+    out = dedup_cluster_keep_best(spark, sf_small).collect()
+    base = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup_cluster(spark, sf_small).collect()
+    }
+    assert {r["doc_id"]: r["cluster_rep"] for r in out} == base
+    q = {
+        r["doc_id"]: (r["keep"], r["n_tokens"])
+        for r in quality_signals(spark, sf_small).collect()
+    }
+    clusters = {}
+    for doc_id, rep in base.items():
+        clusters.setdefault(rep, []).append(doc_id)
+    expected_best = {
+        rep: min(
+            members,
+            key=lambda d: (not q[d][0], -q[d][1], d),
+        )
+        for rep, members in clusters.items()
+    }
+    for r in out:
+        assert r["best_rep"] == expected_best[r["cluster_rep"]]
+        assert r["survivor"] == (r["doc_id"] == r["best_rep"])
+    # at least one cluster's quality pick differs from the min-doc_id
+    # pick, so the op is not vacuously equal to dedup_cluster
+    assert any(
+        expected_best[rep] != rep for rep in clusters
+    ), "fixture never exercises the quality argmax"
+
+
+def test_cluster_balanced_cap_binding_and_deterministic(spark, sf_small):
+    from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
+        CBAL_CAP,
+        sample_cluster_balanced,
+    )
+
+    rows = sample_cluster_balanced(spark, sf_small).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["centroid_id"], []).append(r["rank"])
+    for cid, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= CBAL_CAP
+    # the cap must BIND somewhere at test scale (otherwise the op is a
+    # pass-through and the grade is vacuous)
+    assert any(len(v) == CBAL_CAP for v in per.values())
+    again = sample_cluster_balanced(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_perplexity_filter_keeps_lower_half_per_lang(spark, sf_small):
+    """Every kept document must score strictly below every dropped
+    document of the same language, and the kept count must be the
+    median split (ceil(n/2) absent boundary ties)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
+        sample_perplexity_filter,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        docs,
+        lm_perplexity,
+    )
+
+    kept = sample_perplexity_filter(spark, sf_small).collect()
+    scored = (
+        lm_perplexity(spark, sf_small)
+        .join(docs(spark, sf_small).select("doc_id", "lang"), "doc_id")
+        .collect()
+    )
+    by_lang = {}
+    for r in scored:
+        by_lang.setdefault(r["lang"], {})[r["doc_id"]] = r["bits_per_bigram"]
+    kept_ids = {r["doc_id"] for r in kept}
+    assert kept_ids <= {r["doc_id"] for r in scored}
+    for lang, docs_bits in by_lang.items():
+        k = [b for d, b in docs_bits.items() if d in kept_ids]
+        drop = [b for d, b in docs_bits.items() if d not in kept_ids]
+        assert k, f"{lang}: nothing kept"
+        if drop:
+            assert max(k) < min(drop)
+        assert len(k) >= (len(docs_bits) + 1) // 2

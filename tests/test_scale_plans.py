@@ -152,6 +152,10 @@ _SCAN_BUDGET = {
     # the one scan is the corpus fingerprint side (persisted state at
     # scale); the batch slice is checkpointed once for its two branches
     "dedup_exact_incremental": 1,
+    "scrub_repetition": 1,  # one projection pass, nothing else
+    # codebook filter + assignment crossJoin both read the one
+    # materialized normed relation
+    "sample_cluster_balanced": 0,
 }
 
 
@@ -1266,3 +1270,34 @@ def test_bm25_postings_join_no_shuffle_no_text_scan(spark, sf_small, tmp_path):
     finally:
         for t in (table, stats):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_scrub_repetition_is_map_only(spark, sf_small):
+    """The repetition APPLY step must stay a pure projection over the
+    scan, like the signals it implements: a doc's lines live inside its
+    own row, so the corpus rewrite has NO exchange, join, explode,
+    aggregate, window, or sort — embarrassingly parallel at any scale."""
+    p = plan_of(QUERIES["scrub_repetition"](spark, sf_small))
+    for op in ("Exchange", "Join", "Generate", "HashAggregate", "Sort",
+               "Window"):
+        assert op not in p, (op, p)
+    sch = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "lang" not in sch and "source" not in sch, sch
+
+
+def test_cluster_balanced_cap_exchange_is_key_width(spark, sf_small):
+    """The per-centroid cap must (a) shuffle only the (vec_id,
+    centroid_id, hash) projection — the vector payload is projected
+    away BEFORE the exchange, so the shuffled bytes are key-width, not
+    embedding-width — and (b) pre-truncate each map partition to the
+    cap via WindowGroupLimit, so a hot centroid ships at most
+    cap·n_partitions rows, never its whole bucket."""
+    p = plan_of(QUERIES["sample_cluster_balanced"](spark, sf_small))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "WindowGroupLimit" in p, p
+    cap_block = next(
+        b for b in p.split("\n\n")
+        if "Exchange" in b and "hashpartitioning(centroid_id" in b
+    )
+    assert "Input [3]" in cap_block, cap_block
+    assert "emb" not in cap_block, cap_block
