@@ -495,3 +495,51 @@ def test_perplexity_filter_keeps_lower_half_per_lang(spark, sf_small):
         if drop:
             assert max(k) < min(drop)
         assert len(k) >= (len(docs_bits) + 1) // 2
+
+
+def test_k100_keep_best_linearity(spark, sf_small, tmp_path):
+    """Extends the K=100 decade pins to the quality-aware survivor op:
+    on the 100×-multiplied corpus (copy-tagged tokens — per-copy
+    structure preserved, copies mutually non-duplicate) clusters stay
+    copy-local and quality signals are per-doc functions of the
+    copy-injective token mapping, so BOTH the clustered-doc relation
+    and its survivor subset must be EXACTLY 100.00× the K=1 run, with
+    each copy's winner the offset image of the base winner."""
+    import importlib.util
+    import os
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import dedup as D
+
+    spec = importlib.util.spec_from_file_location(
+        "probe_dedup_scaling",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "probe_dedup_scaling.py",
+        ),
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+
+    results = {}
+    for k in (1, 100):
+        out = str(tmp_path / f"kb{k}")
+        probe.build_multiplied(spark, sf_small, k, out)
+        rows = D.dedup_cluster_keep_best(spark, out).collect()
+        results[k] = rows
+    base = results[1]
+    assert base
+    assert len(results[100]) == 100 * len(base)
+    assert (
+        sum(r["survivor"] for r in results[100])
+        == 100 * sum(r["survivor"] for r in base)
+    )
+    # copy 1's winners are the offset image of copy 0's
+    off = 105_000_000
+    base_map = {r["doc_id"]: r["best_rep"] for r in base}
+    copy1 = {
+        r["doc_id"] - off: r["best_rep"] - off
+        for r in results[100]
+        if off <= r["doc_id"] < 2 * off
+    }
+    assert copy1 == base_map
