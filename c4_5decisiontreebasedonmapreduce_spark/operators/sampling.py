@@ -1021,8 +1021,68 @@ CBAL_CAP = 30
 _CBAL_SEED = "cbal|"
 
 
+def _nearest_assignments(e, cents) -> DataFrame:
+    """Each vector's single nearest codebook centroid — ``(vec_id,
+    centroid_id)``. The rank-1 specialization of dedup's multi-probe
+    `_emb_assignments`: corpus × broadcast codebook, per-vector argmax
+    window, payload projected away at the end."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import _dot
+
+    c_cos = F.try_divide(
+        _dot(F.col("emb"), F.col("c_emb")).cast("double"),
+        F.col("norm") * F.col("c_norm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", c_cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def write_cluster_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "cbal_assign",
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the nearest-1 centroid assignment ``(vec_id,
+    centroid_id)`` BUCKETED BY ``centroid_id`` — the artifact that makes
+    :func:`sample_cluster_balanced` Exchange-FREE: the cap window's
+    required hash distribution on centroid_id is exactly the table's
+    bucketing, so re-sampling (any cap, any seed) is a bucketed scan +
+    in-partition sort, zero shuffles (plan-pinned). The expensive part —
+    the corpus × codebook assignment — runs once at write time; two
+    int64s per vector, the same ~1% manifest economics as
+    `write_embedding_corpus`."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        _emb_centroids,
+        embeddings_with_norm,
+    )
+
+    e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
+    assign = _nearest_assignments(e, _emb_centroids(e))
+    writer = (
+        assign.write.mode("overwrite")
+        .bucketBy(n_buckets, "centroid_id")
+        .sortBy("centroid_id")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
 def sample_cluster_balanced(
-    spark: SparkSession, sf_dir: str, cap: int = CBAL_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = CBAL_CAP,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cluster-balanced diversity sampling: assign every
     vector to its single nearest codebook centroid and keep at most
@@ -1042,34 +1102,22 @@ def sample_cluster_balanced(
     the ``(vec_id, centroid_id, hash)`` projection on the centroid key
     — the embedding payload is projected away before the exchange, so
     the shuffled bytes are key-width, not vector-width. With the
-    persisted centroid-bucketed corpus (`write_embedding_corpus`) even
-    that exchange disappears: the table is already bucketed on
-    centroid_id."""
+    persisted centroid-bucketed assignment table
+    (:func:`write_cluster_assignments`) even that exchange disappears:
+    the bucketing IS the window's distribution — pass ``assign`` to
+    sample from it."""
     from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
-        _dot,
         _emb_centroids,
         embeddings_with_norm,
     )
 
-    # the normed relation feeds the codebook filter AND the assignment
-    # crossJoin — materialize once (the dedup_embedding convention; the
-    # decimal transform is the expensive part, not the scan)
-    e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
-    cents = _emb_centroids(e)
-    c_cos = F.try_divide(
-        _dot(F.col("emb"), F.col("c_emb")).cast("double"),
-        F.col("norm") * F.col("c_norm"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("centroid_id")
-    )
-    assign = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", c_cos)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    if assign is None:
+        # the normed relation feeds the codebook filter AND the
+        # assignment crossJoin — materialize once (the dedup_embedding
+        # convention; the decimal transform is the expensive part, not
+        # the scan)
+        e = embeddings_with_norm(spark, sf_dir).localCheckpoint()
+        assign = _nearest_assignments(e, _emb_centroids(e))
     u = md5_long(
         F.concat(F.lit(_CBAL_SEED), F.col("vec_id").cast("string"))
     )

@@ -3010,6 +3010,55 @@ _register(
     SMP.sample_cluster_balanced,
     SMP.SAMPLE_CLUSTER_BALANCED_SQL,
 )
+
+_CBAL_TABLES: dict[tuple, tuple] = {}
+
+
+def _cbal_assign_table(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir.rstrip("/"), D._docs_fingerprint(sf_dir, "embeddings"))
+    cached = _CBAL_TABLES.get(key)
+    if cached is None or not all(
+        spark.catalog.tableExists(t) for t in cached[0]
+    ):
+        import tempfile
+        import uuid
+
+        for old_tables, old_dirs in _stale_values(
+            _CBAL_TABLES, key
+        ) + ([cached] if cached is not None else []):
+            for t in old_tables:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            for p in old_dirs:
+                _rm_artifact_dir(p)
+        tables = (f"cbal_assign_{uuid.uuid4().hex[:8]}",)
+        dirs = (tempfile.mkdtemp(prefix="cbal_assign_") + "/t",)
+        SMP.write_cluster_assignments(
+            spark, sf_dir, table=tables[0], path=dirs[0]
+        )
+        _CBAL_TABLES[key] = cached = (tables, dirs)
+    return cached[0][0]
+
+
+def _sample_cluster_balanced_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`sample_cluster_balanced` against the PERSISTED centroid-bucketed
+    nearest-1 assignment table (`write_cluster_assignments`): the cap
+    window's distribution is the table's bucketing, so re-sampling is a
+    bucketed scan + in-partition sort — ZERO Exchange (plan-pinned in
+    tests/test_round12_ops.py). Output identical to the in-memory op
+    (shared oracle)."""
+    table = _cbal_assign_table(spark, sf_dir)
+    return SMP.sample_cluster_balanced(
+        spark, sf_dir, assign=spark.table(table)
+    )
+
+
+_register(
+    "sample_cluster_balanced_persisted",
+    _sample_cluster_balanced_persisted_query,
+    SMP.SAMPLE_CLUSTER_BALANCED_SQL,
+)
 # CCNet-style per-language perplexity-median data selection.
 _register(
     "sample_perplexity_filter",

@@ -543,3 +543,34 @@ def test_k100_keep_best_linearity(spark, sf_small, tmp_path):
         if off <= r["doc_id"] < 2 * off
     }
     assert copy1 == base_map
+
+
+def test_cluster_balanced_persisted_zero_exchange_and_identical(
+    spark, sf_small, tmp_path
+):
+    """Against the persisted centroid-bucketed nearest-1 assignment
+    table, re-sampling must be a bucketed scan + in-partition sort:
+    ZERO Exchange of any kind in the plan (the window's required
+    distribution IS the bucketing), with output identical to the
+    in-memory op."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.sampling import (
+        sample_cluster_balanced,
+        write_cluster_assignments,
+    )
+
+    t = write_cluster_assignments(
+        spark, sf_small,
+        table="t_cbal_r12", path=str(tmp_path / "cbal"),
+    )
+    try:
+        df = sample_cluster_balanced(spark, sf_small, assign=t)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p
+        assert "Bucketed: true" in p, p
+        got = sorted(map(tuple, df.collect()))
+        want = sorted(
+            map(tuple, sample_cluster_balanced(spark, sf_small).collect())
+        )
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cbal_r12")
