@@ -2238,6 +2238,13 @@ _register(
 # ...and the scrub at INGEST: the same projection over the documents
 # file stream, stateless/append — shares the batch oracle
 _register("streaming_scrub_pii", SW.streaming_scrub_pii, PII.PII_SCRUB_SQL)
+# intra-doc line-repetition cleaning at ingest (r12 third wave):
+# stateless array-function projection per micro-batch; drained == batch
+_register(
+    "streaming_scrub_repetition",
+    SW.streaming_scrub_repetition,
+    TX.SCRUB_REPETITION_SQL,
+)
 # context-window chunking at ingest (r9 second wave): stateless
 # projection+generator per micro-batch; drained == batch (shared oracle)
 from c4_5decisiontreebasedonmapreduce_spark.operators.chunking import (  # noqa: E402

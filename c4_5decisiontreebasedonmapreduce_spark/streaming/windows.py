@@ -719,6 +719,39 @@ def streaming_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line-repetition cleaning at INGEST: the batch
+    :func:`operators.text.scrub_repetition` rewrite (first occurrence
+    of each trimmed line survives, in order) applied to the documents
+    file stream. Like the PII scrub directly above, the rewrite is a
+    pure per-row array-function projection — STATELESS (no watermark,
+    no state store, append mode), one codegen'd map per micro-batch —
+    which is why intra-doc cleaning belongs at ingest while CROSS-doc
+    dedup stays with the incremental dedup family (it needs corpus
+    state). Drained result equals the batch twin (shared oracle,
+    ``SCRUB_REPETITION_SQL``)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        scrub_repetition,
+    )
+
+    docs = _docs_stream(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    out = scrub_repetition(spark, sf_dir, d=docs)
+    name = f"stream_scrub_rep_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating at INGEST: the curation gate's scoring projection
     (`pipeline._scored_cols` — the same fused formulas the batch

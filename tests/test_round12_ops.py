@@ -574,3 +574,22 @@ def test_cluster_balanced_persisted_zero_exchange_and_identical(
         assert got == want and got
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cbal_r12")
+
+
+def test_streaming_scrub_repetition_equals_batch(spark, sf_small):
+    """The ingest-time rewrite must drain to exactly the batch
+    transform's output — stateless projection, so equality is by
+    construction and this pins the plumbing (stream staging, coalesce,
+    schema)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        scrub_repetition,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.streaming.windows import (
+        streaming_scrub_repetition,
+    )
+
+    drained = sorted(
+        map(tuple, streaming_scrub_repetition(spark, sf_small).collect())
+    )
+    batch = sorted(map(tuple, scrub_repetition(spark, sf_small).collect()))
+    assert drained == batch and drained
