@@ -200,7 +200,9 @@ BENCH_QUERIES = [
     # rule: scrub_repetition is one projection (repetition_signals
     # precedent), sample_perplexity_filter is lm_perplexity (tracked
     # above) + a language-sized cutoff agg, dedup_cluster_keep_best is
-    # dedup_cluster (tracked above) + a clustered-subset quality pass.
+    # dedup_cluster (tracked above) + a clustered-subset quality pass,
+    # and pipeline_curation_best is keep_best + the pipeline_curation
+    # projection (both tracked above).
     "sample_cluster_balanced",
 ]
 

@@ -188,6 +188,122 @@ FROM survivors
 GROUP BY lang_pred, passed"""
 
 
+def curation_best_pipeline(
+    spark: SparkSession, sf_dir: str, quality_gate: float = QUALITY_GATE
+) -> DataFrame:
+    """:func:`curation_pipeline` upgraded with the round-12 cleaning and
+    selection steps composed end-to-end — what a production curation
+    run actually looks like:
+
+    1. NEAR-dup survivors by QUALITY (`dedup_cluster_keep_best`): every
+       clustered document that is not its cluster's quality-argmax is
+       dropped (the base pipeline only exact-dedups, and exact-dup
+       members are byte-identical so a quality pick would be vacuous
+       there — near-dup clusters are where the argmax bites);
+    2. intra-doc repetition CLEANING (`scrub_repetition`): scoring and
+       fingerprinting run on the rewritten text, so a doc whose bulk is
+       a repeated nav header is gated on its real content;
+    3. the shared exact-dedup + quality-gate rollup, unchanged.
+
+    Scale shape: the loser set is pair-bounded → broadcast left-anti
+    onto the one corpus scan; the rewrite + scoring stay one codegen'd
+    projection on that same pass; the only data-sized exchanges are the
+    keep-best machinery's own (audited separately) plus the fingerprint
+    window and the tiny rollup — nothing new moves the corpus."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        dedup_cluster_keep_best,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        scrub_repetition,
+    )
+
+    losers = (
+        dedup_cluster_keep_best(spark, sf_dir)
+        .where(~F.col("survivor"))
+        .select("doc_id")
+    )
+    d = docs(spark, sf_dir).join(F.broadcast(losers), "doc_id", "left_anti")
+    cleaned = scrub_repetition(spark, sf_dir, d=d).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    fingerprint, n_tokens, quality, lang_pred = _scored_cols()
+    enriched = cleaned.select(
+        "doc_id",
+        fingerprint.alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+    )
+    keep_id = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return (
+        enriched.withColumn("keep_id", keep_id)
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select(
+            "lang_pred",
+            (F.col("quality_score") >= quality_gate).alias("passed"),
+            "n_tokens",
+            "quality_score",
+        )
+        .groupBy("lang_pred", "passed")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.round(F.col("quality_score") * 1e6, 0).cast("long"))
+                / F.lit(1e6)
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def _curation_best_sql() -> str:
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        DEDUP_CLUSTER_KEEP_BEST_SQL,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        _rep_sql_segs,
+    )
+
+    return f"""
+WITH kb AS (
+  SELECT * FROM ({DEDUP_CLUSTER_KEEP_BEST_SQL.strip()})
+),
+kept AS (
+  SELECT doc_id, text FROM {DOCS_SQL}
+  WHERE doc_id NOT IN (SELECT doc_id FROM kb WHERE NOT survivor)
+),
+segs AS (
+  SELECT doc_id, {_rep_sql_segs("chr(10)")} AS lines FROM kept
+),
+clean AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(
+           LIST_FILTER(lines, (x, i) -> LIST_POSITION(lines, x) = i),
+           chr(10)) AS text
+  FROM segs
+),
+{_scored_ctes("clean")},
+survivors AS (
+  SELECT * FROM (
+    SELECT s.*, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+    FROM scored s
+  ) WHERE doc_id = keep_id
+)
+SELECT lang_pred,
+       quality_score >= {QUALITY_GATE} AS passed,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(SUM(CAST(ROUND(quality_score * 1e6, 0) AS BIGINT)) / 1e6
+             / COUNT(*), 6) AS avg_quality
+FROM survivors
+GROUP BY lang_pred, passed"""
+
+
+CURATION_BEST_SQL = _curation_best_sql()
+
+
 # ---------------------------------------------------------------------------
 # pretraining pipeline: scrub → dedup → quality gate → sequence packing
 

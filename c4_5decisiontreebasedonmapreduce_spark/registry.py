@@ -1235,6 +1235,13 @@ _register("doc_fingerprint", TX.doc_fingerprint, TX.DOC_FINGERPRINT_SQL)
 from c4_5decisiontreebasedonmapreduce_spark.operators import pipeline as PL  # noqa: E402
 
 _register("pipeline_curation", PL.curation_pipeline, PL.CURATION_PIPELINE_SQL)
+# r12 third wave: the curation rollup with quality-argmax NEAR-dup
+# survivors and repetition-scrubbed scoring composed end-to-end
+_register(
+    "pipeline_curation_best",
+    PL.curation_best_pipeline,
+    PL.CURATION_BEST_SQL,
+)
 
 # Gopher-style repetition/quality gate + deterministic stratified
 # sampling (operators/text.py, operators/sampling.py): the filter and
@@ -3147,10 +3154,13 @@ _FIRST_WINDOW = [
     # (engine-independent cut-point table) — regrade on the new code
     "bm25_topk_zipf",
     # text analysis / tokenizer training (r12 third wave:
-    # chunk_documents_bpe out — green r10-r11; in its place the new
-    # intra-document line-repetition CLEANING transform)
+    # chunk_documents_bpe and bm25_topk out — green r10-r11; in their
+    # place the new intra-document line-repetition CLEANING transform
+    # and the curation pipeline composing it with quality-argmax
+    # near-dup survivors. The bm25 family keeps three graded entries:
+    # zipf, persisted, update_postings_persisted.)
     "scrub_repetition",
-    "bm25_topk",
+    "pipeline_curation_best",
     "bpe_train",
     # sampling / split hygiene (r12 second wave: sample_dsir_persisted
     # out — graded green r10-r11; in its place the incremental index

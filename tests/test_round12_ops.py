@@ -593,3 +593,30 @@ def test_streaming_scrub_repetition_equals_batch(spark, sf_small):
     )
     batch = sorted(map(tuple, scrub_repetition(spark, sf_small).collect()))
     assert drained == batch and drained
+
+
+def test_curation_best_drops_exactly_the_cluster_losers(spark, sf_small):
+    """The composed pipeline's survivor mass must be the base curation
+    rollup minus EXACTLY the keep-best losers (every clustered doc that
+    is not its cluster's quality-argmax) — and must differ from the
+    base rollup, so the composition is not vacuous on the fixture."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        dedup_cluster_keep_best,
+    )
+    from c4_5decisiontreebasedonmapreduce_spark.operators.pipeline import (
+        curation_best_pipeline,
+        curation_pipeline,
+    )
+
+    best = curation_best_pipeline(spark, sf_small).collect()
+    base = curation_pipeline(spark, sf_small).collect()
+    n_losers = sum(
+        not r["survivor"]
+        for r in dedup_cluster_keep_best(spark, sf_small).collect()
+    )
+    assert n_losers > 0
+    assert (
+        sum(r["n_docs"] for r in best)
+        == sum(r["n_docs"] for r in base) - n_losers
+    )
+    assert sorted(map(tuple, best)) != sorted(map(tuple, base))
