@@ -129,6 +129,16 @@ HEADLINE = {
         "aggregate broadcast back onto the scored relation — the corpus "
         "is never re-shuffled for the cutoff"
     ),
+    "sample_cluster_balanced_persisted": (
+        "re-sampling against the centroid-bucketed assignment table: the "
+        "window's distribution IS the bucketing — bucketed scan + "
+        "in-partition sort, ZERO Exchange of any kind"
+    ),
+    "pipeline_curation_best": (
+        "near-dup losers leave via a pair-bounded broadcast anti-join on "
+        "the one corpus scan; repetition scrub + scoring stay one "
+        "codegen'd projection on that same pass"
+    ),
     "quality_signals": (
         "token arrays checkpointed once; token/bigram grouped counts and "
         "per-doc stats all read the materialized relation (scan budget 0)"
