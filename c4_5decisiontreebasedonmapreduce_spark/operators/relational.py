@@ -874,11 +874,17 @@ GROUP BY window_start"""
 
 
 def sessionize_events(
-    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    events: DataFrame | None = None,
 ) -> DataFrame:
     """Sessionization via lag + cumulative flag — the batch formulation of
-    a session window (streaming twin uses session_window)."""
-    ev = load_table(spark, sf_dir, "events")
+    a session window (streaming twin uses session_window). Pass
+    ``events`` to sessionize an injected relation — against the
+    user_id-bucketed table (:func:`write_events_bucketed`) every window
+    and the final grouping read pre-partitioned: zero Exchange."""
+    ev = load_table(spark, sf_dir, "events") if events is None else events
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
     flagged = ev.select(

@@ -2932,6 +2932,18 @@ def _retention_cohorts_persisted_query(
     return R.retention_cohorts(spark, sf_dir, events=spark.table(table))
 
 
+def _sessionize_persisted_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`sessionize` against the same persisted bucketed events table:
+    both per-user windows AND the (user_id, session_id) grouping read
+    pre-partitioned — ZERO Exchange in the whole plan (the grouping
+    keys contain user_id, so the bucketing satisfies it too; pinned in
+    tests/test_round12_ops.py). Shared oracle."""
+    table = _events_bucketed_table(spark, sf_dir)
+    return R.sessionize_events(spark, sf_dir, events=spark.table(table))
+
+
 _register(
     "funnel_conversion_persisted",
     _funnel_conversion_persisted_query,
@@ -2941,6 +2953,11 @@ _register(
     "retention_cohorts_persisted",
     _retention_cohorts_persisted_query,
     R.RETENTION_SQL,
+)
+_register(
+    "sessionize_persisted",
+    _sessionize_persisted_query,
+    R.SESSIONIZE_SQL,
 )
 
 # the production BM25 path: relative df-cap BINDING on a Zipf-vocabulary

@@ -620,3 +620,22 @@ def test_curation_best_drops_exactly_the_cluster_losers(spark, sf_small):
         == sum(r["n_docs"] for r in base) - n_losers
     )
     assert sorted(map(tuple, best)) != sorted(map(tuple, base))
+
+
+def test_sessionize_persisted_zero_exchange_and_identical(spark, sf_small):
+    """Against the user_id-bucketed events table, sessionization must be
+    entirely Exchange-free: the per-user windows AND the
+    (user_id, session_id) grouping all read pre-partitioned (grouping
+    keys contain user_id, so the bucketing satisfies them too). Output
+    identical to the raw-scan op."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        relational as R,
+    )
+
+    df = REG._sessionize_persisted_query(spark, sf_small)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "Bucketed: true" in p, p
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, R.sessionize_events(spark, sf_small).collect()))
+    assert got == want and got
