@@ -3112,6 +3112,21 @@ _register(
 # tests/test_oracle_parity.py over the FULL registry.
 
 _FIRST_WINDOW = [
+    # r13 rotation candidates (54 registry entries have never received
+    # a driver sf0.01 grade as of r12; every one is pytest-hash-graded
+    # by test_oracle_parity). Highest value next: the never-graded
+    # TPC-H shapes q4/q5/q10/q18; quality_signals +
+    # sample_stratified/sample_coverage (the oldest ungraded
+    # curation ops); the incremental dedup family
+    # (dedup_incremental(_persisted), dedup_exact_incremental(_persisted),
+    # dedup_cluster_incremental, dedup_spans_incremental);
+    # streaming_scrub_pii/_repetition, streaming_join,
+    # streaming_sink_upsert, streaming_pack_ingest; agg_percentiles +
+    # agg_grouping_sets + window_range_frame; unigram_encode_fixed +
+    # pack_sequences_unigram; and this round's three unwindowed
+    # newcomers sessionize_persisted, sample_cluster_balanced_persisted,
+    # pipeline_curation (never graded despite r2 vintage).
+    #
     # SURVEY §2.A reference-surface anchors: the two GOLDEN capstones
     # stay every round — their sf0.01 model oracles carry the "via"
     # coverage for the whole training loop (expand_children,
