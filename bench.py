@@ -390,11 +390,20 @@ def main() -> None:
     if retries:
         full["retried"] = retries
     # $SPARK_GRAFT_BENCH_FULL overrides the diagnostics path so test
-    # harness runs (tiny sf, 1 rep) don't clobber the committed artifact
+    # harness runs (tiny sf, 1 rep) don't clobber the committed artifact.
+    # A $SPARK_GRAFT_BENCH_QUERIES subset run never writes the full
+    # artifact path by default either — a 3-query record silently
+    # replacing the 72-query number of record is the r10 tug-of-war
+    # failure mode, now structurally impossible instead of a discipline.
+    default_name = (
+        "bench_full_subset.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+        else "bench_full.json"
+    )
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_full.json"),
+                     default_name),
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
@@ -467,21 +476,23 @@ def compact_line(full: dict, errors: dict) -> str:
         # the window in round 9 and silently cost the artifact its whole
         # per-query map), and only as a last resort is "queries" dropped —
         # bench_full.json always has the full-precision map
-        # anchor_drift goes LAST among the diagnostics: it is the one
-        # ~20-char field that lets a reader judge the whole session's
-        # noise from the stdout line alone (the r12 run dropped it
-        # while keeping longer, less informative fields)
+        # anchor_drift outlives every other diagnostic AND the map's
+        # 3rd decimal: it is the one ~20-char field that lets a reader
+        # judge the whole session's noise from the stdout line alone.
+        # (The 72-query r12 line shed ALL diagnostics at 3dp while the
+        # map never even tried 2dp — a 2dp map costs ~1 char/query and
+        # nothing a cross-round comparison uses, so it goes first.)
         for k in ("retried",
                   "load_elevated_flagged", "load_noise_flagged",
-                  "cold_total", "median_total", "value_is", "errors",
-                  "anchor_drift"):
+                  "cold_total", "median_total", "value_is", "errors"):
             compact.pop(k, None)
             line = json.dumps(compact, separators=(",", ":"))
             if len(line) <= 1800:
                 break
-        # 3dp → 2dp → 1dp → integer seconds before losing the map (the
-        # int step only ever fires on a pathological record — every
-        # query over ~100 s — where whole seconds still beat no map)
+        # 3dp → 2dp → 1dp → integer seconds before losing anchor_drift
+        # or the map (the int step only ever fires on a pathological
+        # record — every query over ~100 s — where whole seconds still
+        # beat no map)
         for nd in (2, 1, 0):
             if len(line) > 1800:
                 compact["queries"] = {
@@ -489,6 +500,9 @@ def compact_line(full: dict, errors: dict) -> str:
                     for k, v in compact["queries"].items()
                 }
                 line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1800:
+            compact.pop("anchor_drift", None)
+            line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1800:
             compact.pop("queries", None)
             line = json.dumps(compact, separators=(",", ":"))

@@ -77,11 +77,34 @@ def test_compact_line_budget_at_full_size():
         noisy=list(best)[:5], elevated=list(best)[:5],
         load_threshold=40.0, reps=3, sf=0.1, errors={},
     )
+    anchor = {
+        "first": 0.878, "last": 0.387, "query": "gain_ratio",
+        "drift": 2.27,
+    }
+    full["anchor"] = anchor
     line = bench.compact_line(full, {})
     assert len(line) <= 1800
     rec = json.loads(line)
     assert set(rec["queries"]) == set(bench.BENCH_QUERIES), (
         "degrade chain dropped the per-query map at full tracked size"
+    )
+    # at REALISTIC value widths (1-digit seconds, the shape every real
+    # record has had) the decimals degrade before the session-noise
+    # provenance does: anchor_drift must survive alongside the full map
+    # (r12 regression — the 72-query line shed every diagnostic while
+    # the map sat untouched at 3dp). The all-123.456 worst case above
+    # is allowed to sacrifice the anchor: map > anchor > everything.
+    real = {n: 3.456 for n in bench.BENCH_QUERIES}
+    full_r = bench.build_full_record(
+        real, dict(real), dict(real), spread, loads,
+        noisy=list(real)[:5], elevated=list(real)[:5],
+        load_threshold=40.0, reps=3, sf=0.1, errors={},
+    )
+    full_r["anchor"] = anchor
+    rec_r = json.loads(bench.compact_line(full_r, {}))
+    assert set(rec_r["queries"]) == set(bench.BENCH_QUERIES)
+    assert rec_r["anchor_drift"] == 2.27, (
+        "degrade chain sacrificed anchor_drift before the map's decimals"
     )
     # and with errors present the line still fits
     errs = {n: "RuntimeError: " + "x" * 280 for n in list(best)[:6]}
