@@ -84,18 +84,107 @@ sh AS (
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)"""
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = TX.docs(spark, sf_dir)
-    # a small documents scan (single parquet file → 1 partition) would
-    # run the whole tokenize/shingle/hash pipeline on that many cores;
-    # spread it once — the pre-explode rows are cheap to shuffle. At
-    # scale the scan already has ≥ parallelism partitions and this is a
-    # no-op.
+def shingle_keys_col(text: Column) -> Column:
+    """Distinct word-trigram shingles as 64-BIT HASH KEYS (xxhash64 of
+    the token-slice array) — the join/group representation every
+    downstream consumer that never outputs shingle CONTENT uses. The
+    key is internal-only, so it needs no engine portability (the DuckDB
+    oracles join on the raw shingle strings and outputs are pinned
+    identical); hashing at the source means the exploded relation, its
+    df-count exchange and the candidate self-join all move 8-byte longs
+    instead of ~20-40-byte strings (guide §2.3 "narrower types"), and
+    no per-position string is ever built. Distinctness by hash equals
+    distinctness by string up to 64-bit collisions (~10⁻⁸ at corpus
+    scale, deterministic — the oracle parity suite would catch one on
+    the fixed testdata)."""
+    return shingle_keys_from_toks(tokens_col(text))
+
+
+def shingle_keys_from_toks(toks: Column) -> Column:
+    """:func:`shingle_keys_col` over an already-tokenized array column —
+    lets a composition that needs several token-derived relations
+    (shingles AND positioned grams, e.g. `contamination_audit`)
+    tokenize the corpus exactly once."""
+    n = F.size(toks) - (SHINGLE_K - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.xxhash64(F.slice(toks, i, SHINGLE_K)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def shingle_rows_from_toks(tk: DataFrame) -> DataFrame:
+    """:func:`shingle_rows` over a ``(doc_id, toks)`` relation."""
+    return _sized_explode(
+        tk, shingle_keys_from_toks(F.col("toks")), "shingle"
+    )
+
+
+def _sized_explode(d: DataFrame, arr: Column, out: str) -> DataFrame:
+    """``(doc_id, sz, <out>)`` rows: explode ``arr`` carrying its size.
+
+    The shape is deliberate (measured at sf0.1, see OPTIMIZATION_r12):
+    the array and its size are packed into ONE struct column in a
+    single codegen'd Project — runtime subexpression elimination
+    evaluates the array expression once per row — and the Generate
+    explodes the struct FIELD. A plain ``select(size(arr), explode
+    (arr))`` evaluates the array per exploded row (~100×); aliasing the
+    array first makes the generator child an Attribute, which triggers
+    InferFiltersFromGenerate and pushes a ``size(arr) > 0`` filter —
+    with the whole tokenize/hash expression substituted back in — below
+    the spread Exchange onto the single-partition scan (measured 3.6×
+    the whole pipeline). The struct-field generator dodges both, and
+    beats even the old explode-the-expression shape ~2× because the
+    array builds inside WholeStageCodegen instead of GenerateExec's
+    interpreted eval."""
+    packed = F.struct(F.size(arr).alias("sz"), arr.alias("a"))
+    return d.select("doc_id", packed.alias("_p")).select(
+        "doc_id",
+        F.col("_p.sz").alias("sz"),
+        F.explode("_p.a").alias(out),
+    )
+
+
+def shingle_rows(d: DataFrame) -> DataFrame:
+    """``(doc_id, sz, shingle)`` hashed-shingle rows of a ``(doc_id,
+    text, …)`` relation. ``sz`` — the document's DISTINCT shingle count,
+    the Jaccard/containment denominator — is computed from the array
+    BEFORE the explode and rides every row, which is what lets the
+    verify stages read sizes off the candidate join itself instead of
+    shuffling the whole exploded relation a second time by doc_id
+    (guide §2.4: that groupBy(doc_id) exchange is gone outright)."""
+    return _sized_explode(d, shingle_keys_col(F.col("text")), "shingle")
+
+
+def _spread(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Repartition a narrow scan across the cluster once: a small
+    documents scan (single parquet file → 1 partition) would run the
+    whole tokenize/shingle/hash pipeline on that many cores. At scale
+    the scan already has ≥ parallelism partitions and this is a no-op."""
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
-    return d.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    return d
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed ``(doc_id, sz, shingle)`` rows of the documents table."""
+    return shingle_rows(_spread(spark, TX.docs(spark, sf_dir)))
+
+
+def _shingles_str_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-shingle rows ``(doc_id, sz, shingle)`` — only for the
+    consumers whose oracle-visible hashes are defined over the shingle
+    STRING (the MinHash signature family, `MINHASH_SEEDS` affine maps
+    over ``md5_long(shingle)``)."""
+    return _sized_explode(
+        _spread(spark, TX.docs(spark, sf_dir)),
+        shingles_col(F.col("text")),
+        "shingle",
     )
 
 
@@ -129,6 +218,7 @@ def _jaccard_pairs(
     pair_filter: Column | None = None,
     df_source: DataFrame | None = None,
     df_cap: int = SHINGLE_DF_CAP,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Shingle-sharing candidate pairs → exact Jaccard ≥ threshold.
     The join key is the shingle, so only documents that share content
@@ -156,7 +246,8 @@ def _jaccard_pairs(
     # the shingle relation feeds four plan branches (the df counts, both
     # candidate sides, the sizes table); materialize it once instead of
     # re-running the tokenize/explode pipeline per branch
-    sh = sh.localCheckpoint()
+    if checkpoint:
+        sh = sh.localCheckpoint()
     # ``df_source`` (caller-materialized) lets a doc-restricted pass —
     # corpus_pairs' corpus-only slice — evaluate the rare/capped split
     # over the FULL shingle relation, so a shingle's cap verdict never
@@ -168,9 +259,22 @@ def _jaccard_pairs(
         df_counts.where(F.col("df") <= df_cap).select("shingle"),
         "shingle",
     )
+    # per-doc sizes (the Jaccard denominator) RIDE the candidate join as
+    # the pre-computed ``sz`` column instead of being re-derived by a
+    # groupBy(doc_id) over the exploded relation and joined back twice —
+    # two joins and a full doc_id exchange of the shingle relation gone
+    # (guide §2.4); ``max`` is exact because sz is constant per doc.
+    # A caller-built ``sh`` without the column (tests, ad-hoc slices)
+    # falls back to the old sizes aggregate below.
+    carry_sz = "sz" in sh.columns
+    sz_a = [F.col("sz").alias("sz_a")] if carry_sz else []
+    sz_b = [F.col("sz").alias("sz_b")] if carry_sz else []
     met = (
-        rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(rare.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        rare.select(F.col("doc_id").alias("doc_a"), *sz_a, "shingle")
+        .join(
+            rare.select(F.col("doc_id").alias("doc_b"), *sz_b, "shingle"),
+            "shingle",
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
     )
     if pair_filter is not None:
@@ -178,7 +282,12 @@ def _jaccard_pairs(
         # applied before the count so skipped pairs cost nothing downstream
         met = met.where(pair_filter)
     pair_rare = met.groupBy("doc_a", "doc_b").agg(
-        F.count("*").alias("common_rare")
+        F.count("*").alias("common_rare"),
+        *(
+            [F.max("sz_a").alias("sz_a"), F.max("sz_b").alias("sz_b")]
+            if carry_sz
+            else []
+        ),
     )
     # residual: shared CAPPED shingles still count toward the exact
     # intersection; per-pair volume is |pairs| × (capped shingles per
@@ -197,26 +306,25 @@ def _jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common_freq"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    return (
-        pair_rare.join(pair_freq, ["doc_a", "doc_b"], "left")
-        .withColumn(
-            "common",
-            F.col("common_rare") + F.coalesce(F.col("common_freq"), F.lit(0)),
-        )
-        .join(
+    out = pair_rare.join(pair_freq, ["doc_a", "doc_b"], "left").withColumn(
+        "common",
+        F.col("common_rare") + F.coalesce(F.col("common_freq"), F.lit(0)),
+    )
+    if not carry_sz:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        out = out.join(
             sizes.select(
                 F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
             ),
             "doc_a",
-        )
-        .join(
+        ).join(
             sizes.select(
                 F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
             ),
             "doc_b",
         )
-        .withColumn(
+    return (
+        out.withColumn(
             "jaccard",
             F.round(
                 F.col("common")
@@ -445,6 +553,7 @@ def decontaminate(
     min_overlap: float = DECONTAM_MIN_OVERLAP,
     df_cap: int = SHINGLE_DF_CAP,
     bench_shingles: DataFrame | None = None,
+    corp_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION: flag corpus documents whose shingle
     CONTAINMENT in some single benchmark document reaches
@@ -477,14 +586,20 @@ def decontaminate(
         F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
     )
     if bench_shingles is None:
-        sh = _shingles_df(spark, sf_dir).localCheckpoint()
+        sh = (
+            _shingles_df(spark, sf_dir) if corp_shingles is None
+            else corp_shingles
+        ).localCheckpoint()
         bench = sh.where(is_bench).select(
             F.col("doc_id").alias("bench_id"), "shingle"
         )
         corp = sh.where(~is_bench)
     else:
         bench = bench_shingles.select("bench_id", "shingle")
-        corp = _shingles_df(spark, sf_dir).where(~is_bench).localCheckpoint()
+        corp = (
+            _shingles_df(spark, sf_dir) if corp_shingles is None
+            else corp_shingles
+        ).where(~is_bench).localCheckpoint()
     return _decontaminate_core(corp, bench, min_overlap, df_cap)
 
 
@@ -499,11 +614,13 @@ def _decontaminate_core(
     arbitrary corpus ``(doc_id, shingle)`` and benchmark
     ``(bench_id, shingle)`` relations — shared by the standalone query,
     the persisted-benchmark path, and the composed pretraining
-    pipeline (which decontaminates SCRUBBED text). ``sizes`` overrides
-    the per-doc shingle counts (the containment DENOMINATOR): the bloom
-    path passes the unfiltered corpus's counts, because its ``corp`` has
-    bench-disjoint shingles already removed and those still count
-    toward |doc|."""
+    pipeline (which decontaminates SCRUBBED text). The containment
+    DENOMINATOR is the ``sz`` column riding the corpus rows (computed
+    from the pre-explode array, so it stays the FULL per-doc count even
+    on a row-filtered slice — exactly what the bloom path needs, which
+    previously passed an explicit unfiltered-count ``sizes`` override);
+    ``sizes`` remains accepted for callers whose corpus relation lacks
+    the column."""
     # df verdicts over the FULL (corpus ∪ benchmark) relation, so a
     # shingle's cap status never depends on which side it came from
     df_counts = (
@@ -515,26 +632,35 @@ def _decontaminate_core(
     rare_s = df_counts.where(F.col("df") <= df_cap).select("shingle")
     freq_s = df_counts.where(F.col("df") > df_cap).select("shingle")
     met = corp.join(rare_s, "shingle").join(bench, "shingle")
+    # the denominator rides the candidate join as the pre-computed
+    # ``sz`` column — no groupBy(doc_id) re-shuffle of the exploded
+    # corpus relation and no sizes join (guide §2.4); ``max`` is exact
+    # because sz is constant per doc
+    carry_sz = sizes is None and "sz" in corp.columns
     pair_rare = met.groupBy("doc_id", "bench_id").agg(
-        F.count("*").alias("common_rare")
+        F.count("*").alias("common_rare"),
+        *([F.max("sz").alias("sz")] if carry_sz else []),
     )
     pair_freq = (
         pair_rare.select("doc_id", "bench_id")
-        .join(corp.join(freq_s, "shingle"), "doc_id")
+        .join(
+            corp.select("doc_id", "shingle").join(freq_s, "shingle"),
+            "doc_id",
+        )
         .join(bench, ["bench_id", "shingle"])
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("common_freq"))
     )
-    if sizes is None:
-        sizes = corp.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    out = pair_rare.join(pair_freq, ["doc_id", "bench_id"], "left").withColumn(
+        "common",
+        F.col("common_rare") + F.coalesce(F.col("common_freq"), F.lit(0)),
+    )
+    if not carry_sz:
+        if sizes is None:
+            sizes = corp.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        out = out.join(sizes, "doc_id")
     return (
-        pair_rare.join(pair_freq, ["doc_id", "bench_id"], "left")
-        .withColumn(
-            "common",
-            F.col("common_rare") + F.coalesce(F.col("common_freq"), F.lit(0)),
-        )
-        .join(sizes, "doc_id")
-        .withColumn("overlap", F.round(F.col("common") / F.col("sz"), 6))
+        out.withColumn("overlap", F.round(F.col("common") / F.col("sz"), 6))
         .where(F.col("overlap") >= min_overlap)
         .select("doc_id", "bench_id", "common", "overlap")
     )
@@ -575,11 +701,16 @@ BLOOM_K = 3  # hash functions; FP ≈ (1-e^(-kn/m))^k ≈ 1.7% at n=20k
 
 
 def _bloom_hash(shingle: Column) -> Column:
-    """The ONE md5 per shingle all k positions derive from (k
-    independent md5s measured 2.5× slower than the exact op at sf0.1 —
-    the hash is the prefilter's unit cost, so it is computed once and
-    the positions are arithmetic)."""
-    return md5_long(F.concat(F.lit("bloom|"), shingle))
+    """The ONE hash per shingle all k positions derive from (k
+    independent hashes measured 2.5× slower than the exact op at sf0.1
+    — the hash is the prefilter's unit cost, so it is computed once and
+    the positions are arithmetic). Over the 64-bit shingle KEY this is
+    a re-mix, not a crypto digest: xxhash64 with a salt, masked to the
+    same non-negative 60-bit range the old md5-prefix hash occupied
+    (➗ the position arithmetic below needs h ≥ 0)."""
+    return F.xxhash64(shingle, F.lit("bloom")).bitwiseAND(
+        F.lit((1 << 60) - 1)
+    )
 
 
 def _positions_from_hash(h: Column, m_bits: int, k: int) -> list[Column]:
@@ -826,7 +957,6 @@ def decontaminate_bloom(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
     corp_full = sh.where(~is_bench)
-    sizes = corp_full.groupBy("doc_id").agg(F.count("*").alias("sz"))
     cache_key = (
         spark.sparkContext.applicationId,
         sf_dir,
@@ -870,7 +1000,7 @@ def decontaminate_bloom(
         if keep > BLOOM_AUTO_MAX_KEEP:
             lit_map = None  # prefilter would keep most rows: run exact
     if lit_map is None:
-        corp = corp_full.select("doc_id", "shingle")
+        corp = corp_full.select("doc_id", "sz", "shingle")
     else:
         # checkpoint the SURVIVORS: the core references its corpus side
         # three times (df counts, candidate join, residual join) and the
@@ -888,10 +1018,13 @@ def decontaminate_bloom(
                 hash_col="_bloom_h",
                 lit_map=lit_map,
             )
-            .select("doc_id", "shingle")
+            .select("doc_id", "sz", "shingle")
             .localCheckpoint()
         )
-    return _decontaminate_core(corp, bench, min_overlap, df_cap, sizes=sizes)
+    # the containment denominator is the carried ``sz`` column — it was
+    # computed pre-explode, so it still reflects the FULL per-doc count
+    # on the bloom-filtered slice (the old explicit ``sizes`` override)
+    return _decontaminate_core(corp, bench, min_overlap, df_cap)
 
 
 def decontaminate_apply(
@@ -1029,9 +1162,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     family being integer arithmetic. The band equi-join replaces the
     all-pairs comparison — what makes near-dedup feasible at 100 TB
     (candidates scale with collisions, not corpus²)."""
-    sh = _shingles_df(spark, sf_dir).withColumn(
-        "h", md5_long(F.col("shingle")) % MINHASH_P
-    )
+    # the signature family is defined over md5_long(shingle STRING) —
+    # oracle-visible, so the string tokenization stays — but the full
+    # 60-bit md5 value ``hb`` doubles as the VERIFY join key, so the
+    # checkpointed relation drops the string entirely: (doc_id, sz, hb,
+    # h) is ~3× narrower than (doc_id, shingle) rows and every verify
+    # exchange moves longs (guide §2.3); ``sz`` rides the rows so the
+    # Jaccard denominators need no sizes groupBy/joins (guide §2.4)
+    sh = _shingles_str_df(spark, sf_dir).select(
+        "doc_id",
+        "sz",
+        md5_long(F.col("shingle")).alias("hb"),
+    ).withColumn("h", F.col("hb") % MINHASH_P)
     # The shingle explode + MD5 scan feeds the signature aggregation AND
     # both sides of the candidate verify; materialize it once instead of
     # letting each consumer re-derive it from the documents scan.
@@ -1040,27 +1182,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify ONLY the candidates (the whole point of LSH): count common
     # shingles along the candidate pairs, never via the all-pairs
     # shingle self-join
-    sh_only = sh.select("doc_id", "shingle")
-    sizes = sh_only.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    common = (
-        cand.join(
-            sh_only.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(
-            sh_only.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
+    sh_only = sh.select("doc_id", "sz", "hb")
     verified = (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+        cand.join(
+            sh_only.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"),
+                "hb",
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-            "doc_b",
+            sh_only.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"),
+                "hb",
+            ),
+            ["doc_b", "hb"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.max("sz_a").alias("sz_a"),
+            F.max("sz_b").alias("sz_b"),
         )
         .withColumn(
             "jaccard",
@@ -1150,8 +1292,8 @@ def write_incremental_corpus(
     the persisted analog of the in-session ``localCheckpoint``,
     mirroring :func:`similarity.write_ivf_bucketed`. Plan-asserted by
     test_scale_plans.py::test_incremental_persisted_corpus_join_no_shuffle."""
-    sh = _shingles_df(spark, sf_dir).withColumn(
-        "h", md5_long(F.col("shingle")) % MINHASH_P
+    sh = _shingles_str_df(spark, sf_dir).select(
+        "doc_id", (md5_long(F.col("shingle")) % MINHASH_P).alias("h")
     )
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
     sigs = _banded_signatures(sh.where(~is_batch))
@@ -1192,9 +1334,14 @@ def dedup_incremental(
     admitted. The batch here is the deterministic doc_id slice
     ``doc_id % {INCR_BATCH_MOD} == {INCR_BATCH_REM}`` (~10%), which
     keeps the whole operator SQL-expressible for the oracle."""
-    sh = _shingles_df(spark, sf_dir).withColumn(
-        "h", md5_long(F.col("shingle")) % MINHASH_P
-    ).localCheckpoint()
+    # same narrowed checkpoint as dedup_minhash: signatures read ``h``,
+    # the verify joins key on the full 60-bit ``hb``, sizes ride as
+    # ``sz`` — the shingle string never survives the tokenize projection
+    sh = _shingles_str_df(spark, sf_dir).select(
+        "doc_id",
+        "sz",
+        md5_long(F.col("shingle")).alias("hb"),
+    ).withColumn("h", F.col("hb") % MINHASH_P).localCheckpoint()
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
     if corpus_sigs is None:
         # one signature aggregation serves both sides of the band join
@@ -1220,32 +1367,27 @@ def dedup_incremental(
         .unionByName(intra.select("doc_new", "dup_of"))
         .distinct()
     )
-    sh_only = sh.select("doc_id", "shingle")
-    sizes = sh_only.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    common = (
+    sh_only = sh.select("doc_id", "sz", "hb")
+    return (
         cand.join(
-            sh_only.select(F.col("doc_id").alias("doc_new"), "shingle"),
+            sh_only.select(
+                F.col("doc_id").alias("doc_new"), F.col("sz").alias("sz_n"),
+                "hb",
+            ),
             "doc_new",
         )
         .join(
-            sh_only.select(F.col("doc_id").alias("dup_of"), "shingle"),
-            ["dup_of", "shingle"],
+            sh_only.select(
+                F.col("doc_id").alias("dup_of"), F.col("sz").alias("sz_c"),
+                "hb",
+            ),
+            ["dup_of", "hb"],
         )
         .groupBy("doc_new", "dup_of")
-        .agg(F.count("*").alias("common"))
-    )
-    return (
-        common.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_new"), F.col("sz").alias("sz_n")
-            ),
-            "doc_new",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("dup_of"), F.col("sz").alias("sz_c")
-            ),
-            "dup_of",
+        .agg(
+            F.count("*").alias("common"),
+            F.max("sz_n").alias("sz_n"),
+            F.max("sz_c").alias("sz_c"),
         )
         .withColumn(
             "jaccard",
@@ -1455,22 +1597,49 @@ FROM cand WHERE BIT_COUNT(XOR(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}"""
 
 
 def _emb_decimal(col: Column) -> Column:
-    """Embedding components rounded to 6 decimals as DECIMAL(10,6):
-    makes every downstream dot product exact and order-independent."""
+    """Embedding components rounded to 6 decimals and SCALED to exact
+    integers (×10⁶, long). A long with a fixed implicit scale IS a
+    decimal — quantization is still the half-up DECIMAL(10,6) cast, so
+    every downstream dot product stays exact and order-independent —
+    but the per-pair fold arithmetic becomes plain 64-bit integer
+    multiply/add, which whole-stage codegen runs ~an order of magnitude
+    faster than Spark's interpreted Decimal ops (guide §1.2 step 2: the
+    N×C assignment crossJoin and the candidate verifies are fold-bound).
+    Value-identical by construction: the fold result is the SAME
+    rational number (scaled 10¹²), and |Σ xᵢyᵢ·10¹²| ≤ 64·10¹² < 2⁵³,
+    so the one double rounding happens at the same place as before
+    (pinned bit-equal vs the old decimal formulation in
+    tests/test_round12_opt.py)."""
     return F.transform(
-        col, lambda x: F.round(x.cast("double"), 6).cast("decimal(10,6)")
+        col,
+        lambda x: (
+            F.round(x.cast("double"), 6).cast("decimal(10,6)")
+            * F.lit(1000000)
+        ).cast("long"),
     )
+
+
+# one component = value·10⁶, so a dot product is value·10¹²
+_DOT_SCALE = 1.0e12
 
 
 def _dot(a: Column, b: Column) -> Column:
-    # components are in [-1, 1] so the 64-term dot fits decimal(16,12);
-    # the cast-back keeps the accumulator type exact (Spark's decimal
-    # addition would otherwise widen past the cap and drop a digit)
+    """Exact dot product of two ×10⁶-scaled integer vectors, as a long
+    scaled by 10¹² (see :func:`_emb_decimal`). Divide by ``_DOT_SCALE``
+    (:func:`_dot_double`) to read it as a double."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("decimal(16,12)"),
-        lambda acc, v: (acc + v).cast("decimal(16,12)"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
+
+
+def _dot_double(a: Column, b: Column) -> Column:
+    """The dot product as a double — the same correctly-rounded value
+    the old ``decimal(16,12) → double`` cast produced (the scaled sum
+    is < 2⁵³, so long→double is exact and the division is the single
+    rounding step)."""
+    return _dot(a, b) / F.lit(_DOT_SCALE)
 
 
 def embeddings_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,7 +1653,7 @@ def embeddings_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         dec.alias("emb"),
-        F.sqrt(_dot(dec, dec).cast("double")).alias("norm"),
+        F.sqrt(_dot_double(dec, dec)).alias("norm"),
     )
 
 
@@ -1514,7 +1683,7 @@ def _emb_assignments(e: DataFrame, cents: DataFrame) -> DataFrame:
     # `/` ABORTS THE JOB on the first zero-norm vector; NULL cosine
     # instead sorts last and the degenerate vector just never wins
     c_cos = F.try_divide(
-        _dot(F.col("emb"), F.col("c_emb")).cast("double"),
+        _dot_double(F.col("emb"), F.col("c_emb")),
         F.col("norm") * F.col("c_norm"),
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -1573,7 +1742,7 @@ def dedup_embedding(
         return _ivf_cosine_pairs(e, COSINE_THRESHOLD)
     cos = F.round(
         F.try_divide(
-            _dot(F.col("emb_a"), F.col("emb_b")).cast("double"),
+            _dot_double(F.col("emb_a"), F.col("emb_b")),
             F.col("norm_a") * F.col("norm_b"),
         ),
         6,
@@ -1623,7 +1792,7 @@ def _ivf_cosine_pairs(e: DataFrame, threshold: float) -> DataFrame:
     )
     cos = F.round(
         F.try_divide(
-            _dot(F.col("emb_a"), F.col("emb_b")).cast("double"),
+            _dot_double(F.col("emb_a"), F.col("emb_b")),
             F.col("norm_a") * F.col("norm_b"),
         ),
         6,
@@ -1836,7 +2005,7 @@ def dedup_embedding_incremental(
     )
     cos = F.round(
         F.try_divide(
-            _dot(F.col("emb_n"), F.col("emb_c")).cast("double"),
+            _dot_double(F.col("emb_n"), F.col("emb_c")),
             F.col("norm_n") * F.col("norm_c"),
         ),
         6,
@@ -2123,8 +2292,12 @@ def corpus_pairs(
     test_incremental_cluster_df_cap_crossing."""
     sh = _shingles_df(spark, sf_dir).localCheckpoint()
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    # checkpoint=False: ``sh`` is already materialized above — the
+    # default inner checkpoint would row-copy the whole relation into a
+    # second set of blocks for no reuse gain (one extra job + copy)
     return _jaccard_pairs(
-        sh.where(~is_batch), JACCARD_THRESHOLD, df_source=sh, df_cap=df_cap
+        sh.where(~is_batch), JACCARD_THRESHOLD, df_source=sh, df_cap=df_cap,
+        checkpoint=False,
     ).select("doc_a", "doc_b")
 
 
@@ -2161,22 +2334,33 @@ def dedup_cluster_incremental(
     batch is counted (test_incremental_cluster_df_cap_crossing)."""
     sh = _shingles_df(spark, sf_dir)
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+
+    def touching_pred():
+        return (F.col("doc_a") % INCR_BATCH_MOD == INCR_BATCH_REM) | (
+            F.col("doc_b") % INCR_BATCH_MOD == INCR_BATCH_REM
+        )
+
     if corpus_pairs_df is None:
         # standalone path: TWO _jaccard_pairs consumers ahead — one
-        # outer checkpoint spares the second its tokenize re-run (each
-        # inner checkpoint then just copies the materialized scan). The
-        # persisted path has a single consumer and skips it.
+        # outer checkpoint spares the second its tokenize re-run, and
+        # checkpoint=False stops each call from row-copying the already
+        # materialized relation into fresh blocks (2 jobs + 2 copies
+        # saved). The persisted path has a single consumer and lets the
+        # call checkpoint as usual.
         sh = sh.localCheckpoint()
         corpus_pairs_df = _jaccard_pairs(
             sh.where(~is_batch), JACCARD_THRESHOLD, df_source=sh,
+            df_cap=df_cap, checkpoint=False,
+        )
+        batch_pairs = _jaccard_pairs(
+            sh, JACCARD_THRESHOLD, pair_filter=touching_pred(),
+            df_cap=df_cap, checkpoint=False,
+        )
+    else:
+        batch_pairs = _jaccard_pairs(
+            sh, JACCARD_THRESHOLD, pair_filter=touching_pred(),
             df_cap=df_cap,
         )
-    touching = (F.col("doc_a") % INCR_BATCH_MOD == INCR_BATCH_REM) | (
-        F.col("doc_b") % INCR_BATCH_MOD == INCR_BATCH_REM
-    )
-    batch_pairs = _jaccard_pairs(
-        sh, JACCARD_THRESHOLD, pair_filter=touching, df_cap=df_cap
-    )
     pairs = (
         corpus_pairs_df.select("doc_a", "doc_b")
         .unionByName(batch_pairs.select("doc_a", "doc_b"))
@@ -2203,12 +2387,27 @@ SPAN_GRAM_DF_CAP = 100  # max doc-frequency of a candidate-gen gram
 
 
 def _positioned_grams(docs: DataFrame) -> DataFrame:
-    """``(doc_id, pos, gh)``: the portable 60-bit hash of the
-    SPAN_GRAM_K-token window starting at 1-based token position pos.
-    Unlike :func:`shingles_col` these are NOT distinct — the position is
-    the payload. Short documents yield no rows (same WHEN guard: Spark's
-    descending ``sequence(1, 0)`` is not empty)."""
-    toks = tokens_col(F.col("text"))
+    """``(doc_id, pos, gh)``: a 64-bit hash of the SPAN_GRAM_K-token
+    window starting at 1-based token position pos. Unlike
+    :func:`shingles_col` these are NOT distinct — the position is the
+    payload. Short documents yield no rows (same WHEN guard: Spark's
+    descending ``sequence(1, 0)`` is not empty).
+
+    ``gh`` is INTERNAL-ONLY (a join/df-cap key that never reaches any
+    output), so it uses codegen'd ``xxhash64`` over the token-slice
+    array instead of the old md5-of-joined-string (guide §1.2 step 2:
+    one crypto hash + string build per token position was the gram
+    pass's unit cost; the oracle twins keep their own engine-local
+    hashing and outputs are pinned identical)."""
+    return _positioned_grams_from_toks(
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    )
+
+
+def _positioned_grams_from_toks(tk: DataFrame) -> DataFrame:
+    """:func:`_positioned_grams` over a ``(doc_id, toks)`` relation
+    (shared-tokenize compositions, see shingle_keys_from_toks)."""
+    toks = F.col("toks")
     n = F.size(toks) - (SPAN_GRAM_K - 1)
     grams = F.when(
         n >= 1,
@@ -2216,13 +2415,11 @@ def _positioned_grams(docs: DataFrame) -> DataFrame:
             F.sequence(F.lit(1), n),
             lambda i: F.struct(
                 i.alias("pos"),
-                md5_long(
-                    F.array_join(F.slice(toks, i, SPAN_GRAM_K), " ")
-                ).alias("gh"),
+                F.xxhash64(F.slice(toks, i, SPAN_GRAM_K)).alias("gh"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
-    return docs.select("doc_id", F.explode(grams).alias("s")).select(
+    return tk.select("doc_id", F.explode(grams).alias("s")).select(
         "doc_id", "s.pos", "s.gh"
     )
 
@@ -2633,7 +2830,9 @@ FROM {TX.DOCS_SQL} LEFT JOIN rebuilt r ON documents.doc_id = r.doc_id"""
 
 
 def decontaminate_span_matches(
-    d: DataFrame, df_cap: int = SPAN_GRAM_DF_CAP
+    d: DataFrame,
+    df_cap: int = SPAN_GRAM_DF_CAP,
+    g: DataFrame | None = None,
 ) -> DataFrame:
     """Leaked PASSAGES: maximal duplicated token spans between a corpus
     document and a benchmark document — ``(doc_id, bench_id, start,
@@ -2652,7 +2851,8 @@ def decontaminate_span_matches(
     is_bench = (
         F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
     )
-    g = _positioned_grams(d).localCheckpoint()
+    if g is None:
+        g = _positioned_grams(d).localCheckpoint()
     rare = g.join(
         g.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -2744,6 +2944,7 @@ def decontaminate_spans_persisted(
     bench_grams: DataFrame,
     bench_df: DataFrame,
     df_cap: int = SPAN_GRAM_DF_CAP,
+    corpus_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Passage-level leak detection at INGEST: the corpus (the moving
     side) grams fresh each run; the benchmark side is the PERSISTED
@@ -2758,11 +2959,15 @@ def decontaminate_spans_persisted(
     move as :func:`span_matches_incremental`. Output pinned identical
     to the in-memory path (same oracle SQL; equality also pinned in
     tests/test_extensions.py)."""
-    corpus = _positioned_grams(
-        TX.docs(spark, sf_dir).where(
-            F.col("doc_id") % DECONTAM_BENCH_MOD != DECONTAM_BENCH_REM
-        )
-    ).localCheckpoint()
+    corpus = (
+        _positioned_grams(
+            TX.docs(spark, sf_dir).where(
+                F.col("doc_id") % DECONTAM_BENCH_MOD != DECONTAM_BENCH_REM
+            )
+        ).localCheckpoint()
+        if corpus_grams is None
+        else corpus_grams
+    )
     corpus_df = corpus.groupBy("gh").agg(
         F.count_distinct("doc_id").alias("cdf")
     )
@@ -3125,7 +3330,7 @@ def decontaminate_embedding(
     ).join(F.broadcast(bench_vecs), "bench_id")
     cos = F.round(
         F.try_divide(
-            _dot(F.col("emb_d"), F.col("emb_b")).cast("double"),
+            _dot_double(F.col("emb_d"), F.col("emb_b")),
             F.col("norm_d") * F.col("norm_b"),
         ),
         6,
@@ -3240,21 +3445,78 @@ def contamination_audit(
     Scale shape: detector-cost-dominated — each screen keeps its own
     candidate discipline (df-capped shingle join, positioned-gram
     islands, IVF buckets) and the audit adds only leak-sized rollups
-    and a three-way union of tiny relations. Pass the three persisted
-    benchmark artifacts (`write_benchmark_shingles` /
-    `write_benchmark_grams` / `write_benchmark_embeddings`) and every
-    screen reads its static side pre-built with zero benchmark-side
-    Exchange — the eval-suite passes run once at ingest, the audit
-    pays corpus-side work only (outputs pinned identical)."""
-    if bench_grams is not None:
-        spans_rel = decontaminate_spans_persisted(
-            spark, sf_dir, bench_grams=bench_grams, bench_df=bench_df
+    and a three-way union of tiny relations. The two token-derived
+    screens (shingle containment + positioned-gram spans) share ONE
+    corpus scan+tokenize: the ``(doc_id, toks)`` relation is
+    materialized once and both the shingle arrays and the positioned
+    grams derive from it with array ops (guide §1.2 step 1 — one full
+    pass fewer over the corpus text; outputs are the same relations the
+    standalone screens build). Pass the three persisted benchmark
+    artifacts (`write_benchmark_shingles` / `write_benchmark_grams` /
+    `write_benchmark_embeddings`) and every screen reads its static
+    side pre-built with zero benchmark-side Exchange — the eval-suite
+    passes run once at ingest, the audit pays corpus-side work only
+    (outputs pinned identical)."""
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        tokens_col,
+    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
+    tk = (
+        _spread(spark, TX.docs(spark, sf_dir))
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .localCheckpoint()
+    )
+
+    def build_spans() -> DataFrame:
+        if bench_grams is not None:
+            return decontaminate_spans_persisted(
+                spark,
+                sf_dir,
+                bench_grams=bench_grams,
+                bench_df=bench_df,
+                corpus_grams=_positioned_grams_from_toks(
+                    tk.where(~is_bench)
+                ).localCheckpoint(),
+            )
+        return decontaminate_span_matches(
+            tk, g=_positioned_grams_from_toks(tk).localCheckpoint()
         )
-    else:
-        spans_rel = decontaminate_spans(spark, sf_dir)
+
+    def build_cont() -> DataFrame:
+        return decontaminate(
+            spark,
+            sf_dir,
+            bench_shingles=bench_shingles,
+            corp_shingles=shingle_rows_from_toks(
+                tk.where(~is_bench) if bench_shingles is not None else tk
+            ),
+        )
+
+    def build_emb() -> DataFrame:
+        return decontaminate_embedding(
+            spark, sf_dir, bench_assign=bench_assign
+        )
+
+    # the three screens are INDEPENDENT given tk — their eager
+    # materializations (gram/shingle/normed-embedding checkpoints) are
+    # driver-blocking jobs, so built sequentially they serialize ~2 s of
+    # sub-saturated work; a 3-thread build overlaps them (guide §2.6 —
+    # actions are only sequential because driver code calls them
+    # sequentially). Each thread only BUILDS its screen's relation; the
+    # final unioned action still executes as one job.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_spans = pool.submit(build_spans)
+        f_cont = pool.submit(build_cont)
+        f_emb = pool.submit(build_emb)
+        spans_rel, cont_rel, emb_rel = (
+            f_spans.result(), f_cont.result(), f_emb.result()
+        )
+
     cont = (
-        decontaminate(spark, sf_dir, bench_shingles=bench_shingles)
-        .groupBy("doc_id")
+        cont_rel.groupBy("doc_id")
         .agg(
             F.countDistinct("bench_id").cast("int").alias("n_bench_docs"),
             F.max("overlap").cast("double").alias("score"),
@@ -3270,8 +3532,7 @@ def contamination_audit(
         .withColumn("screen", F.lit("span"))
     )
     emb = (
-        decontaminate_embedding(spark, sf_dir, bench_assign=bench_assign)
-        .groupBy("doc_id")
+        emb_rel.groupBy("doc_id")
         .agg(
             F.countDistinct("bench_id").cast("int").alias("n_bench_docs"),
             F.max("cosine").cast("double").alias("score"),

@@ -286,7 +286,9 @@ def asset_features_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as `dedup.embeddings_with_norm` — float32 features
     round-trip the round-6 value exactly, so the DuckDB oracle can
     recompute the vectors from sha256 hex bit-for-bit."""
-    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import _dot
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        _dot_double,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     assets = d.select(
@@ -298,10 +300,17 @@ def asset_features_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if assets.rdd.getNumPartitions() < par:
         assets = assets.repartition(par)
     feats = feature_extract(assets)
-    dec = F.transform(F.col("feature"), lambda x: x.cast("decimal(10,6)"))
+    # the same half-up DECIMAL(10,6) quantization as before, scaled to
+    # exact ×10⁶ integers so the IVF machinery's dot folds run in plain
+    # long arithmetic (see dedup._emb_decimal) — the features are
+    # already 6-dp values, so the decimal cast is exact
+    dec = F.transform(
+        F.col("feature"),
+        lambda x: (x.cast("decimal(10,6)") * F.lit(1000000)).cast("long"),
+    )
     return (
         feats.select(F.col("doc_id").alias("vec_id"), dec.alias("emb"))
-        .withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb")).cast("double")))
+        .withColumn("norm", F.sqrt(_dot_double(F.col("emb"), F.col("emb"))))
         .localCheckpoint()
     )
 

@@ -539,9 +539,7 @@ def pretraining_decontam_pipeline(
     is_bench = (
         F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
     )
-    sh = d.select(
-        "doc_id", F.explode(D.shingles_col(F.col("text"))).alias("shingle")
-    ).localCheckpoint()
+    sh = D.shingle_rows(d).localCheckpoint()
     flagged = D._decontaminate_core(
         sh.where(~is_bench),
         sh.where(is_bench).select(

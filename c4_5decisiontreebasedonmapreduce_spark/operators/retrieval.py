@@ -92,6 +92,12 @@ def _postings_from_tokens(
         .agg(F.count("*").alias("tf"))
         .localCheckpoint()
     )
+    # NOT re-spread when AQE byte-coalesces the grouped output to few
+    # partitions: a spread-if-narrow here was measured (r12 opt round)
+    # to cost more than it saves — the extra exchange re-executes for
+    # every consumer (dl, dfreq, the scoring join), regressing
+    # bm25_topk_zipf 2.4→4.6 s and bm25_update_postings 1.3→2.7 s for a
+    # ~0.5 s warm-min gain on the dense-fixture bm25_topk only.
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     post = tf.join(dl, "doc_id").join(dfreq, "token").select(
@@ -166,7 +172,16 @@ def score_terms(
         + F.lit(k1)
         * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
-    contrib = F.round(idf * tf_norm, 6).cast("decimal(18,6)")
+    # per-term contribution, quantized half-up to 6 dp exactly as the
+    # DECIMAL(18,6) formulation, then SCALED to an exact ×10⁶ integer:
+    # the per-(query, doc) sum becomes a plain long aggregate (codegen'd
+    # integer adds instead of interpreted Decimal adds — guide §1.2
+    # step 2); |Σ c·10⁶| is bounded by terms-per-pair × max-contrib,
+    # far below 2⁵³, so the final /10⁶ read-back is the same
+    # correctly-rounded double the decimal cast produced
+    contrib = (
+        F.round(idf * tf_norm, 6).cast("decimal(18,6)") * F.lit(1000000)
+    ).cast("long")
     # contributions are query-INDEPENDENT — compute them on the postings
     # relation (posting-list-sized) before the query join, not on the
     # join output (posting-list × matching-queries sized). Identical
@@ -189,7 +204,7 @@ def score_terms(
         F.desc("score"), F.asc("doc_id")
     )
     return (
-        scored.withColumn("score", F.col("score_dec").cast("double"))
+        scored.withColumn("score", F.col("score_dec") / F.lit(1.0e6))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .select(

@@ -1026,10 +1026,12 @@ def _nearest_assignments(e, cents) -> DataFrame:
     centroid_id)``. The rank-1 specialization of dedup's multi-probe
     `_emb_assignments`: corpus × broadcast codebook, per-vector argmax
     window, payload projected away at the end."""
-    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import _dot
+    from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
+        _dot_double,
+    )
 
     c_cos = F.try_divide(
-        _dot(F.col("emb"), F.col("c_emb")).cast("double"),
+        _dot_double(F.col("emb"), F.col("c_emb")),
         F.col("norm") * F.col("c_norm"),
     )
     w = Window.partitionBy("vec_id").orderBy(

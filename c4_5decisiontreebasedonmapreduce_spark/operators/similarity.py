@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from c4_5decisiontreebasedonmapreduce_spark.operators.dedup import (
     CENTROID_STRIDE,  # deterministic pseudo-centroids: vec_id % 50 == 0
     _EMB_ELEMS_SQL,
+    _DOT_SCALE,
     _dot,
+    _dot_double,
     embeddings_with_norm,
 )
 
@@ -53,7 +55,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test_edge_cases.py::test_zero_norm_embedding_ranks_last)
     cos = F.round(
         F.try_divide(
-            _dot(F.col("q_emb"), F.col("emb")).cast("double"),
+            _dot_double(F.col("q_emb"), F.col("emb")),
             F.col("q_norm") * F.col("norm"),
         ),
         6,
@@ -138,7 +140,7 @@ def kmeans_codebook(
     return raw.select(
         "centroid_id",
         dec.alias("c_emb"),
-        F.sqrt(_dot(dec, dec).cast("double")).alias("c_norm"),
+        F.sqrt(_dot_double(dec, dec)).alias("c_norm"),
     )
 
 
@@ -169,7 +171,7 @@ def ivf_assignments(
     cents = _pseudo_codebook(e) if codebook is None else codebook
     cos = F.round(
         F.try_divide(
-            _dot(F.col("emb"), F.col("c_emb")).cast("double"),
+            _dot_double(F.col("emb"), F.col("c_emb")),
             F.col("norm") * F.col("c_norm"),
         ),
         6,
@@ -244,7 +246,7 @@ def similarity_ann_ivf(
     )
     qc_cos = F.round(
         F.try_divide(
-            _dot(F.col("q_emb"), F.col("c_emb")).cast("double"),
+            _dot_double(F.col("q_emb"), F.col("c_emb")),
             F.col("q_norm") * F.col("c_norm"),
         ),
         6,
@@ -264,7 +266,7 @@ def similarity_ann_ivf(
     )
     cos = F.round(
         F.try_divide(
-            _dot(F.col("q_emb"), F.col("emb")).cast("double"),
+            _dot_double(F.col("q_emb"), F.col("emb")),
             F.col("q_norm") * F.col("norm"),
         ),
         6,
@@ -362,12 +364,14 @@ PQ_REFINE = TOP_K * 32
 
 
 def _sq_dist(a, b):
-    """Exact decimal squared L2 distance between two decimal(10,6)
-    sub-vectors — same order-independence trick as dedup._dot."""
+    """Exact squared L2 distance between two ×10⁶-scaled integer
+    sub-vectors (long, scaled 10¹²) — same exact-integer trick as
+    dedup._dot; used only for argmin ordering and ‖x̂‖² sums, so the
+    scale never needs to leave the integer domain."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("decimal(20,12)")),
-        F.lit(0).cast("decimal(20,12)"),
-        lambda acc, v: (acc + v).cast("decimal(20,12)"),
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
 
 
@@ -464,7 +468,7 @@ def similarity_ann_ivfpq(
     )
     qc_cos = F.round(
         F.try_divide(
-            _dot(F.col("q_emb"), F.col("c_emb")).cast("double"),
+            _dot_double(F.col("q_emb"), F.col("c_emb")),
             F.col("q_norm") * F.col("c_norm"),
         ),
         6,
@@ -508,8 +512,9 @@ def similarity_ann_ivfpq(
             "approx_cos",
             F.round(
                 F.try_divide(
-                    F.col("adot").cast("double"),
-                    F.col("q_norm") * F.sqrt(F.col("rnorm2").cast("double")),
+                    F.col("adot") / F.lit(_DOT_SCALE),
+                    F.col("q_norm")
+                    * F.sqrt(F.col("rnorm2") / F.lit(_DOT_SCALE)),
                 ),
                 6,
             ),
@@ -527,7 +532,7 @@ def similarity_ann_ivfpq(
     q_emb_back = q.select("query_id", "q_emb")
     cos = F.round(
         F.try_divide(
-            _dot(F.col("q_emb"), F.col("emb")).cast("double"),
+            _dot_double(F.col("q_emb"), F.col("emb")),
             F.col("q_norm") * F.col("norm"),
         ),
         6,
@@ -760,7 +765,7 @@ def similarity_ann_ivfpq_persisted(
     )
     qc_cos = F.round(
         F.try_divide(
-            _dot(F.col("q_emb"), F.col("c_emb")).cast("double"),
+            _dot_double(F.col("q_emb"), F.col("c_emb")),
             F.col("q_norm") * F.col("c_norm"),
         ),
         6,
@@ -803,8 +808,9 @@ def similarity_ann_ivfpq_persisted(
             "approx_cos",
             F.round(
                 F.try_divide(
-                    F.col("adot").cast("double"),
-                    F.col("q_norm") * F.sqrt(F.col("rnorm2").cast("double")),
+                    F.col("adot") / F.lit(_DOT_SCALE),
+                    F.col("q_norm")
+                    * F.sqrt(F.col("rnorm2") / F.lit(_DOT_SCALE)),
                 ),
                 6,
             ),
@@ -821,7 +827,7 @@ def similarity_ann_ivfpq_persisted(
     q_emb_back = q.select("query_id", "q_emb")
     cos = F.round(
         F.try_divide(
-            _dot(F.col("q_emb"), F.col("emb")).cast("double"),
+            _dot_double(F.col("q_emb"), F.col("emb")),
             F.col("q_norm") * F.col("norm"),
         ),
         6,

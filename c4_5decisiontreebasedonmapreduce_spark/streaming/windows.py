@@ -643,7 +643,7 @@ def streaming_decontaminate(
         .select(
             "doc_id",
             F.explode(
-                D.shingles_col(F.coalesce(F.col("text"), F.lit("")))
+                D.shingle_keys_col(F.coalesce(F.col("text"), F.lit("")))
             ).alias("shingle"),
         )
     )
@@ -1352,7 +1352,7 @@ def streaming_decontaminate_embedding(
         DECONTAM_BENCH_MOD,
         DECONTAM_BENCH_REM,
         EMB_DECONTAM_THRESHOLD,
-        _dot,
+        _dot_double,
         _emb_assignments,
         _emb_centroids,
         _emb_decimal,
@@ -1387,7 +1387,7 @@ def streaming_decontaminate_embedding(
         b = batch_df.select(
             F.col("vec_id").alias("doc_id"),
             dec.alias("emb_d"),
-            F.sqrt(_dot(dec, dec).cast("double")).alias("norm_d"),
+            F.sqrt(_dot_double(dec, dec)).alias("norm_d"),
         )
         assign = _emb_assignments(
             b.select(
@@ -1405,7 +1405,7 @@ def streaming_decontaminate_embedding(
         )
         cos = F.round(
             F.try_divide(
-                _dot(F.col("emb_d"), F.col("emb_b")).cast("double"),
+                _dot_double(F.col("emb_d"), F.col("emb_b")),
                 F.col("norm_d") * F.col("norm_b"),
             ),
             6,

@@ -303,7 +303,8 @@ def test_dedup_candidate_growth_is_linear(spark, sf_small, tmp_path):
     def counts(path):
         sh = D._shingles_df(spark, path).localCheckpoint()
         jac = D._jaccard_candidates(sh).count()
-        shh = sh.withColumn(
+        # minhash signatures are defined over the shingle STRING's md5
+        shh = D._shingles_str_df(spark, path).withColumn(
             "h", D.md5_long(F.col("shingle")) % D.MINHASH_P
         ).localCheckpoint()
         return jac, D._minhash_candidates(shh).count()
@@ -591,7 +592,7 @@ def test_two_successive_ingests_cover_full_dedup(spark, sf_small):
     )
 
     sh = (
-        D._shingles_df(spark, sf_small)
+        D._shingles_str_df(spark, sf_small)
         .withColumn("h", md5_long(F.col("shingle")) % D.MINHASH_P)
         .localCheckpoint()
     )

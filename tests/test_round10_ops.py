@@ -494,11 +494,16 @@ def test_dedup_assets_identical_payloads_score_one(spark):
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     feats = M.feature_extract(assets)
-    dec = F.transform(F.col("feature"), lambda x: x.cast("decimal(10,6)"))
+    # the engine's ×10⁶-scaled integer representation (see
+    # dedup._emb_decimal) — same quantization, exact long folds
+    dec = F.transform(
+        F.col("feature"),
+        lambda x: (x.cast("decimal(10,6)") * F.lit(1000000)).cast("long"),
+    )
     e = (
         feats.select(F.col("doc_id").alias("vec_id"), dec.alias("emb"))
         .withColumn(
-            "norm", F.sqrt(D._dot(F.col("emb"), F.col("emb")).cast("double"))
+            "norm", F.sqrt(D._dot_double(F.col("emb"), F.col("emb")))
         )
         .localCheckpoint()
     )

@@ -248,9 +248,12 @@ def test_incremental_persisted_corpus_join_no_shuffle(
         spark, sf_small, table=table, n_buckets=8,
         path=str(tmp_path / "incr_corpus"),
     )
-    sh = D._shingles_df(spark, sf_small).withColumn(
-        "h", md5_long(F.col("shingle")) % D.MINHASH_P
-    )
+    # the engine's minhash relations now key on the full 60-bit md5
+    # (``hb``) and carry ``sz`` instead of the shingle string — build
+    # the batch side exactly as dedup_incremental does
+    sh = D._shingles_str_df(spark, sf_small).select(
+        "doc_id", "sz", md5_long(F.col("shingle")).alias("hb")
+    ).withColumn("h", F.col("hb") % D.MINHASH_P)
     is_batch = (F.col("doc_id") % D.INCR_BATCH_MOD) == D.INCR_BATCH_REM
     # localCheckpoint so the batch subplan's own aggregation exchange is
     # materialized away and the asserted count isolates the JOIN's
