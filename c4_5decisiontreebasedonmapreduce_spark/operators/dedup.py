@@ -1754,6 +1754,25 @@ def dedup_embedding(
     )
 
 
+def _par_distinct(d: DataFrame, *keys: str) -> DataFrame:
+    """``d.select(*keys).distinct()`` with the dedup exchange FORCED to
+    cluster parallelism. Candidate-pair relations are ~16 bytes/row, so
+    AQE (which sizes post-shuffle partitions by BYTES) coalesces the
+    plain distinct's exchange to ~1 partition — serializing the dedup
+    aggregate AND every downstream per-pair verify (the vector side of
+    the verify joins broadcasts, so they inherit this partitioning;
+    measured: single-task multi-second stages at sf0.1, −31% on
+    dedup_assets once spread). Hash partitioning on exactly the
+    distinct keys satisfies the aggregate's required distribution, so
+    this REPLACES the distinct's exchange rather than adding one; the
+    explicit numPartitions is scale-adaptive (defaultParallelism) and
+    AQE never coalesces a user repartition. Keys are deterministic ids
+    (guide §2.5 warns off rand()-derived keys)."""
+    return d.select(*keys).repartition(
+        d.sparkSession.sparkContext.defaultParallelism, *keys
+    ).distinct()
+
+
 def _ivf_cosine_pairs(e: DataFrame, threshold: float) -> DataFrame:
     """The IVF-pruned near-dup pair core over any normed ``(vec_id,
     emb, norm)`` relation — dedup_embedding's scale path, factored out
@@ -1772,9 +1791,10 @@ def _ivf_cosine_pairs(e: DataFrame, threshold: float) -> DataFrame:
             "centroid_id",
         )
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
     )
+    # _par_distinct: see its docstring — the plain distinct serialized
+    # the dedup and the whole verify chain onto one AQE-coalesced task
+    cand = _par_distinct(cand, "vec_a", "vec_b")
     pairs = cand.join(
         e.select(
             F.col("vec_id").alias("vec_a"),
@@ -1983,10 +2003,12 @@ def dedup_embedding_incremental(
         batch_assign.select(F.col("vec_id").alias("dup_of"), "centroid_id"),
         "centroid_id",
     ).where(F.col("vec_new") > F.col("dup_of"))
-    cand = (
-        cross.select("vec_new", "dup_of")
-        .unionByName(intra.select("vec_new", "dup_of"))
-        .distinct()
+    cand = _par_distinct(
+        cross.select("vec_new", "dup_of").unionByName(
+            intra.select("vec_new", "dup_of")
+        ),
+        "vec_new",
+        "dup_of",
     )
     pairs = cand.join(
         e.select(
@@ -3307,18 +3329,19 @@ def decontaminate_embedding(
         corp_assign = _emb_assignments(e.where(~is_bench), cents)
         if bench_assign is None:
             bench_assign = _emb_assignments(e.where(is_bench), cents)
-        cand = (
-            corp_assign.select(F.col("vec_id").alias("doc_id"), "centroid_id")
-            .join(
+        cand = _par_distinct(
+            corp_assign.select(
+                F.col("vec_id").alias("doc_id"), "centroid_id"
+            ).join(
                 F.broadcast(
                     bench_assign.select(
                         F.col("vec_id").alias("bench_id"), "centroid_id"
                     )
                 ),
                 "centroid_id",
-            )
-            .select("doc_id", "bench_id")
-            .distinct()
+            ),
+            "doc_id",
+            "bench_id",
         )
     pairs = cand.join(
         e.select(

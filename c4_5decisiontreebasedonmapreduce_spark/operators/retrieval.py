@@ -98,11 +98,36 @@ def _postings_from_tokens(
     # every consumer (dl, dfreq, the scoring join), regressing
     # bm25_topk_zipf 2.4→4.6 s and bm25_update_postings 1.3→2.7 s for a
     # ~0.5 s warm-min gain on the dense-fixture bm25_topk only.
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    post = tf.join(dl, "doc_id").join(dfreq, "token").select(
-        "token", "doc_id", "tf", "dl", "df"
+    #
+    # dl and df are WINDOW aggregates over the checkpointed tf relation
+    # — one exchange each (doc_id, then token) — instead of two groupBy
+    # aggregates joined back (two exchanges for the aggregates plus two
+    # join-side re-shuffles of tf, guide §2.4). tf has exactly one row
+    # per (doc_id, token), so count(*) over the token partition IS the
+    # document frequency; sum(tf) over the doc partition IS the doc
+    # length. Values and types identical to the join formulation.
+    # the windows' implicit exchanges are REPLACED by explicit keyed
+    # repartitions (hash partitioning on the window key satisfies the
+    # window's required distribution, so no exchange is added at any
+    # scale): AQE sizes post-shuffle partitions by bytes and would run
+    # both window passes — and the scoring join that inherits the final
+    # partitioning — on ~1 task (measured: a 4.2 s single-task scoring
+    # stage at sf0.1); a user repartition with an explicit scale-adaptive
+    # numPartitions is never coalesced.
+    par = tok.sparkSession.sparkContext.defaultParallelism
+    w_doc = Window.partitionBy("doc_id")
+    w_tok = Window.partitionBy("token")
+    post = (
+        tf.repartition(par, "doc_id")
+        .withColumn("dl", F.sum("tf").over(w_doc))
+        .repartition(par, "token")
+        .withColumn("df", F.count("*").over(w_tok))
+        .select("token", "doc_id", "tf", "dl", "df")
     )
+    # per-doc lengths for the stats scalar only (sum/count over docs);
+    # derived from tf, not from post — a consumer that needs no post
+    # never pays the window passes
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return post, dl
 
 
