@@ -282,12 +282,19 @@ def numeric_best_split(
     # cluster scale replaying a cold 100 TB scan+melt 4 extra times is
     # the real cost and the |distinct-values|-row checkpoint is not.
     matrix = matrix.localCheckpoint()
-    # per-(rid, aid) totals + value range: one parallel hash aggregate
+    # per-(rid, aid) totals + value range: one parallel hash aggregate.
+    # ALSO checkpointed (it is |rid×aid| rows — tiny): the totals
+    # subtree feeds TWO broadcasts (the main cumsum join below and the
+    # offsets branch's copy of ``m``) whose expression ids differ, so
+    # neither static ReuseExchange nor AQE dedups them — the
+    # un-checkpointed plan re-read the whole |distinct-values| matrix
+    # checkpoint and re-ran this aggregate once per branch (4 matrix
+    # reads/run observed at sf0.1, 2 of them for duplicate totals).
     totals = matrix.groupBy(RID, AID).agg(
         *[F.sum(c).alias(f"tot_{c}") for c in classes],
         F.min(VALUE).alias("vmin"),
         F.max(VALUE).alias("vmax"),
-    )
+    ).localCheckpoint()
     m = matrix.join(F.broadcast(totals), [RID, AID]).withColumn(
         "bucket",
         F.when(

@@ -70,8 +70,17 @@ def chunk_documents_bpe(
     codegen'd replace-chain per row, no explode/join/Python)."""
     from c4_5decisiontreebasedonmapreduce_spark.operators import bpe as B
 
+    # spread-if-narrow: the sf0.1 corpus is one parquet split, and the
+    # replace-chain projection is the whole cost of this query — on the
+    # unspread scan it ran as a 1.25 s single-task stage (the exchange
+    # moves only the raw docs bytes; at cluster scale the scan is
+    # already wide and the guard makes this a no-op).
+    d = docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     return chunks_from(
-        docs(spark, sf_dir),
+        d,
         size=size,
         stride=stride,
         toks=B.bpe_symbols_col(F.col("text")),

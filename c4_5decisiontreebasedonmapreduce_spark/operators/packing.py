@@ -48,7 +48,12 @@ _SHARD_SEED = "packshard|"
 _ORDER_SEED = "shuffleord|"
 
 
-def _sharded_tokens(docs_df: DataFrame, n_shards: int, with_tokens: bool = False) -> DataFrame:
+def _sharded_tokens(
+    docs_df: DataFrame,
+    n_shards: int,
+    with_tokens: bool = False,
+    keep_empty: bool = False,
+) -> DataFrame:
     """``(doc_id, n_tokens, shard[, toks])`` for every non-empty doc —
     the deterministic portable-hash shard assignment every packing
     entry point shares. ``with_tokens=True`` carries the token array
@@ -56,7 +61,18 @@ def _sharded_tokens(docs_df: DataFrame, n_shards: int, with_tokens: bool = False
     precomputed ``n_tokens`` column on ``docs_df`` is used as-is when
     only counts are needed — the mixture pipeline threads
     ``sample_mixture``'s counts through so an upsampled document's
-    epoch copies are never re-tokenized per copy."""
+    epoch copies are never re-tokenized per copy.
+
+    ``keep_empty=True`` defers the empty-doc drop to the caller: the
+    ``n_tokens > 0`` predicate is pushed below the caller's spread
+    Exchange with the whole tokenizer expression substituted back in
+    (PushPredicateThroughNonJoin sees through both the Project alias
+    and the repartition), so for an expensive token counter (the BPE
+    replace chain) the filter re-evaluates the chain serially on the
+    single-partition scan — measured 1.27 s of pack_sequences_bpe's
+    1.87 s at sf0.1. `_chunk_overlaps` instead filters AFTER its
+    window (a non-partition-key predicate cannot cross a Window),
+    where empty docs have already contributed 0 to the prefix sum."""
     if not with_tokens and "n_tokens" in docs_df.columns:
         cols = ["doc_id", F.col("n_tokens").cast("int").alias("n_tokens")]
     else:
@@ -64,9 +80,11 @@ def _sharded_tokens(docs_df: DataFrame, n_shards: int, with_tokens: bool = False
         cols = ["doc_id", F.size(toks).alias("n_tokens")]
         if with_tokens:
             cols.append(toks.alias("toks"))
+    out = docs_df.select(*cols)
+    if not keep_empty:
+        out = out.where(F.col("n_tokens") > 0)
     return (
-        docs_df.select(*cols)
-        .where(F.col("n_tokens") > 0)
+        out
         .withColumn(
             "shard",
             (
@@ -117,7 +135,9 @@ def _chunk_overlaps(
     (:func:`shuffle_deterministic`'s second hash, doc_id tie-break)
     instead of doc_id order — the order production actually packs, so
     corpus-adjacent documents don't share training windows."""
-    d = _sharded_tokens(docs_df, n_shards, with_tokens=with_tokens)
+    d = _sharded_tokens(
+        docs_df, n_shards, with_tokens=with_tokens, keep_empty=True
+    )
     if shuffled:
         order_h = md5_long(
             F.concat(F.lit(_ORDER_SEED), F.col("doc_id").cast("string"))
@@ -125,9 +145,16 @@ def _chunk_overlaps(
         w = Window.partitionBy("shard").orderBy(order_h, "doc_id")
     else:
         w = Window.partitionBy("shard").orderBy("doc_id")
-    spans = d.withColumn(
-        "tok_end", F.sum("n_tokens").over(w).cast("long")
-    ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    # empty-doc drop AFTER the window, not in _sharded_tokens: a
+    # zero-n_tokens row adds nothing to the running sum (every other
+    # row's span is bit-identical), and here the predicate cannot be
+    # pushed below the spread Exchange — see _sharded_tokens'
+    # keep_empty docstring for the measured serial-scan pathology.
+    spans = (
+        d.withColumn("tok_end", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    )
     return _explode_chunks(spans, seq_len)
 
 

@@ -131,6 +131,8 @@ def curation_pipeline(
     count, total regex tokens, and mean quality score after exact
     dedup. ``passed`` rows are what a tokenizer run would consume."""
     d = docs(spark, sf_dir)
+    # NO spread-if-narrow here (tried r12, reverted): regressed
+    # warm-min 0.79→1.17 s at sf0.1 (see lm_perplexity's note).
     fingerprint, n_tokens, quality, lang_pred = _scored_cols()
     enriched = d.select(
         "doc_id",
@@ -760,6 +762,10 @@ def corpus_report(
         # without this, MD5(NULL) = NULL falls out of the inner
         # fingerprint join and the document silently vanishes
         d = d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    # NO spread-if-narrow here (tried r12, reverted): spreading the
+    # scoring projection regressed warm-min 0.87→1.48 s at sf0.1 — the
+    # 0.5 s single-task job is fixed overhead, not row work (see
+    # lm_perplexity's note for the measured rule of thumb).
     d = d.select(
         "doc_id",
         "source",

@@ -235,6 +235,8 @@ def sample_mixture(
     )
 
     text_cols = ["text"] if keep_text else []
+    # NO spread-if-narrow here (tried r12, reverted): regressed
+    # warm-min 0.85→0.96 s at sf0.1 (see lm_perplexity's note).
     d = docs(spark, sf_dir).select(
         "doc_id",
         "source",
@@ -680,6 +682,13 @@ def sample_dsir(
     across lang tags, so separation there is sampling noise)."""
     if d is None:
         d = docs(spark, sf_dir)
+    # spread-if-narrow: BOTH token-explode passes (bucket build and
+    # scoring) re-evaluate tokenize+explode over this relation — on the
+    # sf0.1 single-split scan each ran as a ~0.6 s single-task job
+    # (measured, sweep r12). No-op at cluster scale (scan already wide).
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     tok = d.select(
         "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("t")
     )

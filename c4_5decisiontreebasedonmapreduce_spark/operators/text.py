@@ -303,6 +303,12 @@ def lm_perplexity(
     the unk path with a small ``top_v``)."""
     if d is None:
         d = docs(spark, sf_dir)
+    # NO spread-if-narrow here (tried r12, reverted): the 0.45 s
+    # single-task checkpoint job is mostly fixed overhead, not row
+    # work — spreading regressed warm-min 1.69→2.53 s at sf0.1
+    # (exchange + 32-task scheduling cost the whitespace tokenize
+    # never earns back; contrast pack_sequences_bpe, whose replace
+    # chain is ~100× the per-row cost and won 1.87→1.10 s).
     base = d.select(
         "doc_id", tokens_col(F.col("text")).alias("toks")
     ).localCheckpoint()
