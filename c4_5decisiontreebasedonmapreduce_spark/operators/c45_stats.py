@@ -33,6 +33,8 @@ ledger (Q1-Q5).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -196,6 +198,17 @@ def categorical_stats(cont: DataFrame, info_df: DataFrame) -> DataFrame:
 
 
 N_CUM_BUCKETS = 64
+# numeric_best_split(bucketed=True) falls back to the plain per-group
+# window when the materialized per-value matrix has at most this many
+# rows: a 4M-row single-group sort is well within one task's comfort
+# (Tungsten sorts ~10M rows/s), while the bucketed two-phase prefix
+# sum's fixed overhead costs ~1.1 s at sf0.1. Env-overridable so a
+# deployment can move the crossover without a code change.
+NUMERIC_PLAIN_WINDOW_MAX_ROWS = int(
+    os.environ.get(
+        "SPARK_GRAFT_NUMERIC_PLAIN_WINDOW_MAX_ROWS", 4_000_000
+    )
+)
 
 
 def numeric_best_split(
@@ -256,14 +269,14 @@ def numeric_best_split(
         )
     )
 
-    if not bucketed:
+    def _plain_window(mat: DataFrame) -> DataFrame:
         w_cum = (
             Window.partitionBy(RID, AID)
             .orderBy(VALUE)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         w_all = Window.partitionBy(RID, AID)
-        cum = matrix.select(
+        cum = mat.select(
             RID,
             AID,
             VALUE,
@@ -271,6 +284,9 @@ def numeric_best_split(
             *[F.sum(c).over(w_all).alias(f"tot_{c}") for c in classes],
         )
         return _score_candidates(cum, info_df, classes, min_ratio)
+
+    if not bucketed:
+        return _plain_window(matrix)
 
     # the matrix feeds three branches (totals, the bucketed main pass,
     # per-bucket offsets); materialize it once. AQE exchange reuse only
@@ -282,6 +298,37 @@ def numeric_best_split(
     # cluster scale replaying a cold 100 TB scan+melt 4 extra times is
     # the real cost and the |distinct-values|-row checkpoint is not.
     matrix = matrix.localCheckpoint()
+    # adaptive algorithm selection (the driver_stats_max_rows pattern):
+    # the bucketed machinery exists for per-group sorts one task cannot
+    # do — near-all-distinct numeric columns at data scale. Its fixed
+    # overhead (totals build, bucket-assign join, offsets window, 3
+    # checkpoint reads) loses to the plain per-group window WHEN the
+    # plain window can actually parallelize — and a per-group running
+    # sum parallelizes across GROUPS only. So the choice reads the
+    # materialized matrix's group structure (one tiny aggregate over
+    # the checkpoint — |frontier × attrs| result rows) and takes the
+    # plain window iff (a) total rows fit the bound (worst-case
+    # single-group sort stays one comfortable task) and (b) there are
+    # enough groups to cover a useful fraction of the cluster.
+    # Measured at sf0.1, warm-min, integrated query: level_stats'
+    # matrix (16 groups / 2.4M rows) plain 3.43 s vs bucketed 4.25 s;
+    # the root-frontier standalone matrix (4 groups, one holding ~600k
+    # near-distinct values) plain 3.66 s vs bucketed 3.10 s — either
+    # fixed choice loses one of the two. An explicit wide repartition
+    # on (rid, aid) was ALSO tried and measured worse than both
+    # (4.29/4.41 s): ≤16 key hashes under-fill 32 partitions and the
+    # stage straggles on the hottest group, while AQE's byte-coalesce
+    # packs the cold groups together. Results identical on every path
+    # (physical parallelism only, pinned in tests); over-bound
+    # relations always bucket.
+    if NUMERIC_PLAIN_WINDOW_MAX_ROWS > 0:
+        gstats = matrix.groupBy(RID, AID).count().collect()
+        n_rows = sum(r["count"] for r in gstats)
+        par = matrix.sparkSession.sparkContext.defaultParallelism
+        if n_rows <= NUMERIC_PLAIN_WINDOW_MAX_ROWS and len(gstats) >= max(
+            8, par // 4
+        ):
+            return _plain_window(matrix)
     # per-(rid, aid) totals + value range: one parallel hash aggregate.
     # ALSO checkpointed (it is |rid×aid| rows — tiny): the totals
     # subtree feeds TWO broadcasts (the main cumsum join below and the

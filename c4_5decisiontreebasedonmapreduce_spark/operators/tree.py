@@ -432,6 +432,7 @@ def _prologue_scan(
     label: str,
     cat_domains: dict[str, list[str]],
     max_bins: int,
+    apply_to=None,
 ) -> tuple[DataFrame, dict[str, list[float]]]:
     """ONE multi-aggregate job over the training projection computing
     everything ``train()`` needs before level 0: per-column null counts
@@ -452,7 +453,17 @@ def _prologue_scan(
     accuracy 1e4 is tighter than the old ``1/(4*max_bins)`` bound.
     Quantiles are computed over non-null values, so under
     ``nulls='missing'`` the imputed median is itself a data value that
-    snapping maps to an exact candidate — no second pass needed."""
+    snapping maps to an exact candidate — no second pass needed.
+
+    ``apply_to`` (optional zero-arg callable) supplies a DIFFERENT
+    relation for the null-policy transforms to apply to — the caller's
+    concurrently-materialized checkpoint of the same rows. It is
+    resolved only AFTER the aggregate has run, so the caller's
+    materialization job and this scan overlap. The aggregate itself
+    always runs on ``base``: percentile_approx's GK sketch merge is
+    partition-layout-dependent, and the model's split candidates (and
+    the golden-oracle pins derived from them) are tied to the raw
+    scan's layout."""
     if nulls not in ("reject", "missing", "fractional"):
         raise ValueError(
             "nulls must be 'reject', 'missing' or 'fractional', "
@@ -471,6 +482,8 @@ def _prologue_scan(
         for i, c in enumerate(num_names)
     ]
     row = base.agg(*aggs).first()
+    if apply_to is not None:
+        base = apply_to()
     counts = {
         c: int(row[f"__nulls_{i}"] or 0) for i, c in enumerate(cols)
     }
@@ -646,10 +659,16 @@ def train(
     spark = df.sparkSession
     base = df.select(*attr_order, schema.label)
     # ONE prologue scan: null audit + quantile candidates in a single
-    # multi-aggregate job (pre-repartition: it must not drag a shuffle
-    # through re-execution)
-    base, edges = _prologue_scan(
-        base,
+    # multi-aggregate job. The aggregate runs on the raw scan
+    # (pre-repartition: the quantile sketches are layout-dependent and
+    # it must not drag a shuffle through re-execution) — but with
+    # cache=True it OVERLAPS the spread checkpoint's materialization:
+    # the two jobs only share the source scan, and serially they cost
+    # ~1.1 s + ~1.3 s at sf0.1 while overlapped they cost the max.
+    # The null-policy transforms and the snap then stack on the
+    # checkpoint, so level 0's eager checkpoint below reads memory
+    # blocks instead of re-running scan+shuffle.
+    prologue_kw = dict(
         nulls=nulls,
         cat_names=cat_names,
         num_names=num_names,
@@ -662,8 +681,23 @@ def train(
         # per-level pass would then run on that many cores — spread the
         # (to-be-checkpointed) table across the cluster once
         par = spark.sparkContext.defaultParallelism
+        spread = base
         if base.rdd.getNumPartitions() < par:
-            base = base.repartition(par)
+            spread = base.repartition(par)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(1)
+        try:
+            raw_fut = pool.submit(
+                lambda: spread.localCheckpoint(eager=True)
+            )
+            base, edges = _prologue_scan(
+                base, apply_to=raw_fut.result, **prologue_kw
+            )
+        finally:
+            pool.shutdown(wait=True)
+    else:
+        base, edges = _prologue_scan(base, **prologue_kw)
     base = _snap_numeric(base, edges)
 
     # per-level shuffles carry combined counts (≤ nodes×attrs×bins rows);

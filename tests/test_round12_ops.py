@@ -639,3 +639,51 @@ def test_sessionize_persisted_zero_exchange_and_identical(spark, sf_small):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, R.sessionize_events(spark, sf_small).collect()))
     assert got == want and got
+
+
+def test_numeric_best_split_adaptive_paths_identical(spark, monkeypatch):
+    """The r12 adaptive plain-window fallback in numeric_best_split
+    (bucketed=True relations whose materialized matrix is small AND has
+    enough (rid, aid) groups take one per-group window instead of the
+    two-phase bucketed prefix sum) is physical-only: both paths must
+    emit identical rows. 2 rids x 8 attrs = 16 groups crosses the
+    group threshold, so a large bound forces the plain path and a zero
+    bound forces the bucketed path on the same input."""
+    import random
+
+    from c4_5decisiontreebasedonmapreduce_spark.operators import (
+        c45_stats as S,
+    )
+
+    rng = random.Random(12)
+    attrs = [f"x{i}" for i in range(8)]
+    rows = [
+        tuple(
+            [rng.randint(0, 1)]
+            + [float(rng.randint(0, 30)) for _ in attrs]
+            + [rng.choice("abc")]
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "rid int, " + ", ".join(f"{a} double" for a in attrs) + ", cls string",
+    )
+    info = S.node_info(S.node_class_counts(df, "cls"))
+    cont = S.contingency(S.melt(df, attrs, "cls", numeric=True))
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                S.numeric_best_split(
+                    cont, info, ["a", "b", "c"], 0.1, bucketed=True
+                ).collect(),
+            )
+        )
+
+    monkeypatch.setattr(S, "NUMERIC_PLAIN_WINDOW_MAX_ROWS", 0)
+    bucketed = run()
+    monkeypatch.setattr(S, "NUMERIC_PLAIN_WINDOW_MAX_ROWS", 10_000_000)
+    plain = run()
+    assert bucketed == plain and len(bucketed) == 16
