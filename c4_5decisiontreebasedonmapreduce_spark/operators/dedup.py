@@ -216,7 +216,7 @@ def _jaccard_pairs(
     sh: DataFrame,
     threshold: float,
     pair_filter: Column | None = None,
-    df_source: DataFrame | None = None,
+    doc_filter: Column | None = None,
     df_cap: int = SHINGLE_DF_CAP,
     checkpoint: bool = True,
 ) -> DataFrame:
@@ -248,17 +248,31 @@ def _jaccard_pairs(
     # re-running the tokenize/explode pipeline per branch
     if checkpoint:
         sh = sh.localCheckpoint()
-    # ``df_source`` (caller-materialized) lets a doc-restricted pass —
-    # corpus_pairs' corpus-only slice — evaluate the rare/capped split
-    # over the FULL shingle relation, so a shingle's cap verdict never
-    # depends on which doc slice generated the candidates (the latent
-    # oracle-parity fork flagged in round 7's ADVICE)
-    df_src = sh if df_source is None else df_source
-    df_counts = df_src.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = sh.join(
-        df_counts.where(F.col("df") <= df_cap).select("shingle"),
-        "shingle",
+    # df as a WINDOW over the shingle relation (r12, guide §2.4), not a
+    # groupBy joined back: the old shape exchanged sh twice (into the
+    # count aggregate and again into the rare join, a SortMergeJoin of
+    # the full relation); here ONE explicit keyed repartition feeds the
+    # window, both candidate sides, and the capped-residual branch —
+    # every consumer reuses the same exchange (ReusedExchange,
+    # plan-pinned). The repartition is explicit for the same reason as
+    # the BM25 window pass (retrieval.py): hash partitioning on the
+    # window key satisfies its required distribution, so the exchange
+    # count is unchanged at any scale, while an implicit window
+    # exchange gets AQE byte-coalesced onto too few tasks.
+    #
+    # ``doc_filter`` (a doc_id predicate applied AFTER the window) lets
+    # a doc-restricted pass — corpus_pairs' corpus-only slice —
+    # evaluate the rare/capped split over the FULL shingle relation, so
+    # a shingle's cap verdict never depends on which doc slice
+    # generated the candidates (the latent oracle-parity fork flagged
+    # in round 7's ADVICE).
+    par = sh.sparkSession.sparkContext.defaultParallelism
+    windowed = sh.repartition(par, "shingle").withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
     )
+    if doc_filter is not None:
+        windowed = windowed.where(doc_filter)
+    rare = windowed.where(F.col("df") <= df_cap)
     # per-doc sizes (the Jaccard denominator) RIDE the candidate join as
     # the pre-computed ``sz`` column instead of being re-derived by a
     # groupBy(doc_id) over the exploded relation and joined back twice —
@@ -291,11 +305,9 @@ def _jaccard_pairs(
     )
     # residual: shared CAPPED shingles still count toward the exact
     # intersection; per-pair volume is |pairs| × (capped shingles per
-    # doc) — near-zero by the cap's nature
-    freq = sh.join(
-        df_counts.where(F.col("df") > df_cap).select("shingle"),
-        "shingle",
-    )
+    # doc) — near-zero by the cap's nature. Same windowed relation,
+    # opposite df verdict — no extra join, the exchange is reused.
+    freq = windowed.where(F.col("df") > df_cap)
     pair_freq = (
         pair_rare.select("doc_a", "doc_b")
         .join(freq.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -311,7 +323,8 @@ def _jaccard_pairs(
         F.col("common_rare") + F.coalesce(F.col("common_freq"), F.lit(0)),
     )
     if not carry_sz:
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        sh_slice = sh if doc_filter is None else sh.where(doc_filter)
+        sizes = sh_slice.groupBy("doc_id").agg(F.count("*").alias("sz"))
         out = out.join(
             sizes.select(
                 F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
@@ -2067,11 +2080,12 @@ WHERE vec_a % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
 _CLUSTER_DRIVER_MAX_EDGES = 5_000_000
 
 
-def _cc_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def _cc_driver(spark: SparkSession, pdf) -> DataFrame:
     """Connected components driver-side: path-compressed union-find with
     the MINIMUM doc_id kept as each set's root (so labels match the
-    min-label fixpoint of the distributed loop exactly)."""
-    pdf = edges.toPandas()
+    min-label fixpoint of the distributed loop exactly). Takes the
+    already-collected edge list as a pandas frame — the caller's bound
+    guard IS the collect (one job, not count-then-collect)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -2125,15 +2139,15 @@ def dedup_cluster(
     union-find over the collected (bounded) edge list is exact and
     costs less than one distributed round's scheduling. The
     equivalence of the two paths is pinned by a test."""
-    # materialize the PAIRS before symmetrizing: the union references
-    # the pairs relation twice (forward + swapped), and without this
-    # both branches re-run the entire shingle/candidate/verify pipeline
-    # (measured 72s → 42s for the 10×-corpus probe). Tiny: one row per
-    # verified near-dup pair.
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir, df_cap=df_cap)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    # no defensive checkpoint needed (r12): _connected_components
+    # symmetrizes with ONE explode pass, so the verify pipeline is
+    # referenced exactly once and its single execution happens inside
+    # the edges materialization. (The pre-r12 union-of-two-references
+    # shape needed an eager checkpoint here — both branches re-ran the
+    # entire shingle/candidate/verify pipeline without it, measured
+    # 72s → 42s for the 10×-corpus probe.)
+    pairs = dedup_ngram_jaccard(spark, sf_dir, df_cap=df_cap).select(
+        "doc_a", "doc_b"
     )
     return _connected_components(spark, pairs, max_rounds, driver_max_edges)
 
@@ -2148,20 +2162,39 @@ def _connected_components(
     relation — the shared tail of :func:`dedup_cluster` and
     :func:`dedup_cluster_incremental`. See dedup_cluster's docstring for
     the pointer-jumping / driver-union-find contract."""
-    # materialize the edge list too: every propagation round joins
-    # against it, and without this each round's job would re-derive it
-    # (measured 80s → 12s at sf0.1). Bounded by the near-dup pair count.
+    # symmetrize in ONE pass (r12): explode emits both directions per
+    # pair row, so the (expensive, possibly un-materialized) pairs
+    # pipeline is referenced exactly once — callers no longer need a
+    # defensive pairs checkpoint, and the one pipeline execution happens
+    # inside this edges materialization. The edge list itself stays
+    # checkpointed: every propagation round joins against it, and
+    # without that each round's job would re-derive it (measured
+    # 80s → 12s at sf0.1). Bounded by 2× the near-dup pair count.
     edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a"), F.col("doc_b")),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.doc_a", "e.doc_b")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if edges.count() <= driver_max_edges:
-        return _cc_driver(spark, edges)
+    # bound guard and driver collect in ONE job: pull at most
+    # bound+1 rows — if the limit is not hit, `head` IS the full edge
+    # list and union-find runs on it; if it is hit, the graph is
+    # over-bound and the distributed loop takes over (the partial
+    # collect is wasted exactly once, at the boundary, instead of a
+    # count job running on every call).
+    head = edges.limit(driver_max_edges + 1).toPandas()
+    if len(head) <= driver_max_edges:
+        return _cc_driver(spark, head)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -2316,9 +2349,11 @@ def corpus_pairs(
     is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
     # checkpoint=False: ``sh`` is already materialized above — the
     # default inner checkpoint would row-copy the whole relation into a
-    # second set of blocks for no reuse gain (one extra job + copy)
+    # second set of blocks for no reuse gain (one extra job + copy).
+    # doc_filter (not a pre-sliced relation): the df window evaluates
+    # over the FULL corpus ∪ batch relation, the slice applies after.
     return _jaccard_pairs(
-        sh.where(~is_batch), JACCARD_THRESHOLD, df_source=sh, df_cap=df_cap,
+        sh, JACCARD_THRESHOLD, doc_filter=~is_batch, df_cap=df_cap,
         checkpoint=False,
     ).select("doc_a", "doc_b")
 
@@ -2371,7 +2406,7 @@ def dedup_cluster_incremental(
         # call checkpoint as usual.
         sh = sh.localCheckpoint()
         corpus_pairs_df = _jaccard_pairs(
-            sh.where(~is_batch), JACCARD_THRESHOLD, df_source=sh,
+            sh, JACCARD_THRESHOLD, doc_filter=~is_batch,
             df_cap=df_cap, checkpoint=False,
         )
         batch_pairs = _jaccard_pairs(
@@ -2383,10 +2418,11 @@ def dedup_cluster_incremental(
             sh, JACCARD_THRESHOLD, pair_filter=touching_pred(),
             df_cap=df_cap,
         )
-    pairs = (
-        corpus_pairs_df.select("doc_a", "doc_b")
-        .unionByName(batch_pairs.select("doc_a", "doc_b"))
-        .localCheckpoint(eager=True)
+    # no pairs checkpoint (r12): _connected_components references its
+    # input exactly once (explode symmetrization), so both pair
+    # pipelines execute inside the single edges materialization.
+    pairs = corpus_pairs_df.select("doc_a", "doc_b").unionByName(
+        batch_pairs.select("doc_a", "doc_b")
     )
     return _connected_components(spark, pairs, max_rounds, driver_max_edges)
 

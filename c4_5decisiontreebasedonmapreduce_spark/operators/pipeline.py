@@ -839,7 +839,18 @@ def finetuning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split") == "train")
         .select("doc_id")
     )
-    train = sample_dsir(spark, sf_dir).join(train_ids, "doc_id")
+    # materialize the scored train slice ONCE (doc-count-sized:
+    # doc_id + weight per training doc): it feeds both the broadcast
+    # threshold build and the survivor filter, and un-checkpointed each
+    # consumer re-ran DSIR's two token-explode corpus passes — the
+    # pipeline's dominant cost — in full (r12, guide §5 caching rule:
+    # reused AND expensive to recompute).
+    train = (
+        sample_dsir(spark, sf_dir)
+        .join(train_ids, "doc_id")
+        .select("doc_id", "dsir_logweight")
+        .localCheckpoint()
+    )
     thr = train.agg(
         (
             F.sum(F.col("dsir_logweight").cast("decimal(18,6)")).cast(
