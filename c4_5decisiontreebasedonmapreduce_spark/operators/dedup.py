@@ -599,21 +599,103 @@ def decontaminate(
         F.col("doc_id") % DECONTAM_BENCH_MOD == DECONTAM_BENCH_REM
     )
     if bench_shingles is None:
+        # both sides slice ONE relation → the windowed-df core
+        # exchanges it once; no checkpoint here — the core is the sole
+        # consumer and materializes its own windowed relation, so the
+        # shingle build evaluates exactly once (on the map side of the
+        # core's keyed repartition)
         sh = (
             _shingles_df(spark, sf_dir) if corp_shingles is None
             else corp_shingles
-        ).localCheckpoint()
-        bench = sh.where(is_bench).select(
-            F.col("doc_id").alias("bench_id"), "shingle"
         )
-        corp = sh.where(~is_bench)
-    else:
-        bench = bench_shingles.select("bench_id", "shingle")
-        corp = (
-            _shingles_df(spark, sf_dir) if corp_shingles is None
-            else corp_shingles
-        ).where(~is_bench).localCheckpoint()
+        return _decontaminate_core_win(sh, is_bench, min_overlap, df_cap)
+    bench = bench_shingles.select("bench_id", "shingle")
+    corp = (
+        _shingles_df(spark, sf_dir) if corp_shingles is None
+        else corp_shingles
+    ).where(~is_bench).localCheckpoint()
     return _decontaminate_core(corp, bench, min_overlap, df_cap)
+
+
+def _decontaminate_core_win(
+    unioned: DataFrame,
+    bench_pred: Column,
+    min_overlap: float = DECONTAM_MIN_OVERLAP,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """:func:`_decontaminate_core` for callers whose corpus and benchmark
+    sides are row-slices of ONE shuffle-safe relation (``unioned`` =
+    corpus ∪ benchmark rows, told apart by ``bench_pred`` over doc_id).
+    The general core's df verdict — a groupBy count over
+    corpus ∪ benchmark joined back onto BOTH sides — is here a
+    ``count(*)`` window over ONE explicit shingle-keyed repartition
+    that every downstream branch reuses: both candidate-join sides and
+    both residual sides read the same Exchange (ReusedExchange), so the
+    shingle-scale relation is exchanged ONCE instead of three times
+    (guide §2.4 — the `_jaccard_pairs` r12 shape applied to the
+    asymmetric family). Values are identical to the general core:
+    corpus∪benchmark is a row-level partition of ``unioned``, so the
+    window count IS the union df, and a bench row joins the rare/freq
+    arm exactly when its shingle's verdict says so. The general core
+    stays for the persisted-benchmark path, whose bucketed benchmark
+    table must NOT be shuffled (zero-Exchange contract, plan-pinned).
+    The repartition is explicit for the same AQE-byte-coalesce reason
+    as `_jaccard_pairs`' (a ~16 B/row pair relation otherwise inherits
+    1-2 post-shuffle partitions and serializes the verify chain).
+
+    The windowed relation is CHECKPOINTED: four branches consume it
+    (both candidate sides, both residual sides) and un-materialized the
+    window subtree re-evaluates per consumer — measured med 3.85 s vs
+    2.80 s checkpointed vs 2.94 s for the general core at sf0.1
+    (6-rep interleaved A/B; the un-checkpointed window LOSES to the
+    groupBy shape it replaces — same lesson as `_jaccard_pairs`'
+    single-reference rule, opposite conclusion because the consumer
+    count differs)."""
+    par = unioned.sparkSession.sparkContext.defaultParallelism
+    windowed = (
+        unioned.repartition(par, "shingle")
+        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .localCheckpoint()
+    )
+    carry_sz = "sz" in unioned.columns
+    corp = windowed.where(~bench_pred)
+    bench = windowed.select(
+        F.col("doc_id").alias("bench_id"), "shingle", "df"
+    ).where(bench_pred)
+    rare_c = corp.where(F.col("df") <= df_cap)
+    rare_b = bench.where(F.col("df") <= df_cap)
+    met = rare_c.select(
+        "doc_id", *(["sz"] if carry_sz else []), "shingle"
+    ).join(rare_b.select("bench_id", "shingle"), "shingle")
+    pair_rare = met.groupBy("doc_id", "bench_id").agg(
+        F.count("*").alias("common_rare"),
+        *([F.max("sz").alias("sz")] if carry_sz else []),
+    )
+    freq_c = corp.where(F.col("df") > df_cap)
+    freq_b = bench.where(F.col("df") > df_cap)
+    pair_freq = (
+        pair_rare.select("doc_id", "bench_id")
+        .join(freq_c.select("doc_id", "shingle"), "doc_id")
+        .join(freq_b.select("bench_id", "shingle"), ["bench_id", "shingle"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("common_freq"))
+    )
+    out = pair_rare.join(pair_freq, ["doc_id", "bench_id"], "left").withColumn(
+        "common",
+        F.col("common_rare") + F.coalesce(F.col("common_freq"), F.lit(0)),
+    )
+    if not carry_sz:
+        sizes = (
+            unioned.where(~bench_pred)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("sz"))
+        )
+        out = out.join(sizes, "doc_id")
+    return (
+        out.withColumn("overlap", F.round(F.col("common") / F.col("sz"), 6))
+        .where(F.col("overlap") >= min_overlap)
+        .select("doc_id", "bench_id", "common", "overlap")
+    )
 
 
 def _decontaminate_core(
@@ -1013,7 +1095,14 @@ def decontaminate_bloom(
         if keep > BLOOM_AUTO_MAX_KEEP:
             lit_map = None  # prefilter would keep most rows: run exact
     if lit_map is None:
-        corp = corp_full.select("doc_id", "sz", "shingle")
+        # exact fallback: corpus and benchmark are complementary slices
+        # of the one checkpointed relation — windowed-df core directly
+        return _decontaminate_core_win(
+            sh.select("doc_id", "sz", "shingle"),
+            is_bench,
+            min_overlap,
+            df_cap,
+        )
     else:
         # checkpoint the SURVIVORS: the core references its corpus side
         # three times (df counts, candidate join, residual join) and the
@@ -1036,7 +1125,14 @@ def decontaminate_bloom(
         )
     # the containment denominator is the carried ``sz`` column — it was
     # computed pre-explode, so it still reflects the FULL per-doc count
-    # on the bloom-filtered slice (the old explicit ``sizes`` override)
+    # on the bloom-filtered slice (the old explicit ``sizes`` override).
+    # The FILTERED path keeps the general core: its corpus side is the
+    # benchmark-membership-sized survivor slice, so every core join is
+    # broadcast-cheap and the windowed core's full repartition +
+    # checkpoint of (survivors ∪ benchmark) is pure overhead — measured
+    # med 3.10 s vs 2.96 s at sf0.1 (8-rep interleaved A/B, r12); only
+    # the exact fallback above, whose corpus is the FULL relation,
+    # takes the windowed shape.
     return _decontaminate_core(corp, bench, min_overlap, df_cap)
 
 

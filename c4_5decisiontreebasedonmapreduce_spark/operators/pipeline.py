@@ -541,13 +541,12 @@ def pretraining_decontam_pipeline(
     is_bench = (
         F.col("doc_id") % D.DECONTAM_BENCH_MOD == D.DECONTAM_BENCH_REM
     )
-    sh = D.shingle_rows(d).localCheckpoint()
-    flagged = D._decontaminate_core(
-        sh.where(~is_bench),
-        sh.where(is_bench).select(
-            F.col("doc_id").alias("bench_id"), "shingle"
-        ),
-        min_overlap=min_overlap,
+    # both decontamination sides slice one shingle relation (derived
+    # from the checkpointed scrubbed projection) → windowed-df core,
+    # one exchange of it; the core materializes its own windowed
+    # relation, so no second checkpoint here (dedup.py r12)
+    flagged = D._decontaminate_core_win(
+        D.shingle_rows(d), is_bench, min_overlap=min_overlap
     ).select("doc_id")
     corpus = d.where(~is_bench).join(
         F.broadcast(flagged), "doc_id", "left_anti"
