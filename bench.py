@@ -12,12 +12,15 @@ a median when a spike spans all reps of one query).
 
 Noise hardening (r10 ADVICE #1 — the r10 artifact read 2.15× r9 purely
 from ambient host contention, with 19/68 queries self-flagged yet still
-summed): (a) any query whose first attempt is flagged (warm spread
->1.5× or every rep's loadavg above threshold) gets its warm reps
-RE-MEASURED up to MAX_RETRY_PASSES extra times, and the attempt with
-the lowest warm-min becomes the measurement of record — so the
-headline never sums a rep set the harness itself labeled contaminated
-without giving the query a cleaner window; (b) an ANCHOR query
+summed): (a) any query whose first attempt shows warm spread >1.5× gets
+its warm reps RE-MEASURED up to MAX_RETRY_PASSES extra times, and the
+attempt with the lowest warm-min becomes the measurement of record — so
+the headline never sums a rep set the harness itself labeled
+contaminated without giving the query a cleaner window (sustained
+loadavg still FLAGS a query in the artifact but no longer triggers
+retries — the r12 load trigger fired on 62/72 queries and biased the
+floor-kept headline, VERDICT r12 item 7; the co-headline median_total
+in the stdout line is the retry-insensitive number); (b) an ANCHOR query
 (gain_ratio, historically 0.7-0.9 s warm) is measured first and last,
 and the artifact records both plus their drift ratio — a session whose
 anchor drifts >1.5× is globally contaminated and the artifact says so
@@ -53,14 +56,13 @@ from c4_5decisiontreebasedonmapreduce_spark import get_spark, registry
 # headline set: the reference-derived hot path + relational surface +
 # LLM-pipeline extension ops
 BENCH_QUERIES = [
-    # NOTE (r12): persisted twins with long names are deliberately
-    # UNTRACKED (dedup/spans/embedding/ivfpq *_persisted, the bucketed
-    # events twins, decontaminate_embedding_persisted): their warm wall
-    # mirrors the base op and their real evidence is the zero-Exchange
-    # plan pins in pytest. The stdout JSON line must stay inside the
-    # driver's ~1800-char tail window, and 77 tracked names at realistic
-    # value widths overflow it (sum of name lengths alone was 1358) —
-    # the r9 lost-map incident, one round early.
+    # NOTE (r13): the r12 removal of 4 persisted twins
+    # (dedup/spans/embedding-incremental + ivfpq *_persisted) was judged
+    # a tracked-set regression (VERDICT r12 item 3) — they are restored
+    # below with their families. The stdout budget they were removed to
+    # protect is handled in compact_line instead: the driver's tail
+    # window measured exactly 2000 chars across all 12 recorded BENCH
+    # artifacts, and the line now degrades precision adaptively to fit.
     # C4.5 statistics/training (the reference's entire computation)
     "scan_training",
     "groupby_contingency_numeric",
@@ -91,10 +93,12 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_incremental",
+    "dedup_incremental_persisted",
     "dedup_cluster",
     "dedup_cluster_incremental",
     "dedup_spans",
     "dedup_spans_apply",
+    "dedup_spans_incremental_persisted",
     "decontaminate",
     "decontaminate_apply",
     "decontaminate_spans",
@@ -117,6 +121,7 @@ BENCH_QUERIES = [
     "corpus_report",
     "similarity_topk",
     "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_persisted",
     # round-9 second wave: the heavier new TPC-H shapes (q12/q14/q19/q22
     # are broadcast-dim single-pass aggregates in the q1/q6 cost class —
     # untracked to keep the wall bounded; q17/q21/q2/q7 exercise new
@@ -159,6 +164,7 @@ BENCH_QUERIES = [
     # round-10: ingest-time embedding dedup (batch×corpus centroid
     # buckets; persisted twin amortizes the corpus assignment pass)
     "dedup_embedding_incremental",
+    "dedup_embedding_incremental_persisted",
     # round-10: asset near-dup dedup (one Python feature pass + the
     # embedding machinery) and the cost-based join regime chooser
     "dedup_assets",
@@ -294,8 +300,15 @@ def main() -> None:
         [n for n in subset.split(",") if n] if subset else BENCH_QUERIES
     )
 
+    # RETRY trigger is spread-only (VERDICT r12 item 7): the r12 run also
+    # retried on sustained loadavg, which flagged 62/72 queries in the
+    # driver's 8-core artifact and — combined with floor-keeping — gave
+    # flagged queries up to 3x the observation count of r11's protocol,
+    # biasing the headline down. Elevated-load queries are still FLAGGED
+    # in the artifact (load_elevated_flagged) so the reader sees the
+    # contamination; they just don't earn extra floor-keeping attempts.
     def flagged(name: str) -> bool:
-        return spread[name] > 1.5 or min(loads[name]) > load_threshold
+        return spread[name] > 1.5
 
     anchor: dict[str, float] = {}
     if ANCHOR_QUERY in qs and not subset:
@@ -407,8 +420,14 @@ def main() -> None:
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
-    print(compact_line(full, errors))
+    line = compact_line(full, errors)
+    # stop BEFORE printing: the driver reads the last 2000 chars of the
+    # MERGED stdout+stderr stream (measured in every recorded BENCH
+    # artifact), so the JSON line must be the absolute last output — a
+    # stray JVM shutdown warning printed after it would clip the line's
+    # head out of the window and cost the whole artifact its map.
     spark.stop()
+    print(line, flush=True)
 
 
 def build_full_record(
@@ -469,44 +488,55 @@ def compact_line(full: dict, errors: dict) -> str:
         }
         if len(errors) > 3:
             compact["errors"]["..."] = f"+{len(errors) - 3} more"
+    # BUDGET: the driver keeps the last 2000 chars of merged output
+    # (every recorded BENCH_r*.json tail is exactly 2000 chars) and the
+    # JSON line is the final thing printed (main() stops Spark first).
+    # 1985 leaves room for the trailing newline plus a margin. The old
+    # 1800 self-budget forced the 72-query r12 map all the way down to
+    # INTEGER seconds, which the driver's round-over-round comparison
+    # misread as 15 dropped and ~10 regressed queries (VERDICT r12
+    # item 2) — per-query resolution is worth spending the real window.
+    budget = 1985
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:  # stay inside the driver's tail window
-        # degrade order matters: diagnostics go first, then the per-query
-        # values drop to 2 decimals (67 tracked queries at 3dp overflowed
-        # the window in round 9 and silently cost the artifact its whole
-        # per-query map), and only as a last resort is "queries" dropped —
-        # bench_full.json always has the full-precision map
-        # anchor_drift outlives every other diagnostic AND the map's
-        # 3rd decimal: it is the one ~20-char field that lets a reader
-        # judge the whole session's noise from the stdout line alone.
-        # (The 72-query r12 line shed ALL diagnostics at 3dp while the
-        # map never even tried 2dp — a 2dp map costs ~1 char/query and
-        # nothing a cross-round comparison uses, so it goes first.)
-        for k in ("retried",
-                  "load_elevated_flagged", "load_noise_flagged",
-                  "cold_total", "median_total", "value_is", "errors"):
+    if len(line) > budget:
+        # verbose diagnostics go first — bench_full.json holds them all
+        for k in ("retried", "load_elevated_flagged",
+                  "load_noise_flagged", "cold_total", "value_is",
+                  "errors"):
             compact.pop(k, None)
             line = json.dumps(compact, separators=(",", ":"))
-            if len(line) <= 1800:
+            if len(line) <= budget:
                 break
-        # 3dp → 2dp → 1dp → integer seconds before losing anchor_drift
-        # or the map (the int step only ever fires on a pathological
-        # record — every query over ~100 s — where whole seconds still
-        # beat no map)
-        for nd in (2, 1, 0):
-            if len(line) > 1800:
-                compact["queries"] = {
-                    k: (round(v, nd) if nd else int(round(v)))
-                    for k, v in compact["queries"].items()
+    if len(line) > budget:
+        # then search (precision, small-diagnostic set) pairs, preferring
+        # map precision first (the driver's per-query comparison reads
+        # these values; VERDICT r12 item 2), then anchor_drift (session
+        # noise provenance), then median_total (the co-headline VERDICT
+        # r12 item 7 asks for, robust to the floor-keeping retry bias),
+        # then reps. Integer seconds only fire on a pathological record.
+        qfull = compact["queries"]
+        keep_order = ("anchor_drift", "median_total", "reps")
+        for nd in (3, 2, 1, 0):
+            for n_keep in range(len(keep_order), -1, -1):
+                trial = {
+                    k: v for k, v in compact.items()
+                    if k not in keep_order or k in keep_order[:n_keep]
                 }
-                line = json.dumps(compact, separators=(",", ":"))
-        if len(line) > 1800:
-            compact.pop("anchor_drift", None)
-            line = json.dumps(compact, separators=(",", ":"))
-        if len(line) > 1800:
+                trial["queries"] = {
+                    k: (round(v, nd) if nd else int(round(v)))
+                    for k, v in qfull.items()
+                }
+                line = json.dumps(trial, separators=(",", ":"))
+                if len(line) <= budget:
+                    break
+            if len(line) <= budget:
+                break
+        if len(line) > budget:  # last resort: lose the map, keep headline
             compact.pop("queries", None)
+            for k in keep_order:
+                compact.pop(k, None)
             line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1800, f"bench stdout line still {len(line)} chars"
+    assert len(line) <= budget, f"bench stdout line still {len(line)} chars"
     return line
 
 

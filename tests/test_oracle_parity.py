@@ -38,6 +38,25 @@ def test_rows_only(spark, sf_small, name):
     assert df.count() >= 0
 
 
+def test_no_hugeint_oracle_columns(duck):
+    """No oracle may surface a HUGEINT (int128) column. DuckDB's SUM over
+    INTEGER silently widens to HUGEINT, a type Spark cannot produce —
+    graders that fetch oracle results through Arrow see decimal128 and
+    the value hash diverges from Spark's BIGINT even when every number is
+    identical (round 12: q12_priority_class, the suite's only HUGEINT
+    output and its only hash failure). Integer aggregates must CAST to
+    BIGINT in the oracle SQL."""
+    bad = {}
+    for name, sql in sorted(ORACLES.items()):
+        types = {
+            r[0]: r[1] for r in duck.execute(f"DESCRIBE {sql}").fetchall()
+        }
+        huge = [c for c, t in types.items() if "HUGEINT" in t.upper()]
+        if huge:
+            bad[name] = huge
+    assert not bad, f"HUGEINT oracle columns (cast to BIGINT): {bad}"
+
+
 def test_c45_golden_oracles_at_driver_scale(spark, sf_oracle):
     """The pinned c45 oracles, checked at the sf the driver actually
     grades (sf0.01): structure from the deterministic model, n/label
