@@ -408,6 +408,13 @@ def pretraining_pipeline_unigram(
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
+    # the scrubbed projection feeds TWO consumers (the piece-count
+    # relation and the manifest's scoring projection); checkpoint it so
+    # the regex scrub chain runs once per query, not once per consumer —
+    # the same single-corpus-scan treatment the decontam pipeline gives
+    # its scrubbed projection (guide §5; r13 A/B below). eager=False:
+    # one fewer blocking driver job, identical reuse.
+    d = d.localCheckpoint(eager=False)
     return _manifest_from(
         d,
         quality_gate,

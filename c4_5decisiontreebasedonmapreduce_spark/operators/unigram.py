@@ -405,23 +405,40 @@ def fixed_vocab() -> list[tuple[str, int, int, float, int]]:
 def unigram_piece_counts(d: DataFrame) -> DataFrame:
     """Per-document piece count ``(doc_id, wtok)`` under the RELEASED
     vocabulary: Viterbi-segment the corpus's DISTINCT words once (the
-    vocab-sized Arrow pass, `segment_words`), then one explode + one
-    equi-join + one per-doc rollup — `unigram_encode`'s shape with the
-    fixed artifact instead of a retrain. A word containing a character
-    absent from the artifact's alphabet is unsegmentable under the
-    model; it falls back to its character count (every real tokenizer's
-    byte/char fallback) so document totals stay conservation-checkable."""
-    wc = (
-        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
-        .groupBy("word")
+    vocab-sized Arrow pass, `segment_words`), then one equi-join + one
+    per-doc rollup — `unigram_encode`'s shape with the fixed artifact
+    instead of a retrain. A word containing a character absent from the
+    artifact's alphabet is unsegmentable under the model; it falls back
+    to its character count (every real tokenizer's byte/char fallback)
+    so document totals stay conservation-checkable.
+
+    `d` is evaluated exactly ONCE (guide §1.2 step 1): the
+    ``(doc_id, word, freq)`` relation is checkpointed and feeds BOTH
+    the distinct-word Viterbi input and the per-doc rollup. The r12
+    shape exploded `d` twice (a distinct-word pass AND a per-occurrence
+    join probe), which re-ran the caller's upstream — the pretraining
+    pipeline's regex scrub chain — per explode; the rollup now joins at
+    (doc, word) granularity (pairs ≤ occurrences) and weights by
+    ``freq``, an identical integer total."""
+    dwc = (
+        d.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
         .agg(F.count("*").alias("freq"))
-        .localCheckpoint()
+        # eager=False: materializes inside the consumer's first action
+        # instead of as a separate blocking driver job (both the
+        # distinct-word Viterbi input and the rollup read the same
+        # checkpointed relation either way)
+        .localCheckpoint(eager=False)
     )
     # unsegmentable words come back from _viterbi as ONE whole-word
     # pseudo-piece that is not in the vocabulary — detect by membership,
     # not emptiness
     vocab_pieces = [p for p, *_ in fixed_vocab()]
-    seg = segment_words(wc, fixed_vocab()).select(
+    seg = segment_words(
+        dwc.select("word").distinct(), fixed_vocab()
+    ).select(
         "word",
         F.when(
             F.forall("pieces", lambda p: p.isin(vocab_pieces)),
@@ -430,11 +447,8 @@ def unigram_piece_counts(d: DataFrame) -> DataFrame:
         .otherwise(F.length("word"))
         .alias("n_p"),
     )
-    toks = d.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
-    )
-    return toks.join(seg, "word").groupBy("doc_id").agg(
-        F.sum("n_p").cast("long").alias("wtok")
+    return dwc.join(seg, "word").groupBy("doc_id").agg(
+        F.sum(F.col("n_p") * F.col("freq")).cast("long").alias("wtok")
     )
 
 
