@@ -435,24 +435,21 @@ def _zipf_rank_cuts() -> list[int]:
     return _ZIPF_CUTS
 
 
-def _zipf_cuts_df(spark: SparkSession) -> DataFrame:
-    """The cut-point table as a broadcast-sized relation ``(ra, c_lo,
-    c_hi)`` — one row per possible pow() first guess, carrying the
-    bounds the guess is snapped against. A relation, NOT an in-plan
-    array literal: a 20001-element ``F.lit(list)`` lowers to a
-    CreateArray with 20001 child expressions that codegen rebuilds PER
-    ROW (measured: it turned the 8M-row token projection from ~3 s
-    into minutes), while a broadcast hash join on the guess is one
-    O(1) probe per row. Rows 0 and V+1 are clamp sentinels so a
-    pathological engine guess still snaps into range instead of being
-    silently dropped by the join."""
-    cuts = _zipf_rank_cuts()
-    V = BM25_ZIPF_VOCAB
-    rows = [(0, 0, 0)]  # guess 0 → m >= c_hi always → corrected to 1
-    for ra in range(1, V + 1):
-        rows.append((ra, cuts[ra - 1], cuts[ra]))
-    rows.append((V + 1, 1000000, 1000000))  # → corrected down
-    return spark.createDataFrame(rows, "ra int, c_lo int, c_hi int")
+def _zipf_cuts_array():
+    """The cut-point table as ONE constant-folded array literal. A
+    20001-element ``F.lit(list)`` lowers to a CreateArray with 20001
+    child expressions that codegen rebuilds PER ROW (measured r12: it
+    turned the 8M-row token projection from ~3 s into minutes) — but
+    ``from_json`` of a LITERAL string is foldable, so ConstantFolding
+    evaluates it ONCE at planning into a single array Literal, and each
+    ``element_at`` probe is an O(1) index. This replaces the r12
+    broadcast-join snap (`e7c1d77`): same integer comparisons, no join,
+    no broadcast build job, one fewer operator on the 800k-row synth
+    projection that runs twice per query (corpus + query slices) —
+    measured 4.4→3.5 s warm-min on bm25_topk_zipf, values identical."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(_zipf_rank_cuts())), "array<int>")
 
 
 def zipf_tokens(ids: DataFrame) -> DataFrame:
@@ -461,12 +458,15 @@ def zipf_tokens(ids: DataFrame) -> DataFrame:
     doc, each drawing a Zipf(1) rank over BM25_ZIPF_VOCAB. The rank is
     defined by the Python cut-point table (`_zipf_rank_cuts`); the JVM
     pow() below is only an off-by-at-most-one first guess, snapped to
-    the table with integer comparisons via a broadcast join on the
-    guess (`_zipf_cuts_df`)."""
+    the table with integer comparisons against the constant-folded
+    cut-point array (`_zipf_cuts_array`). Guesses ≤0 / ≥V+1 (a
+    pathological engine pow) clamp to the sentinels the r12 broadcast
+    join carried as explicit rows."""
     from c4_5decisiontreebasedonmapreduce_spark.functions.hashing import (
         md5_long,
     )
 
+    V = BM25_ZIPF_VOCAB
     n_tok = (
         F.lit(BM25_ZIPF_LEN_BASE) + F.col("doc_id") % BM25_ZIPF_LEN_MOD
     ).cast("int")
@@ -477,17 +477,27 @@ def zipf_tokens(ids: DataFrame) -> DataFrame:
         F.concat_ws("|", F.lit("zipf"), F.col("doc_id"), F.col("pos"))
     ) % F.lit(1000000).cast("long")
     ra = F.floor(
-        F.pow(F.lit(float(BM25_ZIPF_VOCAB)), m / F.lit(1000000.0))
+        F.pow(F.lit(float(V)), m / F.lit(1000000.0))
     ).cast("int")
     guessed = base.select("doc_id", m.alias("m"), ra.alias("ra"))
-    rank = (
-        F.when(F.col("m") >= F.col("c_hi"), F.col("ra") + 1)
-        .when(F.col("m") < F.col("c_lo"), F.col("ra") - 1)
-        .otherwise(F.col("ra"))
+    cuts = _zipf_cuts_array()
+    # cuts[r-1] (0-based) = c_r, the smallest m with rank >= r, for
+    # r = 1..V+1; element_at is 1-based, so element_at(cuts, r) = c_r
+    ra_cl = F.least(F.greatest(F.col("ra"), F.lit(0)), F.lit(V + 1))
+    c_lo = F.when(ra_cl <= 0, F.lit(0)).otherwise(
+        F.element_at(cuts, ra_cl)
     )
-    return guessed.join(
-        F.broadcast(_zipf_cuts_df(ids.sparkSession)), "ra"
-    ).select(
+    c_hi = (
+        F.when(ra_cl >= V + 1, F.lit(1000000))
+        .when(ra_cl <= 0, F.lit(0))
+        .otherwise(F.element_at(cuts, ra_cl + F.lit(1)))
+    )
+    rank = (
+        F.when(F.col("m") >= c_hi, ra_cl + 1)
+        .when(F.col("m") < c_lo, ra_cl - 1)
+        .otherwise(ra_cl)
+    )
+    return guessed.select(
         "doc_id", F.concat(F.lit("tz"), rank.cast("string")).alias("token")
     )
 
@@ -510,8 +520,15 @@ def bm25_topk_zipf(
     is_query = F.col("doc_id") % BM25_QUERY_MOD == BM25_QUERY_REM
     tok = zipf_tokens(ids)
     post, dl = _postings_from_tokens(tok.where(~is_query))
+    # stats has TWO consumers here (the cap filter and score_terms'
+    # crossJoin); un-checkpointed, each evaluated its own n_docs parquet
+    # count AND its own avgdl aggregate over tf — two jobs and an extra
+    # tf exchange per run (visible as duplicate count/agg subtrees in
+    # the r12 plan). One lazy checkpoint of the 1-row relation halves
+    # that (guide §2.4); eager=False folds it into the first action.
     stats = _stats_rel(ids.where(~is_query), dl)
     if capped:
+        stats = stats.localCheckpoint(eager=False)
         post = (
             post.crossJoin(F.broadcast(stats.select("n_docs")))
             .where(
