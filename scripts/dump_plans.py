@@ -437,8 +437,11 @@ HEADLINE = {
         "no explode/join/Python added"
     ),
     "chunk_documents_bpe": (
-        "r10 subword chunking: zero exchanges, one Generate; the symbol "
-        "array comes from the same replace chain split on '/+'"
+        "r10 subword chunking: one Generate; the symbol array comes "
+        "from the same replace chain split on '/+'. r12 adds a guarded "
+        "spread-if-narrow RoundRobin repartition of the raw docs scan "
+        "(the one Exchange — the chunk build above it never shuffles, "
+        "pinned in test_scale_plans)"
     ),
     "dedup_embedding_incremental": (
         "r10 ingest embedding dedup: asymmetric batch×corpus centroid "

@@ -893,6 +893,13 @@ def test_chunk_documents_bpe_zero_exchange(spark, sf_small):
     assert "SinglePartition" not in p
     assert "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the carve-out admits exactly ONE Exchange — the guarded RoundRobin
+    # spread of the raw docs scan. A regression that round-robins the
+    # EXPLODED chunk rows (data-scale, above the Generate) would add a
+    # second one; pin the count so the docstring's "the chunk build
+    # itself never shuffles" is enforced, not just asserted in prose.
+    # (formatted plans name each exchange twice: tree + detail line.)
+    assert p.count("Exchange") <= 2, p
 
 
 def test_pretraining_pipeline_two_data_exchanges(spark, sf_small):
