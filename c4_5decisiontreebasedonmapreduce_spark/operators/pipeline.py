@@ -43,6 +43,7 @@ from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
     DOCS_SQL,
     STOPWORDS,
     docs,
+    spread_if_heavy,
     tokens_col,
 )
 
@@ -130,9 +131,10 @@ def curation_pipeline(
     """Per (predicted language, quality-gate outcome): surviving-doc
     count, total regex tokens, and mean quality score after exact
     dedup. ``passed`` rows are what a tokenizer run would consume."""
-    d = docs(spark, sf_dir)
-    # NO spread-if-narrow here (tried r12, reverted): regressed
-    # warm-min 0.79→1.17 s at sf0.1 (see lm_perplexity's note).
+    # size-adaptive spread (r13): serial at sf0.1 where it regressed
+    # 0.79→1.17 s (r12 revert), spread at the ×10 probe scale where the
+    # scoring projection read 4.96→1.56 s.
+    d = spread_if_heavy(docs(spark, sf_dir))
     fingerprint, n_tokens, quality, lang_pred = _scored_cols()
     enriched = d.select(
         "doc_id",
@@ -762,16 +764,15 @@ def corpus_report(
     cross-source dup semantics)."""
     fp, n_tokens, quality, lang_pred = _scored_cols()
     if d is None:
-        d = docs(spark, sf_dir)
+        # size-adaptive spread (r13): serial at sf0.1 where it
+        # regressed 0.87→1.48 s (r12 revert), spread at the ×10 probe
+        # scale where the report read 4.88→2.04 s.
+        d = spread_if_heavy(docs(spark, sf_dir))
     else:
         # honor the module's null contract for injected relations too:
         # without this, MD5(NULL) = NULL falls out of the inner
         # fingerprint join and the document silently vanishes
         d = d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    # NO spread-if-narrow here (tried r12, reverted): spreading the
-    # scoring projection regressed warm-min 0.87→1.48 s at sf0.1 — the
-    # 0.5 s single-task job is fixed overhead, not row work (see
-    # lm_perplexity's note for the measured rule of thumb).
     d = d.select(
         "doc_id",
         "source",

@@ -235,9 +235,14 @@ def sample_mixture(
     )
 
     text_cols = ["text"] if keep_text else []
-    # NO spread-if-narrow here (tried r12, reverted): regressed
-    # warm-min 0.85→0.96 s at sf0.1 (see lm_perplexity's note).
-    d = docs(spark, sf_dir).select(
+    from c4_5decisiontreebasedonmapreduce_spark.operators.text import (
+        spread_if_heavy,
+    )
+
+    # size-adaptive spread (r13): serial at sf0.1 where it regressed
+    # 0.85→0.96 s (r12 revert), spread at the ×10 probe scale where the
+    # token-count projection read 1.75→1.23 s.
+    d = spread_if_heavy(docs(spark, sf_dir)).select(
         "doc_id",
         "source",
         F.size(tokens_col(F.col("text"))).alias("n_tokens"),

@@ -14,6 +14,8 @@ drop empty tokens.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +48,40 @@ DOCS_SQL = (
     "(SELECT doc_id, COALESCE(text, '') AS text, lang, source, n_chars"
     " FROM documents) documents"
 )
+
+
+# Below this input-size estimate a narrow scan stays serial: the r12
+# round measured spread-if-narrow as a NET LOSS on every light scoring
+# projection at sf0.1 (~0.6 MB documents file — lm_perplexity 1.69→2.53,
+# corpus_report 0.87→1.48, curation 0.79→1.17, mixture 0.85→0.96 s: the
+# exchange + 32-task scheduling is pure overhead when the whole scan is
+# a 0.5 s single task), while the r13 ×10 scale probe (7.3 MB file)
+# measured the REVERSE on the same five queries (lm_perplexity 9.9→4.8,
+# corpus_report 4.9→2.0, curation 5.0→1.6, tfidf 4.6→1.7, mixture
+# 1.75→1.23 s). 4 MB sits between the two measured regimes; override
+# for hosts with very different core counts or storage.
+SPREAD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(4 << 20))
+)
+
+
+def spread_if_heavy(d: DataFrame) -> DataFrame:
+    """Repartition a narrow scan across the cluster ONLY when the
+    input-size estimate says the per-row work will dominate the
+    exchange (guide §2.2/§2.6) — the scale-adaptive form of the
+    spread-if-narrow decision, so neither regime is hard-coded. At
+    cluster scale the scan already has ≥ parallelism partitions and
+    this is a no-op either way."""
+    spark = d.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() >= par:
+        return d
+    size = int(
+        str(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if size < SPREAD_MIN_BYTES:
+        return d
+    return d.repartition(par)
 
 
 def tokens_col(text: Column) -> Column:
@@ -221,7 +257,9 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join at small scale on its own; at large scale both sides
     are already hash-partitioned by token from their aggregations, so the
     sort-merge join reuses the exchange."""
-    d = docs(spark, sf_dir)
+    # size-adaptive spread (r13): the ×10 probe read 4.58→1.73 s with
+    # the explode spread; below SPREAD_MIN_BYTES it stays serial
+    d = spread_if_heavy(docs(spark, sf_dir))
     # materialize tf once: it is both the join's left side and the input
     # to the document-frequency rollup, and exchange reuse does not cover
     # the two copies — un-checkpointed, the corpus explode+count ran
@@ -302,13 +340,12 @@ def lm_perplexity(
     score an injected relation (tests hand-compute a tiny LM and force
     the unk path with a small ``top_v``)."""
     if d is None:
-        d = docs(spark, sf_dir)
-    # NO spread-if-narrow here (tried r12, reverted): the 0.45 s
-    # single-task checkpoint job is mostly fixed overhead, not row
-    # work — spreading regressed warm-min 1.69→2.53 s at sf0.1
-    # (exchange + 32-task scheduling cost the whitespace tokenize
-    # never earns back; contrast pack_sequences_bpe, whose replace
-    # chain is ~100× the per-row cost and won 1.87→1.10 s).
+        # size-adaptive spread (r13, replaces the r12 blanket revert):
+        # serial below SPREAD_MIN_BYTES where the 0.45 s single-task
+        # job is fixed overhead (spreading regressed 1.69→2.53 s at
+        # sf0.1), spread above it where the tokenize is row work
+        # (9.88→4.81 s at the ×10 probe scale).
+        d = spread_if_heavy(docs(spark, sf_dir))
     base = d.select(
         "doc_id", tokens_col(F.col("text")).alias("toks")
     ).localCheckpoint()
